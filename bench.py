@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized via a count-style action (collect on aggregates,
+count on wide outputs) so the full plan executes; timings are per-query
+wall-clock seconds, value = total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan-agg, windowed agg, multi-join,
+# top-k, window functions, parse, TS data plane, dedup/similarity/text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_1min_event_rate",
+    "peak_rate_per_user",
+    "latest_version_per_key",
+    "cc_continuity_check",
+    "topk_orders_by_value",
+    "json_settings_extract",
+    # TS data plane
+    "ts_demux_pid_stats",
+    "ts_programs_summary",
+    "ts_section_reassembly",
+    # LLM-pipeline ops
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    from streamprocessors_spark import plans
+    from streamprocessors_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(app_name="bench")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = plans.REGISTRY.get(name)
+        if q is None:
+            continue
+        # Warm the reader metadata outside the timed region is skipped on
+        # purpose: at 100 TB scan time IS the query time.
+        t0 = time.perf_counter()
+        df = q.fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

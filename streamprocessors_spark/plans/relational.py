@@ -1,0 +1,501 @@
+"""Relational query surface over the standard fixture tables.
+
+Each query is the idiomatic-Spark restatement of an operator family from
+SURVEY.md §2 (file:line citations in each docstring point at the reference
+behavior being re-expressed), exercised on the driver's TPC-H-ish fixtures
+so DuckDB can oracle-check it.
+
+Scale notes (100 TB design intent):
+- dimension joins (region/nation/customer-sized sides) rely on broadcast
+  hash join — Catalyst picks it via size estimation; `F.broadcast` is used
+  where the dim side is guaranteed small;
+- aggregations are expressed as plain groupBy so map-side partial
+  aggregation applies;
+- window functions partition on high-cardinality keys (user_id, orderkey)
+  so the shuffle is well-spread; no global order-by without a limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamprocessors_spark.plans.registry import register
+from streamprocessors_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface (SURVEY §2.5 A1-A8 analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship scan+agg: TPC-H-Q1-style pricing summary. Exercises map-side "
+    "partial aggregation and full-scan throughput (the reference's per-second "
+    "accumulate loop, mpeg2ts/src/mpeg2_sp.c:910-916, generalized).",
+    tags=("agg",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "window_1min_event_rate",
+    oracle="""
+    SELECT date_trunc('minute', ts)        AS window_start,
+           event_type,
+           count(*)                        AS n_events,
+           round(sum(value), 2)            AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="A1 input-bitrate analog (mpeg2ts/src/mpeg2_sp.c:910-916; 1 s tumbling "
+    "window -> 1 min tumbling window over the events stream).",
+    tags=("agg", "window"),
+)
+def window_1min_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "peak_rate_per_user",
+    oracle="""
+    SELECT user_id, max(n) AS peak_events_per_hour
+    FROM (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ) GROUP BY user_id
+    """,
+    doc="A2 bitrate-peak analog (app_prog_proc.c:110-115): running max over "
+    "windowed rates.",
+    tags=("agg", "window"),
+)
+def peak_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return hourly.groupBy("user_id").agg(F.max("n").alias("peak_events_per_hour"))
+
+
+@register(
+    "log_trace_rollup",
+    oracle="""
+    SELECT event_type AS code, count(*) AS log_trace_counter, max(ts) AS last_date
+    FROM events GROUP BY event_type
+    """,
+    doc="A8 log-trace dedup counter (mpeg2ts/src/mpeg2_sp.c:961-991): collapse "
+    "repeated codes to count + latest date.",
+    tags=("agg",),
+)
+def log_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("code")).agg(
+        F.count(F.lit(1)).alias("log_trace_counter"),
+        F.max("ts").alias("last_date"),
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="Hierarchical rollup (free-from-Spark-SQL surface, SURVEY §2 'absent in "
+    "reference' list): region -> nation -> grand total.",
+    tags=("agg", "rollup"),
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join / lookup surface (SURVEY §2.4 J1-J12 analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="Three-way equi-join + agg + top-k (J4/J5 composed-lookup analog, "
+    "psi_table.c:213-268). Deterministic tie-break on l_orderkey.",
+    tags=("join", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .where((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="Five-way join with dim-table pruning (J11 periodic PAT*PMT composition "
+    "analog, mpeg2_sp.c:1484-1558): Catalyst broadcast + join reordering.",
+    tags=("join",),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "left_join_programs_summary",
+    oracle="""
+    SELECT c_custkey AS program_number,
+           coalesce(n_name, '') AS service_name,
+           count(o_orderkey)    AS n_orders
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey AND n_regionkey = 0
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="J10 programs-summary analog (mpeg2_sp.c:1103-1235): left join with "
+    "empty-string default for the missing service name, plus existence count.",
+    tags=("join",),
+)
+def left_join_programs_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (n.n_regionkey == 0),
+            "left",
+        )
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("program_number"),
+            F.coalesce(F.col("n_name"), F.lit("")).alias("service_name"),
+        )
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'O')
+    """,
+    doc="J10 processor-probe analog (mpeg2_sp.c:1192-1203): existence test as "
+    "left-semi join.",
+    tags=("join",),
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.where(F.col("o_orderstatus") == "O"),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_idle_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Disassociated-processor purge analog (flag_purge_disassociated_"
+    "processors, mpeg2_sp.c:111-132): anti join.",
+    tags=("join",),
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "set_intersect_both_status",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Set operations (absent in reference; free from Spark SQL).",
+    tags=("setop",),
+)
+def set_intersect_both_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "topk_orders_by_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="Top-k with deterministic tie-break (absent in reference; Spark "
+    "TakeOrderedAndProject avoids a global sort).",
+    tags=("topk",),
+)
+def topk_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordering / state / versioning surface (SURVEY §2.3 R7, §2.6 T1-T4 analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cc_continuity_check",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN prev_us IS NOT NULL AND epoch_us(ts) - prev_us > 3600000000
+                THEN TRUE ELSE FALSE END AS gap_error
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    )
+    """,
+    doc="P6 continuity-counter check (ts_dec.c:98-172): per-key lag() compare; "
+    "violations flagged, never reordered (T1, SURVEY §2.6).",
+    tags=("window", "state"),
+)
+def cc_continuity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(
+            prev.isNotNull() & ((F.unix_micros(F.col("ts")) - prev) > 3_600_000_000),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+        .alias("gap_error"),
+    )
+
+
+@register(
+    "latest_version_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="R7 current-table register (psi_proc.c:362-390): latest version per key "
+    "via row_number over version order.",
+    tags=("window", "state"),
+)
+def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="T4 duplicate handling / R7 dropDuplicates analog, expressed "
+    "deterministically as min-per-group.",
+    tags=("dedup", "state"),
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parsing / projection surface (SURVEY §2.2 P9 analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_settings_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="P9 dual-format settings parse (mpeg2_sp.c:692-826): JSON doc -> typed "
+    "column via from_json/get_json_object.",
+    tags=("parse",),
+)
+def json_settings_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@register(
+    "querystring_settings_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(props_map['k'][1] AS BIGINT) AS k_value,
+           props_map['tag'][1] AS tag
+    FROM (
+      SELECT event_id,
+             map_from_entries(list_transform(
+               string_split('k=' || CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS VARCHAR) || '&tag=ev' || CAST(event_id % 10 AS VARCHAR), '&'),
+               s -> struct_pack(k := string_split(s, '=')[1], v := string_split(s, '=')[2])
+             )) AS props_map
+      FROM events
+    )
+    """,
+    doc="P9 query-string settings format (format guess at mpeg2_sp.c:716): "
+    "str_to_map over a synthesized query string.",
+    tags=("parse",),
+)
+def querystring_settings_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    qs = F.concat(
+        F.lit("k="),
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").cast("string"),
+        F.lit("&tag=ev"),
+        (F.col("event_id") % 10).cast("string"),
+    )
+    m = F.str_to_map(qs, F.lit("&"), F.lit("="))
+    return ev.select(
+        "event_id",
+        m.getItem("k").cast("bigint").alias("k_value"),
+        m.getItem("tag").alias("tag"),
+    )
