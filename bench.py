@@ -50,6 +50,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Warm the JVM/codegen with a job unrelated to the fixture tables so
+    # per-query timings measure the queries, not JIT startup.
+    spark.range(1_000_000).selectExpr("sum(id * 2) as s").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.REGISTRY.get(name)

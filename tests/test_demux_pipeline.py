@@ -1,0 +1,115 @@
+"""End-to-end batch demux: fixture TS -> packets -> sections -> PSI tables
+-> programs summary (the SURVEY §7.1 minimum slice), checked against the
+fixture spec (golden-output style, like the reference's utests)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from streamprocessors_spark.codec import psi
+from streamprocessors_spark.codec.fixtures import build_ts, default_mux
+from streamprocessors_spark.operators import demux
+from streamprocessors_spark.sources import packets_from_binary_column, read_ts_files
+
+
+@pytest.fixture(scope="module")
+def ts_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ts")
+    p = os.path.join(d, "fixture.ts")
+    with open(p, "wb") as f:
+        f.write(build_ts())
+    return p
+
+
+@pytest.fixture(scope="module")
+def packets(spark, ts_file):
+    df = read_ts_files(spark, ts_file)
+    df.cache().count()
+    return df
+
+
+def test_packet_counts(packets, ts_file):
+    n_bytes = os.path.getsize(ts_file)
+    assert packets.count() == n_bytes // 188
+    assert packets.where("NOT sync_ok").count() == 0
+
+
+def test_sections_and_crc(spark, packets):
+    psi_pids = [psi.PSI_PID_PAT, psi.PSI_PID_SDT, 0x100, 0x200]
+    sections = demux.reassemble_sections(packets, psi_pids=psi_pids)
+    rows = sections.collect()
+    assert rows, "no sections reassembled"
+    assert all(r.crc_ok for r in rows)
+    tids = {r.table_id for r in rows}
+    assert tids == {psi.PSI_TABLE_ID_PAT, psi.PSI_TABLE_ID_PMT, psi.PSI_TABLE_ID_SDT}
+
+
+def test_programs_summary_matches_spec(spark, packets):
+    spec = default_mux()
+    psi_pids = [psi.PSI_PID_PAT, psi.PSI_PID_SDT] + [p.pmt_pid for p in spec.programs]
+    sections = demux.reassemble_sections(packets, psi_pids=psi_pids)
+    sections.cache().count()
+    pat = demux.pat_programs(sections)
+    pmt = demux.pmt_streams(sections)
+    sdt = demux.sdt_services(sections)
+    summary = {
+        r.program_number: r for r in demux.programs_summary(pat, pmt, sdt).collect()
+    }
+    assert set(summary) == {p.program_number for p in spec.programs}
+    for p in spec.programs:
+        row = summary[p.program_number]
+        assert row.reference_pid == p.pmt_pid
+        assert row.service_name == p.service_name
+        assert row.n_streams == len(p.streams)
+        assert row.pcr_pid == p.pcr_pid
+
+
+def test_pmt_stream_types(spark, packets):
+    spec = default_mux()
+    sections = demux.reassemble_sections(
+        sections_pids := packets, psi_pids=[p.pmt_pid for p in spec.programs]
+    )
+    got = {
+        (r.program_number, r.elementary_pid): r.stream_type
+        for r in demux.pmt_streams(sections).collect()
+    }
+    want = {
+        (p.program_number, es): st for p in spec.programs for st, es in p.streams
+    }
+    assert got == want
+
+
+def test_pid_stats_and_cc_clean(spark, packets):
+    stats = {r.pid: r for r in demux.pid_packet_stats(packets).collect()}
+    spec = default_mux()
+    for p in spec.programs:
+        for _, es in p.streams:
+            assert stats[es].n_packets == spec.es_payload_packets
+            assert stats[es].cc_errors == 0
+    assert stats[psi.PSI_PID_PAT].cc_errors == 0
+    # pcr carried only on pcr PIDs
+    for p in spec.programs:
+        assert stats[p.pcr_pid].last_pcr is not None
+
+
+def test_cc_violation_detection(spark):
+    """Drop one ES packet -> exactly one CC violation on that PID."""
+    blob = build_ts()
+    spec = default_mux()
+    es_pid = spec.programs[0].streams[0][1]
+    # find the 5th packet of that pid and remove it
+    from streamprocessors_spark.codec.ts import parse_ts_buffer_np
+
+    cols = parse_ts_buffer_np(blob)
+    hits = [i for i in range(len(cols["pid"])) if cols["pid"][i] == es_pid]
+    cut = hits[5]
+    mutated = blob[: cut * 188] + blob[(cut + 1) * 188 :]
+    src = spark.createDataFrame(
+        [("s0", bytearray(mutated))], "stream_id string, value binary"
+    )
+    df = packets_from_binary_column(src)
+    viol = demux.cc_violations(df).collect()
+    assert len(viol) == 1
+    assert viol[0].pid == es_pid
