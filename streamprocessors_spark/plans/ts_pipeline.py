@@ -1,4 +1,267 @@
-"""TS data-plane queries (SURVEY §2.1-2.3): filled in by the demux pipeline.
+"""TS data-plane queries (SURVEY §2.1-2.3) in driver-checkable form.
 
-Placeholder module — populated as the codec + demux operators land.
+The reference's domain data (MPEG-TS packets) doesn't exist in the fixture
+tables, so each query ENCODES a deterministic transport stream from a
+fixture table with the engine's own encoders (the reference's test pattern,
+utests_prog_proc.cpp:116-230: build with encoders, push through the real
+pipeline), runs the real decode/reassembly/join pipeline, and emits fields
+the DuckDB oracle can recompute arithmetically from the source table. Any
+codec/pipeline bug breaks the hash match.
+
+Scale notes: encode fans out one mini-stream per row (mapInPandas, Arrow);
+decode is the vectorized numpy parser; reassembly shuffles only PSI-PID
+packets, keyed (stream_id, pid). The packet-level queries use pure
+JVM-side binary expressions (concat/unhex/hex/conv) — no Python at all.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamprocessors_spark.plans.registry import register
+from streamprocessors_spark.session import read_table
+
+# 2^33 * 300: PCR modulus in 27 MHz ticks (mpeg2ts/src/ts.h:123-134)
+PCR_MOD = 8_589_934_592 * 300
+
+
+def _event_packet_expr() -> "F.Column":
+    """188-byte TS packet built natively (JVM, whole-stage codegen):
+    sync 0x47 | pusi=1, pid=32+user_id%8000 | AF(163B stuffing) |
+    payload = 8B big-endian event_id + 12B zeros. Mirrors ts_enc_packet
+    (ts_enc.c:41-159) as a pure SQL expression."""
+    pid = 32 + F.pmod(F.col("user_id"), F.lit(8000))
+    b1 = 64 + (pid / 256).cast("int")  # pusi bit 0x40 | pid hi5
+    b2 = F.pmod(pid, F.lit(256))
+    b3 = 48 + F.pmod(F.col("event_id"), F.lit(16))  # afc=3 | cc
+    to_byte = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint")), 2, "0"))  # noqa: E731
+    header = F.concat(F.unhex(F.lit("47")), to_byte(b1), to_byte(b2), to_byte(b3))
+    af = F.unhex(F.concat(F.lit("A300"), F.repeat(F.lit("FF"), 162)))
+    payload = F.concat(
+        F.unhex(F.lpad(F.hex(F.col("event_id")), 16, "0")),
+        F.unhex(F.repeat(F.lit("00"), 12)),
+    )
+    return F.concat(header, af, payload)
+
+
+@register(
+    "ts_packet_roundtrip",
+    oracle="""
+    SELECT event_id,
+           32 + user_id % 8000 AS pid,
+           CAST(event_id % 16 AS INT) AS cc,
+           1   AS pusi,
+           163 AS af_len,
+           20  AS payload_len
+    FROM events
+    """,
+    doc="P2/P3/P5 packet codec roundtrip: native-SQL encode (ts_enc.c:41-159) "
+    "-> vectorized decode (ts_dec.c:257-419) -> field extraction. One packet "
+    "per event; event_id recovered from the payload bytes.",
+    tags=("ts", "parse"),
+)
+def ts_packet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    ev = read_table(spark, sf_dir, "events")
+    streams = ev.select(
+        F.col("event_id").cast("string").alias("stream_id"),
+        _event_packet_expr().alias("value"),
+    )
+    pkts = packets_from_binary_column(streams)
+    return pkts.select(
+        F.conv(F.hex(F.expr("substring(raw, 169, 8)")), 16, 10)
+        .cast("bigint")
+        .alias("event_id"),
+        F.col("pid").cast("bigint").alias("pid"),
+        "cc",
+        "pusi",
+        "af_len",
+        "payload_len",
+    )
+
+
+@register(
+    "ts_demux_pid_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, CAST(event_id % 16 AS INT) AS cc,
+             lag(CAST(event_id % 16 AS INT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           32 + user_id % 8000 AS pid,
+           count(*)            AS n_packets,
+           count(*) * 188      AS n_bytes,
+           count(*) * 20       AS payload_bytes,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND cc != (prev + 1) % 16
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cc_errors
+    FROM seq GROUP BY 1, 2
+    """,
+    doc="J1 demux + A1 per-PID stats + P6 CC check: events packetized per "
+    "user into ordered streams (aggregate/concat, JVM-side), then "
+    "pid_packet_stats (lag-window CC rules, ts_dec.c:98-172).",
+    tags=("ts", "agg", "state"),
+)
+def ts_demux_pid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.operators.demux import pid_packet_stats
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    ev = read_table(spark, sf_dir, "events")
+    per_event = ev.select(
+        "user_id", "event_id", _event_packet_expr().alias("pkt")
+    )
+    # One buffer per user, packets ordered by event_id (T1 order), built
+    # entirely with JVM expressions: sort_array + aggregate-concat.
+    streams = per_event.groupBy("user_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "pkt"))),
+                lambda x: x["pkt"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("value")
+    )
+    pkts = packets_from_binary_column(
+        streams.select(
+            F.col("user_id").cast("string").alias("stream_id"), "value"
+        )
+    )
+    stats = pid_packet_stats(pkts)
+    return stats.select(
+        F.col("stream_id").cast("bigint").alias("user_id"),
+        F.col("pid").cast("bigint").alias("pid"),
+        "n_packets",
+        "n_bytes",
+        "payload_bytes",
+        "cc_errors",
+    )
+
+
+@register(
+    "ts_section_reassembly",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 65536 AS table_id_ext,
+           CAST(doc_id % 32 AS INT) AS version,
+           strlen(coalesce(substr(text, 1, 250), '')) + 9 AS section_length,
+           TRUE AS crc_ok,
+           md5(coalesce(substr(text, 1, 250), '')) AS payload_md5
+    FROM documents
+    """,
+    doc="R1/R2/R8 section roundtrip: each document becomes a private PSI "
+    "section (encode_section, psi_enc.c:52-166), packetized across multiple "
+    "TS packets (pointer_field), reassembled by the grouped-state UDF "
+    "(psi_dec.c:238-499) with CRC verification; payload md5 proves "
+    "byte-exact reassembly.",
+    tags=("ts", "state"),
+)
+def ts_section_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.operators.demux import reassemble_sections
+    from streamprocessors_spark.operators.encode import document_section_streams
+
+    docs = read_table(spark, sf_dir, "documents")
+    streams = document_section_streams(docs)
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    pkts = packets_from_binary_column(streams)
+    sections = reassemble_sections(pkts)
+    return sections.select(
+        F.col("stream_id").cast("bigint").alias("doc_id"),
+        F.col("table_id_ext").cast("bigint").alias("table_id_ext"),
+        "version",
+        F.col("section_length").cast("bigint").alias("section_length"),
+        "crc_ok",
+        F.md5(F.expr("substring(section_bytes, 9, section_length - 9)")).alias(
+            "payload_md5"
+        ),
+    )
+
+
+@register(
+    "ts_programs_summary",
+    oracle="""
+    SELECT n_nationkey + 1          AS program_number,
+           256 + n_nationkey * 16   AS reference_pid,
+           n_name                   AS service_name,
+           CAST(2 AS BIGINT)        AS n_streams,
+           257 + n_nationkey * 16   AS pcr_pid
+    FROM nation
+    """,
+    doc="The flagship J10 programs-summary (mpeg2_sp.c:1103-1235) over the "
+    "FULL PSI chain: per-nation single-program TS (PAT+PMT+SDT mux) -> "
+    "packets -> sections -> PAT x PMT x SDT broadcast joins -> summary. "
+    "Exercises R1-R7, J4, J7, J8 end-to-end.",
+    tags=("ts", "join"),
+)
+def ts_programs_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.operators.demux import (
+        pat_programs,
+        pmt_streams,
+        programs_summary,
+        reassemble_sections,
+        sdt_services,
+    )
+    from streamprocessors_spark.operators.encode import nation_program_streams
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    nation = read_table(spark, sf_dir, "nation")
+    pkts = packets_from_binary_column(nation_program_streams(nation))
+    # PSI PIDs: PAT(0), SDT(0x11), and the per-nation PMT PIDs — a static
+    # prunable set, so the reassembly shuffle skips every ES packet.
+    pmt_pids = [0x100 + k * 16 for k in range(25)]
+    sections = reassemble_sections(pkts, psi_pids=[0x0, 0x11] + pmt_pids)
+    summary = programs_summary(
+        pat_programs(sections), pmt_streams(sections), sdt_services(sections)
+    )
+    return summary.select(
+        F.col("program_number").cast("int").alias("program_number"),
+        F.col("reference_pid").cast("int").alias("reference_pid"),
+        "service_name",
+        "n_streams",
+        F.col("pcr_pid").cast("int").alias("pcr_pid"),
+    )
+
+
+@register(
+    "ts_pcr_delta",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id,
+             (epoch_us(ts) * 27) % {PCR_MOD} AS pcr,
+             lag((epoch_us(ts) * 27) % {PCR_MOD})
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_id, user_id, pcr,
+           CASE WHEN prev IS NULL THEN NULL
+                WHEN ((pcr - prev) % {PCR_MOD} + {PCR_MOD}) % {PCR_MOD} >= {PCR_MOD // 2}
+                THEN ((pcr - prev) % {PCR_MOD} + {PCR_MOD}) % {PCR_MOD} - {PCR_MOD}
+                ELSE ((pcr - prev) % {PCR_MOD} + {PCR_MOD}) % {PCR_MOD}
+           END AS pcr_delta
+    FROM s
+    """,
+    doc="T5/A7 PCR arithmetic: 33-bit(+300) wraparound-aware deltas "
+    "(ts.h:123-134 equations; SURVEY §7.3 hard part (c)) as pure window "
+    "SQL — per-user event times mapped into PCR tick space.",
+    tags=("ts", "window"),
+)
+def ts_pcr_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pcr = F.pmod(F.unix_micros(F.col("ts")) * 27, F.lit(PCR_MOD))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(pcr).over(w)
+    d = F.pmod(pcr - prev, F.lit(PCR_MOD))
+    delta = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(d >= PCR_MOD // 2, d - PCR_MOD).otherwise(d)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        pcr.alias("pcr"),
+        delta.alias("pcr_delta"),
+    )
