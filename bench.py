@@ -35,10 +35,10 @@ HEADLINE = [
     "ts_programs_summary",
     "ts_section_reassembly",
     # LLM-pipeline ops
-    "dedup_exact_documents",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_score",
-    "ann_cosine_topk",
+    "ann_bruteforce_topk",
 ]
 
 

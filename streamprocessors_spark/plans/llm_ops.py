@@ -1,4 +1,648 @@
-"""LLM-data-pipeline operators (dedup / similarity / text / multimodal).
+"""LLM-training-data pipeline operators (BASELINE north-star set).
 
-Placeholder module — populated by streamprocessors_spark.functions.
+Beyond the reference surface (SURVEY.md §2 end-note / §7.2 milestone 8):
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+cosine), similarity search (brute-force + sign-LSH bucketed ANN), text
+analysis (token counting, quality scoring, language-ID, winnowing
+fingerprints) and multimodal binary-column plumbing.
+
+Correctness strategy: every expression is emitted by a dual-dialect
+fragment builder (functions/dialect.py), so the Spark plan and the DuckDB
+oracle run the *same* computation — integer hashes and integer set sizes
+wherever possible; the only floats are cosines, computed in order-stable
+double precision and rounded to 6 dp on both sides (parity verified).
+
+Scale strategy (100 TB):
+- Exact/blocked pairwise operators (dedup_ngram_jaccard,
+  dedup_embedding_cosine) are the *oracle baselines*; their scale paths are
+  the LSH variants (dedup_minhash_lsh, ann_lsh_bucketed) where the shuffle
+  key is the band/bucket hash, so the quadratic step runs per-bucket.
+- All text hashing is JVM-side array expressions (md5 + integer mod) —
+  no Python on the hot path; MinHash signatures are built from a
+  once-materialized hash array per document.
+- The multimodal decode stage is Arrow-batched mapInPandas — the idiomatic
+  slow path — and is the only Pandas code in this module.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamprocessors_spark.functions import dialect as D
+from streamprocessors_spark.functions import minhash as MH
+from streamprocessors_spark.functions import multimodal as MM
+from streamprocessors_spark.functions import textprep as TP
+from streamprocessors_spark.functions import vectors as V
+from streamprocessors_spark.functions.dialect import DUCK, SPARK
+from streamprocessors_spark.plans.registry import register
+from streamprocessors_spark.session import read_table
+
+# Jaccard acceptance threshold for near-dup verification: 2*inter >= union
+# (J >= 0.5), kept in exact integer arithmetic.
+JACCARD_NUM, JACCARD_DEN = 1, 2
+# SimHash pair acceptance: hamming distance <= this (48-bit signatures).
+SIMHASH_MAX_HAMMING = 4
+
+# Fixed per-language marker lexicons for the n-gram-heuristic language-ID
+# (top in-language frequency words measured once on the sf0.01 fixtures; the
+# synthetic corpus shares one vocabulary pool across langs, so accuracy is
+# chance-level by construction — the operator mechanics are what's tested).
+LEXICONS: dict[str, list[str]] = {
+    "de": ["customer", "hash", "join", "row", "column", "big", "batch", "key", "slow", "filter", "part", "vector"],
+    "en": ["hash", "order", "table", "window", "row", "batch", "big", "group", "a", "spark", "filter", "join"],
+    "es": ["slow", "agg", "hash", "merge", "vector", "value", "customer", "query", "scan", "filter", "line", "small"],
+    "fr": ["scan", "data", "batch", "query", "small", "join", "column", "key", "agg", "filter", "line", "slow"],
+    "zh": ["join", "small", "customer", "row", "column", "scan", "the", "value", "fast", "vector", "stream", "data"],
+}
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "value"]
+
+ANN_N_QUERIES = 10  # vec_id < 10 are the designated query vectors
+ANN_TOPK = 5
+ANN_LSH_TOPK = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def _norm_text(d: str) -> str:
+    """Whitespace-collapsed lower-cased text (exact-dedup key)."""
+    if d == SPARK:
+        return "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    # DuckDB replaces only the first match without the 'g' flag.
+    return "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_norm_text(DUCK)}) AS fp,
+           min(doc_id)             AS keep_id,
+           count(*)                AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized text; keeps the smallest "
+    "doc_id per group. At 100 TB this is a single hash-partitioned shuffle "
+    "on the fingerprint with map-side partial aggregation.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"md5({_norm_text(SPARK)}) as fp")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_cte(d: str) -> str:
+    """DuckDB CTE producing (doc_id, lang, sh) distinct word-3-gram sets."""
+    ws = D.words(d)
+    return f"""
+    w AS (SELECT doc_id, lang, {ws} AS ws FROM documents),
+    s AS (SELECT doc_id, lang, {TP.shingles(d, "ws")} AS sh
+          FROM w WHERE {D.size(d, "ws")} >= {TP.SHINGLE_N})
+    """
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = D.words(SPARK)
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", "lang", f"{ws} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} >= {TP.SHINGLE_N}"))
+        .selectExpr("doc_id", "lang", f"{TP.shingles(SPARK, 'ws')} as sh")
+    )
+
+
+# J >= 0.5, integer-exact:
+_PAIR_FILTER = "2 * n_inter >= n_union AND n_inter > 0"
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_shingle_cte(DUCK)}
+    SELECT doc_a, doc_b, n_inter, n_union FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {D.intersect_size(DUCK, "a.sh", "b.sh")} AS n_inter,
+             {D.union_size(DUCK, "a.sh", "b.sh")}     AS n_union
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE {_PAIR_FILTER}
+    """,
+    doc="Near-dup baseline: exact word-3-gram Jaccard >= 0.5 over language-"
+    "blocked pairs (integer set sizes only). This is the *oracle* for LSH; "
+    "the quadratic blocked join is NOT the 100 TB path — dedup_minhash_lsh "
+    "is.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_df(spark, sf_dir)
+    a = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("sh").alias("sh_a")
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    return (
+        a.join(b, (a.lang == b.lang_b) & (F.col("doc_a") < F.col("doc_b")))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
+    )
+
+
+def _band_exprs(d: str) -> list[str]:
+    return [MH.band_hash(d, "sig", i) for i in range(MH.BANDS)]
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_shingle_cte(DUCK)},
+    g AS (SELECT doc_id, sh, {MH.hashes_mod_p(DUCK, "sh")} AS hs FROM s),
+    sig_t AS (SELECT doc_id, sh, {MH.minhash_signature(DUCK, "hs")} AS sig FROM g),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {i} AS band, {bh} AS bh FROM sig_t" for i, bh in enumerate(_band_exprs(DUCK)))}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+                                AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, n_union FROM (
+      SELECT c.doc_a, c.doc_b,
+             {D.intersect_size(DUCK, "sa.sh", "sb.sh")} AS n_inter,
+             {D.union_size(DUCK, "sa.sh", "sb.sh")}     AS n_union
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b
+    ) WHERE {_PAIR_FILTER}
+    """,
+    doc="MinHash(16 perms) + LSH(4 bands x 4 rows) near-dup: shingle -> "
+    "minhash -> band -> bucket-join -> exact-Jaccard verify. The 100 TB "
+    "path: the only shuffle keys are (band, band_hash) — candidates "
+    "co-locate, the pairwise step is per-bucket, never global. Signatures "
+    "are JVM array expressions over a once-hashed shingle array.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_df(spark, sf_dir)
+    sig = s.selectExpr(
+        "doc_id", "sh", f"{MH.hashes_mod_p(SPARK, 'sh')} as hs"
+    ).selectExpr("doc_id", "sh", f"{MH.minhash_signature(SPARK, 'hs')} as sig")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.expr("array(" + ", ".join(_band_exprs(SPARK)) + ")")).alias(
+            "band", "bh"
+        ),
+    )
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("bh").alias("bh_a")
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bh").alias("bh_b"),
+    )
+    cand = (
+        x.join(
+            y,
+            (x.band == y.band_b)
+            & (x.bh_a == y.bh_b)
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
+    )
+
+
+def _simhash_cte(d: str) -> str:
+    ws = D.words(d)
+    return f"""
+    w AS (SELECT doc_id, lang, {ws} AS ws FROM documents),
+    h AS (SELECT doc_id, lang, {TP.word_hashes(d, "ws", distinct=False)} AS hs FROM w
+          WHERE {D.size(d, "ws")} > 0),
+    sh_t AS (SELECT doc_id, lang, {MH.simhash(d, "hs")} AS sh48 FROM h)
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_cte(DUCK)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {MH.hamming(DUCK, "a.sh48", "b.sh48")} AS hamming
+    FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {MH.hamming(DUCK, "a.sh48", "b.sh48")} <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash(48-bit, tf-weighted majority vote over token hashes) near-dup: "
+    "pairs within language at hamming <= 4. Charikar '02; popcount(xor) "
+    "distance stays a 2-instruction JVM expression. Scale path: prefix-band "
+    "the signature exactly like MinHash bands.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = D.words(SPARK)
+    sh = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", "lang", f"{ws} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
+        .selectExpr("doc_id", "lang", f"{TP.word_hashes(SPARK, 'ws', distinct=False)} as hs")
+        .selectExpr("doc_id", "lang", f"{MH.simhash(SPARK, 'hs')} as sh48")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("sh48").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh48").alias("sh_b"),
+    )
+    return (
+        a.join(b, (a.lang == b.lang_b) & (F.col("doc_a") < F.col("doc_b")))
+        .selectExpr(
+            "doc_a", "doc_b", f"{MH.hamming(SPARK, 'sh_a', 'sh_b')} as hamming"
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT va, vb, label, cos FROM (
+      SELECT va, vb, label, cos,
+             row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+      FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+               {D.cosine(DUCK, "a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+      )
+    ) WHERE rn = 1
+    """,
+    doc="Embedding near-dup candidates: nearest in-label neighbor by cosine "
+    "(double-precision, order-stable, rounded 6dp; ties broken by vec_id). "
+    "Label is the blocking key — at 100 TB swap it for the sign-LSH bucket "
+    "(ann_lsh_bucketed) so the pairwise step stays per-bucket.",
+    tags=("dedup", "vector"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("va"), "label", F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    j = a.join(b, (a.label == b.label_b) & (F.col("va") != F.col("vb"))).selectExpr(
+        "va", "vb", "label", f"{D.cosine(SPARK, 'ea', 'eb')} as cos"
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("va", "vb", "label", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT va, vb, rank, cos FROM (
+      SELECT va, vb, cos,
+             row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rank
+      FROM (
+        SELECT q.vec_id AS va, b.vec_id AS vb,
+               {D.cosine(DUCK, "q.embedding", "b.embedding")} AS cos
+        FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+        WHERE q.vec_id < {ANN_N_QUERIES}
+      )
+    ) WHERE rank <= {ANN_TOPK}
+    """,
+    doc="Exact ANN baseline: brute-force cosine top-5 for the designated "
+    "query vectors. Spark plan broadcasts the (tiny) query side — one pass "
+    "over the big table, no shuffle of the corpus; ranking is a per-query "
+    "window. This is the recall oracle for ann_lsh_bucketed.",
+    tags=("vector", "ann"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    j = (
+        F.broadcast(q)
+        .join(b, F.col("va") != F.col("vb"))
+        .selectExpr("va", "vb", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("va", "vb", "rank", "cos")
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {V.sign_bucket(DUCK, "embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT va, vb, bucket, rank, cos FROM (
+      SELECT va, vb, bucket, cos,
+             row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rank
+      FROM (
+        SELECT q.vec_id AS va, b.vec_id AS vb, q.bucket AS bucket,
+               {D.cosine(DUCK, "q.embedding", "b.embedding")} AS cos
+        FROM e q JOIN e b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+        WHERE q.vec_id < {ANN_N_QUERIES}
+      )
+    ) WHERE rank <= {ANN_LSH_TOPK}
+    """,
+    doc="Bucketed ANN, the scale path: sign-LSH bucket (8 fixed hyperplanes "
+    "-> 256 buckets) as the equi-join key, cosine rank within bucket only. "
+    "At 100 TB the corpus is hash-partitioned/bucketed by `bucket` once and "
+    "reused across query batches; candidate count drops ~256x vs "
+    "brute-force.",
+    tags=("vector", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id", "embedding", f"{V.sign_bucket(SPARK, 'embedding')} as bucket"
+    )
+    q = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("bucket"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    j = (
+        F.broadcast(q)
+        .join(b, (q.bucket == b.bucket_b) & (F.col("va") != F.col("vb")))
+        .selectExpr("va", "vb", "bucket", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_LSH_TOPK)
+        .select("va", "vb", "bucket", "rank", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {D.words(DUCK)} AS ws FROM documents)
+    SELECT doc_id,
+           {D.size(DUCK, "ws")} AS n_ws_tokens,
+           {D.regexp_all_count(DUCK, "lower(text)", _BPE_PATTERN)} AS n_bpe_tokens
+    FROM w
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
+    "(letter runs / digit runs / single punctuation). Pure JVM regex — "
+    "embarrassingly parallel at any scale.",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{D.size(SPARK, D.words(SPARK))} as n_ws_tokens",
+        f"{D.regexp_all_count(SPARK, 'lower(text)', _BPE_PATTERN)} as n_bpe_tokens",
+    )
+
+
+def _quality_select(d: str) -> list[str]:
+    ws = "ws"
+    n_words = D.size(d, ws)
+    n_distinct = D.size(d, D.distinct(d, ws))
+    n_stop = D.size(d, D.filter_(d, ws, f"x -> {D.contains(d, D.str_array(d, STOPWORDS), 'x')}"))
+    n_chars_w = D.agg_sum_bigint(d, ws, "x", "length(x)")
+    dbl = "cast({} as double)".format
+    avg_wlen = f"{dbl(n_chars_w)} / {dbl(n_words)}"
+    quality = (
+        f"{dbl(f'40 * least({n_words}, 100)')} / {dbl('100')}"
+        f" + {dbl(f'30 * ({n_words} - {n_stop})')} / {dbl(n_words)}"
+        f" + {dbl('30')} * least({avg_wlen}, {dbl('8')}) / {dbl('8')}"
+    )
+    return [
+        "doc_id",
+        f"{n_words} AS n_words",
+        f"{D.floor_round(d, f'{dbl(n_distinct)} / {dbl(n_words)}', 4)} AS ttr",
+        f"{D.floor_round(d, f'{dbl(n_stop)} / {dbl(n_words)}', 4)} AS stop_ratio",
+        f"{D.floor_round(d, avg_wlen, 4)} AS avg_word_len",
+        f"{D.floor_round(d, quality, 2)} AS quality_score",
+    ]
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents)
+    SELECT {", ".join(_quality_select(DUCK))}
+    FROM w WHERE {D.size(DUCK, "ws")} > 0
+    """,
+    doc="Quality scoring: length / type-token ratio / stopword ratio / "
+    "average word length folded into a 0-100 heuristic. All ratios are "
+    "IEEE-deterministic divisions of exact integers (cross-engine safe).",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
+        .selectExpr(*[c.replace(" AS ", " as ") for c in _quality_select(SPARK)])
+    )
+
+
+def _langid_select(d: str) -> list[str]:
+    votes = {
+        lang: D.size(
+            d, D.filter_(d, "ws", f"x -> {D.contains(d, D.str_array(d, lex), 'x')}")
+        )
+        for lang, lex in sorted(LEXICONS.items())
+    }
+    best = f"greatest({', '.join(votes.values())})"
+    pred = "case " + " ".join(
+        f"when {v} >= {best} then '{lang}'" for lang, v in sorted(votes.items())
+    ) + " else 'und' end"
+    return [
+        "doc_id",
+        "lang",
+        f"{pred} AS pred_lang",
+        f"{best} AS best_votes",
+    ]
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {D.words(DUCK)} AS ws FROM documents)
+    SELECT {", ".join(_langid_select(DUCK))}
+    FROM w
+    """,
+    doc="Language-ID: fixed marker-lexicon voting (tiny stopword-profile "
+    "detector; lexicons pinned in-code). Alphabetically-first language wins "
+    "ties. The fixture corpus shares one vocab pool across langs, so "
+    "accuracy is chance-level by design; determinism is what's gated.",
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", "lang", f"{D.words(SPARK)} as ws")
+        .selectExpr(*[c.replace(" AS ", " as ") for c in _langid_select(SPARK)])
+    )
+
+
+@register(
+    "doc_fingerprint_winnow",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    k AS (SELECT doc_id, {TP.kgram_hashes(DUCK, "ws")} AS kh FROM w)
+    SELECT doc_id,
+           {TP.winnow_fingerprints(DUCK, "kh")} AS fps,
+           {D.size(DUCK, TP.winnow_fingerprints(DUCK, "kh"))} AS n_fps
+    FROM k
+    """,
+    doc="Document fingerprinting by winnowing (Schleimer et al. '03): "
+    "rolling word-5-gram hashes, window-of-4 minima, sorted distinct set. "
+    "Pure array expressions; the fingerprint set is the downstream join key "
+    "for containment detection at scale.",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
+        .selectExpr(
+            "doc_id",
+            f"{TP.winnow_fingerprints(SPARK, 'kh')} as fps",
+            f"{D.size(SPARK, TP.winnow_fingerprints(SPARK, 'kh'))} as n_fps",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_payload_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           ({MM.HEADER_LEN} + octet_length(encode(text)))::BIGINT AS payload_len,
+           (doc_id % 3)::INT                                      AS media_type,
+           octet_length(encode(text))::INT                        AS body_len
+    FROM documents
+    """,
+    doc="Multimodal plumbing, metadata path: opaque binary payload (12-byte "
+    "SPMM header + body) with a typed metadata struct, projected JVM-side "
+    "without touching Python. Oracle mirrors the deterministic header "
+    "fields.",
+    tags=("multimodal",),
+)
+def mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = MM.with_payload(_docs(spark, sf_dir))
+    return mm.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("payload_len"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.body_len").alias("body_len"),
+    )
+
+
+@register(
+    "mm_image_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen,
+             list_sum(list_transform(list_filter(string_split_regex(text, ''),
+                      c -> c <> ''), c -> ord(c)))::BIGINT AS bsum
+      FROM documents
+    )
+    SELECT doc_id,
+           (doc_id % 3)::INT            AS media_type,
+           blen::INT                    AS body_len,
+           (16 + (blen % 640))::INT     AS width,
+           (16 + ((blen * 7) % 480))::INT AS height,
+           (CASE WHEN blen > 0 THEN bsum // blen ELSE 0 END)::INT AS mean_byte
+    FROM b
+    """,
+    doc="Multimodal decode + feature extraction via Arrow-batched "
+    "mapInPandas (the real-decode call is a marked NotImplementedError stub; "
+    "a deterministic fake stands in — functions/multimodal.py). The oracle "
+    "mirrors the fake byte-arithmetic in SQL (fixture text is ASCII, so "
+    "ord(char) == byte).",
+    tags=("multimodal",),
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.extract_features(MM.with_payload(_docs(spark, sf_dir)))
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # frame CRCs are not SQL-expressible; driver runs rows-only
+    doc="Multimodal frame sampling: every 2nd 64-byte chunk of the payload "
+    "as a 'frame' row with byte-exact CRC, via mapInPandas. Partition-local, "
+    "no shuffle; output is (doc_id, frame_idx, frame_len, frame_crc).",
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.sample_frames(MM.with_payload(_docs(spark, sf_dir)))
