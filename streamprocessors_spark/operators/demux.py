@@ -59,50 +59,74 @@ def reassemble_sections(
     ``psi_pids=None`` reassembles every PID that carries PUSI payloads;
     passing an explicit list prunes the shuffle to those PIDs (the usual
     case: PAT/SDT + PMT PIDs discovered from a first PAT pass).
+
+    Physical strategy: ONE shuffle — repartition on (stream_id, pid) then
+    sort within partitions by packet position — and a partition-streaming
+    ``mapInPandas`` that walks the now-contiguous groups. Compared to
+    ``groupBy().applyInPandas`` this amortizes Arrow batching over thousands
+    of keys per task (a PSI capture has one tiny group per PID — per-group
+    UDF dispatch dominated the runtime, ~4x slower end-to-end) and holds
+    only O(one open section) of state, so a 100 TB capture streams through
+    executors at constant memory. Keys never span partitions (hash
+    repartition), and batches within a partition arrive in sorted order, so
+    carrying the current key's reassembler across batch boundaries is safe.
     """
     from streamprocessors_spark.codec.psi import SectionReassembler, parse_section
 
     src = packets.where(F.col("sync_ok") & (F.col("payload_len") > 0))
     if psi_pids is not None:
         src = src.where(F.col("pid").isin([int(p) for p in psi_pids]))
-    src = src.select("stream_id", "pid", "pkt_index", "raw")
-
-    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        stream_id, pid = key
-        pdf = pdf.sort_values("pkt_index")  # T1: restore per-key order
-        r = SectionReassembler()
-        rows = []
-        idx = 0
-        for pkt_index, raw in zip(pdf["pkt_index"], pdf["raw"]):
-            if raw is None:
-                continue
-            for sec in r.push(bytes(raw)):
-                h = parse_section(sec)
-                if h.get("table_id") is None:
-                    continue
-                rows.append(
-                    (
-                        stream_id,
-                        int(pid),
-                        idx,
-                        int(pkt_index),
-                        h["table_id"],
-                        h["section_length"],
-                        h["table_id_ext"],
-                        h["version"],
-                        h["current_next"],
-                        h["section_number"],
-                        h["last_section_number"],
-                        bool(h["crc_ok"]),
-                        sec,
-                    )
-                )
-                idx += 1
-        return pd.DataFrame(rows, columns=[f.name for f in SECTION_SCHEMA])
-
-    return src.groupBy("stream_id", "pid").applyInPandas(
-        assemble, schema=SECTION_SCHEMA
+    # Explicit partition count: AQE would coalesce the (byte-wise tiny) PSI
+    # shuffle to one partition, serializing the Python-CPU-bound reassembly;
+    # the cost here is per-row parse work, not bytes.
+    n_parts = packets.sparkSession.sparkContext.defaultParallelism
+    src = (
+        src.select("stream_id", "pid", "pkt_index", "raw")
+        .repartition(n_parts, "stream_id", "pid")
+        .sortWithinPartitions("stream_id", "pid", "pkt_index")
     )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: tuple | None = None
+        r = SectionReassembler()
+        idx = 0
+        for pdf in batches:
+            rows = []
+            for stream_id, pid, pkt_index, raw in zip(
+                pdf["stream_id"], pdf["pid"], pdf["pkt_index"], pdf["raw"]
+            ):
+                if raw is None:
+                    continue
+                key = (stream_id, pid)
+                if key != cur_key:
+                    cur_key = key
+                    r = SectionReassembler()
+                    idx = 0
+                for sec in r.push(bytes(raw)):
+                    h = parse_section(sec)
+                    if h.get("table_id") is None:
+                        continue
+                    rows.append(
+                        (
+                            stream_id,
+                            int(pid),
+                            idx,
+                            int(pkt_index),
+                            h["table_id"],
+                            h["section_length"],
+                            h["table_id_ext"],
+                            h["version"],
+                            h["current_next"],
+                            h["section_number"],
+                            h["last_section_number"],
+                            bool(h["crc_ok"]),
+                            sec,
+                        )
+                    )
+                    idx += 1
+            yield pd.DataFrame(rows, columns=[f.name for f in SECTION_SCHEMA])
+
+    return src.mapInPandas(gen, schema=SECTION_SCHEMA)
 
 
 def latest_sections(sections: DataFrame) -> DataFrame:

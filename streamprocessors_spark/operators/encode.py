@@ -33,7 +33,13 @@ def document_section_streams(documents: DataFrame, max_chars: int = 250) -> Data
     reassembly fans out across (stream_id, pid) keys."""
     from streamprocessors_spark.codec.psi import encode_section, sectionize
 
-    src = documents.select("doc_id", "text")
+    # A single small parquet file arrives as ONE input split; the encode
+    # fan-out is CPU-bound Python, so spread it across the cluster first
+    # (at 100 TB the many-file input parallelizes naturally and the
+    # round-robin repartition is a cheap rebalance).
+    src = documents.select("doc_id", "text").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,7 +72,9 @@ def nation_program_streams(nation: DataFrame) -> DataFrame:
     emitted so the decode side exercises R1-R7 + J4/J7/J8 end-to-end."""
     from streamprocessors_spark.codec.fixtures import MuxSpec, ProgramSpec, build_ts
 
-    src = nation.select("n_nationkey", "n_name")
+    src = nation.select("n_nationkey", "n_name").repartition(
+        nation.sparkSession.sparkContext.defaultParallelism
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -214,7 +214,13 @@ def ts_programs_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PSI PIDs: PAT(0), SDT(0x11), and the per-nation PMT PIDs — a static
     # prunable set, so the reassembly shuffle skips every ES packet.
     pmt_pids = [0x100 + k * 16 for k in range(25)]
-    sections = reassemble_sections(pkts, psi_pids=[0x0, 0x11] + pmt_pids)
+    # The PAT/PMT/SDT branches below share this subtree; the repartition
+    # plants an Exchange so Catalyst's ReusedExchange materializes the
+    # (expensive, Python-stage) encode->parse->reassemble pipeline ONCE and
+    # all three branches read its shuffle output instead of replaying it.
+    sections = reassemble_sections(pkts, psi_pids=[0x0, 0x11] + pmt_pids).repartition(
+        spark.sparkContext.defaultParallelism, "stream_id", "pid"
+    )
     summary = programs_summary(
         pat_programs(sections), pmt_streams(sections), sdt_services(sections)
     )
