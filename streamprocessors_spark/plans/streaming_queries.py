@@ -1,0 +1,165 @@
+"""Structured-Streaming queries in driver-checkable form (SURVEY §7.2 m5).
+
+Each query builds a real streaming pipeline (file-stream source -> keyed
+state / windowed aggregation -> memory sink), executes it with an
+``availableNow`` trigger, and returns the sink as a plain DataFrame — so
+streaming operators pass through the same DuckDB-oracle hash gate as batch
+ones. Each oracle is the *batch* semantics of the same computation: the
+hash match IS the batch/streaming parity proof (SURVEY §7.3 hard part (d)).
+
+Scale notes: state per key is O(bytes of one partial section) or O(one
+counter); the stream shuffles once on the state key (stream_id/pid — the
+reference's per-PID fan-out key, J1); window aggregates carry watermarks so
+state expires at 100 TB/day ingest rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessors_spark.plans.registry import register
+from streamprocessors_spark.streaming.runner import (
+    run_available_now,
+    stream_documents,
+    stream_events,
+)
+
+
+@register(
+    "stream_window_event_rate",
+    oracle="""
+    SELECT date_trunc('minute', ts)        AS window_start,
+           event_type,
+           count(*)                        AS n_events,
+           round(sum(value), 2)            AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="A1/A3 as Structured Streaming: watermarked 1-minute tumbling "
+    "window over the event stream (the reference's 1 s bitrate/stats "
+    "windows, stats.c:57-68, scaled to the fixture's time axis). Complete "
+    "output mode so the availableNow run emits every window; the oracle is "
+    "the batch aggregation — hash equality proves parity.",
+    tags=("streaming", "window"),
+)
+def stream_window_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    sink = run_available_now(agg, output_mode="complete")
+    return sink.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _event_packet_stream(ev: DataFrame) -> DataFrame:
+    """Per-event TS packet (same JVM encode as ts_demux_pid_stats) plus
+    header fields extracted back out with pure bit-expressions (P2,
+    ts.h:51-74) — no Python before the stateful operator."""
+    from streamprocessors_spark.plans.ts_pipeline import _event_packet_expr
+
+    pkt = _event_packet_expr()
+    byte = lambda pos: F.conv(F.hex(F.expr(f"substring(pkt, {pos}, 1)")), 16, 10).cast("int")  # noqa: E731
+    return (
+        ev.select("user_id", "event_id", pkt.alias("pkt"))
+        .withColumn("stream_id", F.col("user_id").cast("string"))
+        .withColumn("pkt_index", F.col("event_id"))
+        .withColumn("pid", ((byte(2) * 256 + byte(3)) % 8192).cast("int"))
+        .withColumn("cc", (byte(4) % 16).cast("int"))
+        .withColumn("afc", ((byte(4) / 16).cast("int") % 4).cast("int"))
+        .withColumn(
+            "discontinuity",
+            F.when((F.col("afc").bitwiseAND(2) != 0), (byte(6) / 128).cast("int"))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+    )
+
+
+@register(
+    "stream_cc_state",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(event_id % 16 AS INT) AS cc,
+             lag(CAST(event_id % 16 AS INT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           32 + user_id % 8000 AS pid,
+           count(*)            AS n_packets,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND cc != (prev + 1) % 16
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cc_errors
+    FROM seq GROUP BY 1, 2
+    """,
+    doc="P6 continuity check as keyed streaming state "
+    "(applyInPandasWithState over (stream, pid); last_cc persists across "
+    "micro-batches). Emissions are per-batch deltas; the returned result "
+    "sums them, and the oracle is the batch lag-window formulation — "
+    "identical totals regardless of batch boundaries (T1 semantics: "
+    "violations flagged, never reordered).",
+    tags=("streaming", "state"),
+)
+def stream_cc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.streaming.stateful import cc_state_stream
+
+    pkts = _event_packet_stream(stream_events(spark, sf_dir))
+    sink = run_available_now(cc_state_stream(pkts))
+    return sink.groupBy("stream_id", "pid").agg(
+        F.sum("n_packets").alias("n_packets"),
+        F.sum("cc_errors").alias("cc_errors"),
+    ).select(
+        F.col("stream_id").cast("bigint").alias("user_id"),
+        F.col("pid").cast("bigint").alias("pid"),
+        "n_packets",
+        "cc_errors",
+    )
+
+
+@register(
+    "stream_section_reassembly",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 65536 AS table_id_ext,
+           CAST(doc_id % 32 AS INT) AS version,
+           strlen(coalesce(substr(text, 1, 250), '')) + 9 AS section_length,
+           TRUE AS crc_ok,
+           md5(coalesce(substr(text, 1, 250), '')) AS payload_md5
+    FROM documents
+    """,
+    doc="R1/R2 PSI section reassembly as keyed streaming state: the partial-"
+    "section buffer rides the state store across micro-batches "
+    "(streaming/stateful.py; psi_dec.c:238-499 semantics). Same oracle as "
+    "the batch ts_section_reassembly — the hash match is the byte-exact "
+    "batch/streaming parity proof.",
+    tags=("streaming", "state", "ts"),
+)
+def stream_section_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.operators.encode import document_section_streams
+    from streamprocessors_spark.sources import packets_from_binary_column
+    from streamprocessors_spark.streaming.stateful import section_reassembly_stream
+
+    docs = stream_documents(spark, sf_dir)
+    streams = document_section_streams(docs)
+    pkts = packets_from_binary_column(streams)
+    sink = run_available_now(section_reassembly_stream(pkts))
+    return sink.select(
+        F.col("stream_id").cast("bigint").alias("doc_id"),
+        F.col("table_id_ext").cast("bigint").alias("table_id_ext"),
+        "version",
+        F.col("section_length").cast("bigint").alias("section_length"),
+        "crc_ok",
+        F.md5(F.expr("substring(section_bytes, 9, section_length - 9)")).alias(
+            "payload_md5"
+        ),
+    )

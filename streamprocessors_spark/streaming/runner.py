@@ -1,0 +1,73 @@
+"""Run a streaming DataFrame to completion and hand back a batch result.
+
+``availableNow`` processes everything already in the source (possibly over
+multiple micro-batches, honoring source rate limits) and stops — the
+streaming analog of a batch run. Results land in a uniquely-named memory
+sink; the caller gets a plain DataFrame, so streaming operators slot into
+the same driver contract / DuckDB-oracle gate as batch ones.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DF with Trigger.AvailableNow; return the sink."""
+    spark: SparkSession = stream_df.sparkSession
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _stage_dir(path: str) -> str:
+    """FileStreamSource ingests *directories*; expose a single fixture file
+    through a temp dir of symlinks (zero-copy)."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="spgraft_src_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture (nanosecond-timestamp parquet).
+
+    File-source streaming needs an explicit schema; we take it from a batch
+    read under ``nanosAsLong`` (the events files store TIMESTAMP(NANOS),
+    which the vanilla reader rejects) and restore a proper timestamp column
+    afterwards — identical to session.read_table's batch normalization.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    return df
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_stage_dir(path))

@@ -1,0 +1,172 @@
+"""Keyed-state streaming operators (R1/R6 reassembly, P6 continuity).
+
+Both operators run under ``applyInPandasWithState`` with the grouping key
+(stream_id, pid) — the same key as the batch shuffle, mirroring the
+reference's per-PID FIFO/processor fan-out (psi_proc.c:228-256). State is
+tiny and bounded: the continuity check keeps (last_cc, counters); the
+reassembler keeps at most one partial section buffer (≤4 KB,
+psi.h:82-83). A 1000-executor cluster holds state for millions of
+(stream, pid) keys without pressure.
+
+Ordering (T1): within a micro-batch the group's rows are sorted by packet
+position before feeding state; across batches the file-stream source
+delivers segments in order. Out-of-order arrival is flagged (CC error),
+never reordered — the reference's rule (ts_dec.c:98-108).
+
+Batch parity: with an availableNow trigger over the same input these emit
+exactly the batch pipeline's rows (tests/test_streaming.py pins this, and
+the stream_* driver queries share oracles with their batch twins).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("stream_id", StringType()),
+        StructField("pid", IntegerType()),
+        StructField("n_packets", LongType()),
+        StructField("cc_errors", LongType()),
+    ]
+)
+
+# last continuity counter seen for the key (-1 = none yet)
+CC_STATE_SCHEMA = StructType([StructField("last_cc", IntegerType())])
+
+
+def cc_state_stream(packets: DataFrame) -> DataFrame:
+    """P6 as keyed streaming state: per-(stream, pid) continuity check.
+
+    Emits one (n_packets, cc_errors) delta row per key per micro-batch;
+    summing the emissions gives totals identical to the batch lag-window
+    version (pid_packet_stats). Packets with no payload don't increment
+    the expected CC (ts_dec.c:148-171 duplicate rule's non-incrementing
+    case); an AF discontinuity flag excuses a gap (ts_dec.c:126-146).
+    """
+
+    def f(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last_cc,) = state.get if state.exists else (-1,)
+        n = 0
+        errs = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("pkt_index")
+            for cc, afc, disc in zip(pdf["cc"], pdf["afc"], pdf["discontinuity"]):
+                has_payload = int(afc) & 1
+                if last_cc >= 0 and not disc:
+                    expected = (last_cc + has_payload) % 16
+                    if int(cc) != expected:
+                        errs += 1
+                last_cc = int(cc)
+                n += 1
+        state.update((last_cc,))
+        yield pd.DataFrame(
+            [(key[0], int(key[1]), n, errs)],
+            columns=[f.name for f in CC_OUTPUT_SCHEMA],
+        )
+
+    return packets.groupBy("stream_id", "pid").applyInPandasWithState(
+        f,
+        outputStructType=CC_OUTPUT_SCHEMA,
+        stateStructType=CC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SECTION_STREAM_SCHEMA = StructType(
+    [
+        StructField("stream_id", StringType()),
+        StructField("pid", IntegerType()),
+        StructField("table_id", IntegerType()),
+        StructField("section_length", IntegerType()),
+        StructField("table_id_ext", IntegerType()),
+        StructField("version", IntegerType()),
+        StructField("current_next", IntegerType()),
+        StructField("section_number", IntegerType()),
+        StructField("last_section_number", IntegerType()),
+        StructField("crc_ok", BooleanType()),
+        StructField("section_bytes", BinaryType()),
+    ]
+)
+
+# partial-section carryover: reassembler buffer + sync flag (R1 state)
+SECTION_STATE_SCHEMA = StructType(
+    [
+        StructField("buf", BinaryType()),
+        StructField("synced", BooleanType()),
+    ]
+)
+
+
+def section_reassembly_stream(packets: DataFrame) -> DataFrame:
+    """R1+R2 as keyed streaming state: PSI section reassembly.
+
+    The partial-section buffer crosses micro-batch boundaries through the
+    state store, so a section whose packets arrive in different batches
+    still reassembles byte-exactly (tests force this with one-file-per-
+    trigger segments).
+    """
+    from streamprocessors_spark.codec.psi import SectionReassembler, parse_section
+
+    def f(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        r = SectionReassembler()
+        if state.exists:
+            buf, synced = state.get
+            r.buf = bytearray(buf or b"")
+            r.synced = bool(synced)
+        stream_id, pid = key[0], int(key[1])
+        for pdf in pdfs:
+            pdf = pdf.sort_values("pkt_index")
+            rows: list[tuple[Any, ...]] = []
+            for raw in pdf["raw"]:
+                if raw is None:
+                    continue
+                for sec in r.push(bytes(raw)):
+                    h = parse_section(sec)
+                    if h.get("table_id") is None:
+                        continue
+                    rows.append(
+                        (
+                            stream_id,
+                            pid,
+                            h["table_id"],
+                            h["section_length"],
+                            h["table_id_ext"],
+                            h["version"],
+                            h["current_next"],
+                            h["section_number"],
+                            h["last_section_number"],
+                            bool(h["crc_ok"]),
+                            sec,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SECTION_STREAM_SCHEMA]
+            )
+        state.update((bytes(r.buf), bool(r.synced)))
+
+    return packets.groupBy("stream_id", "pid").applyInPandasWithState(
+        f,
+        outputStructType=SECTION_STREAM_SCHEMA,
+        stateStructType=SECTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

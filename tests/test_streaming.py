@@ -1,0 +1,124 @@
+"""Streaming parity tests (SURVEY §7.2 milestone 5, §7.3 hard part (d)).
+
+The oracle gate already pins availableNow-run streaming outputs to batch
+semantics; these tests pin what the oracle can't see: that keyed state
+really crosses micro-batch boundaries (a section split across two files
+processed one-file-per-trigger reassembles byte-exactly, and the CC
+counter survives between batches).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+STREAM_SCHEMA = StructType(
+    [
+        StructField("stream_id", StringType()),
+        StructField("value", BinaryType()),
+    ]
+)
+
+
+def _write_segment(path: str, stream_id: str, value: bytes) -> None:
+    """Write one (stream_id, value) row as a plain parquet FILE (the
+    file-stream source does not recurse into Spark-style output dirs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {"stream_id": pa.array([stream_id], pa.string()),
+         "value": pa.array([value], pa.binary())}
+    )
+    pq.write_table(table, path)
+
+
+def _run_one_file_per_trigger(spark, src_dir, build_stream):
+    from streamprocessors_spark.streaming.runner import run_available_now
+
+    raw = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return run_available_now(build_stream(raw))
+
+
+@pytest.fixture()
+def split_section_dir(spark):
+    """Two parquet files: packet 1 of a 300-byte section, then packet 2.
+
+    File order is forced via the file-stream source's modified-time order —
+    we write them with distinct names and rely on maxFilesPerTrigger=1 to
+    deliver two micro-batches.
+    """
+    from streamprocessors_spark.codec.psi import encode_section, sectionize
+
+    payload = bytes(range(256)) + b"x" * 44  # 300 B -> spans 2 packets
+    sec = encode_section(
+        table_id=0x40,
+        table_id_ext=7,
+        version=3,
+        section_number=0,
+        last_section_number=0,
+        payload=payload,
+    )
+    pkts = sectionize(sec, pid=100, start_cc=0)
+    assert len(pkts) >= 2, "fixture must span packets"
+
+    d = tempfile.mkdtemp(prefix=f"spgraft_split_{uuid.uuid4().hex[:6]}_")
+    _write_segment(os.path.join(d, "part0.parquet"), "s", bytes(pkts[0]))
+    _write_segment(
+        os.path.join(d, "part1.parquet"),
+        "s",
+        b"".join(bytes(p) for p in pkts[1:]),
+    )
+    return d, sec
+
+
+def test_section_state_crosses_microbatches(spark, split_section_dir):
+    src_dir, sec = split_section_dir
+    from streamprocessors_spark.sources import packets_from_binary_column
+    from streamprocessors_spark.streaming.stateful import section_reassembly_stream
+
+    sink = _run_one_file_per_trigger(
+        spark,
+        src_dir,
+        lambda raw: section_reassembly_stream(packets_from_binary_column(raw)),
+    )
+    rows = sink.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert bytes(r.section_bytes) == sec  # byte-exact across the batch gap
+    assert r.crc_ok and r.table_id_ext == 7 and r.version == 3
+
+
+def test_cc_state_crosses_microbatches(spark):
+    """Two single-packet batches with a CC gap: the error is only visible
+    if last_cc persisted from batch 1 to batch 2."""
+    from streamprocessors_spark.codec.ts import encode_ts_packet
+    from streamprocessors_spark.sources import packets_from_binary_column
+    from streamprocessors_spark.streaming.stateful import cc_state_stream
+
+    p0 = encode_ts_packet(pid=50, cc=0, payload=b"\x00" * 184)
+    p2 = encode_ts_packet(pid=50, cc=2, payload=b"\x00" * 184)  # gap: expect 1
+
+    d = tempfile.mkdtemp(prefix=f"spgraft_cc_{uuid.uuid4().hex[:6]}_")
+    for i, pkt in enumerate([p0, p2]):
+        _write_segment(os.path.join(d, f"part{i}.parquet"), "s", bytes(pkt))
+
+    sink = _run_one_file_per_trigger(
+        spark, d, lambda raw: cc_state_stream(packets_from_binary_column(raw))
+    )
+    agg = (
+        sink.groupBy("stream_id", "pid")
+        .agg(F.sum("n_packets").alias("n"), F.sum("cc_errors").alias("e"))
+        .collect()
+    )
+    assert len(agg) == 1
+    assert agg[0].n == 2 and agg[0].e == 1
