@@ -163,3 +163,62 @@ def stream_section_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload_md5"
         ),
     )
+
+
+@register(
+    "config_upsert_replay",
+    oracle="""
+    WITH last AS (
+      SELECT user_id                    AS sys_id,
+             max(event_id)              AS seq,
+             max_by(event_type, event_id) AS et,
+             max_by(value, event_id)      AS v
+      FROM events GROUP BY 1
+    )
+    SELECT sys_id, seq,
+           CASE WHEN seq % 2 = 0
+                THEN '{"tag":"' || et || '","cbr":"' || CAST(FLOOR(v) AS INT) || '"}'
+                ELSE 'tag=' || et || '&cbr=' || CAST(FLOOR(v) AS INT)
+           END                                   AS doc,
+           seq % 2 = 0                           AS is_json,
+           et                                    AS tag,
+           CAST(CAST(FLOOR(v) AS INT) AS VARCHAR) AS cbr
+    FROM last
+    """,
+    doc="Control plane end-to-end (SURVEY §3.2 / milestone 6): a settings "
+    "stream (alternating JSON and query-string docs, the reference's dual "
+    "PUT formats P9, mpeg2_sp.c:716) is foreachBatch-merged into the "
+    "parquet ConfigStore keyed by sys_id with last-writer-wins (S5 "
+    "replace+verify, dbdriver_apps_procs_docs.c:104-350); the final store "
+    "is then decoded by the dual-format normalizer. Oracle: last doc per "
+    "key reconstructed relationally.",
+    tags=("streaming", "control"),
+)
+def config_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from streamprocessors_spark.streaming.control import (
+        ConfigStore,
+        normalize_settings,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    doc = (
+        "CASE WHEN event_id % 2 = 0 "
+        "THEN '{\"tag\":\"' || event_type || '\",\"cbr\":\"' || CAST(FLOOR(value) AS INT) || '\"}' "
+        "ELSE 'tag=' || event_type || '&cbr=' || CAST(FLOOR(value) AS INT) END"
+    )
+    docs = ev.selectExpr(
+        "user_id as sys_id", "event_id as seq", f"{doc} as doc"
+    )
+    store = ConfigStore(spark)
+    q = (
+        docs.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spgraft_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return normalize_settings(store.read()).select(
+        "sys_id", "seq", "doc", "is_json", "tag", "cbr"
+    )

@@ -72,12 +72,15 @@ def split_section_dir(spark):
     assert len(pkts) >= 2, "fixture must span packets"
 
     d = tempfile.mkdtemp(prefix=f"spgraft_split_{uuid.uuid4().hex[:6]}_")
-    _write_segment(os.path.join(d, "part0.parquet"), "s", bytes(pkts[0]))
-    _write_segment(
-        os.path.join(d, "part1.parquet"),
-        "s",
-        b"".join(bytes(p) for p in pkts[1:]),
-    )
+    p0 = os.path.join(d, "part0.parquet")
+    p1 = os.path.join(d, "part1.parquet")
+    _write_segment(p0, "s", bytes(pkts[0]))
+    _write_segment(p1, "s", b"".join(bytes(p) for p in pkts[1:]))
+    # The file source orders batches by modification time; both writes can
+    # land in the same millisecond, so pin distinct mtimes explicitly.
+    now = os.stat(p1).st_mtime
+    os.utime(p0, (now - 10, now - 10))
+    os.utime(p1, (now + 10, now + 10))
     return d, sec
 
 
@@ -109,8 +112,14 @@ def test_cc_state_crosses_microbatches(spark):
     p2 = encode_ts_packet(pid=50, cc=2, payload=b"\x00" * 184)  # gap: expect 1
 
     d = tempfile.mkdtemp(prefix=f"spgraft_cc_{uuid.uuid4().hex[:6]}_")
+    paths = []
     for i, pkt in enumerate([p0, p2]):
-        _write_segment(os.path.join(d, f"part{i}.parquet"), "s", bytes(pkt))
+        path = os.path.join(d, f"part{i}.parquet")
+        _write_segment(path, "s", bytes(pkt))
+        paths.append(path)
+    now = os.stat(paths[-1]).st_mtime
+    for i, path in enumerate(paths):
+        os.utime(path, (now + 10 * i, now + 10 * i))
 
     sink = _run_one_file_per_trigger(
         spark, d, lambda raw: cc_state_stream(packets_from_binary_column(raw))

@@ -1,0 +1,136 @@
+"""Live UDP loopback tests (S1 source, S3 replayer, S4 sink).
+
+Mirrors the reference's own end-to-end shape (utests_mpeg2_sp.cpp: replay
+a TS asset to udp://127.0.0.1 and watch the daemon's state): replay a
+synthetic single-program TS into the UDP DataSource, run the packet
+pipeline on the live stream, and check the decoded output.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import pytest
+
+from streamprocessors_spark.sources.udp import (
+    DATAGRAM_SIZE,
+    register_udp_source,
+    replay_ts_to_udp,
+    udp_sink_foreach_batch,
+)
+
+
+def _free_port() -> int:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture()
+def mux_bytes():
+    from streamprocessors_spark.codec.fixtures import MuxSpec, ProgramSpec, build_ts
+
+    spec = MuxSpec(
+        programs=[
+            ProgramSpec(
+                program_number=1,
+                pmt_pid=0x100,
+                pcr_pid=0x101,
+                streams=[(0x1B, 0x101)],
+                service_name="LOOPBACK",
+            )
+        ],
+        psi_interval=10,
+        es_payload_packets=30,
+    )
+    return build_ts(spec)
+
+
+def test_udp_source_roundtrip(spark, mux_bytes):
+    """Replay -> UDP DataSource -> packet parse -> PID histogram."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    port = _free_port()
+    register_udp_source(spark)
+    stream = (
+        spark.readStream.format("udp_ts")
+        .option("port", str(port))
+        .option("drain_ms", "300")
+        .load()
+    )
+    pkts = packets_from_binary_column(
+        stream.selectExpr("cast(arrival_seq as string) as stream_id", "data as value")
+    )
+    counts = pkts.groupBy("pid").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("udp_pids")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spgraft_udp_"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # let the reader bind before replaying (fire-and-forget transport)
+        time.sleep(1.5)
+        sender = threading.Thread(
+            target=replay_ts_to_udp,
+            args=(mux_bytes, "127.0.0.1", port, 2_000_000),
+        )
+        sender.start()
+        sender.join()
+        expected_pkts = len(mux_bytes) // 188
+        deadline = time.monotonic() + 30
+        total = 0
+        while time.monotonic() < deadline:
+            rows = spark.sql("SELECT sum(count) AS n FROM udp_pids").collect()
+            total = rows[0].n or 0
+            if total >= expected_pkts:
+                break
+            time.sleep(0.5)
+        assert total == expected_pkts, f"received {total}/{expected_pkts}"
+        pids = {r.pid for r in spark.table("udp_pids").collect()}
+        assert {0x0, 0x11, 0x100, 0x101} <= pids  # PAT, SDT, PMT, ES
+    finally:
+        q.stop()
+
+
+def test_udp_sink_pacing(spark, mux_bytes):
+    """foreachBatch UDP sink emits every packet as 7-packet datagrams."""
+    port = _free_port()
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", port))
+    recv.settimeout(5)
+
+    got = bytearray()
+
+    def drain():
+        while True:
+            try:
+                data, _ = recv.recvfrom(DATAGRAM_SIZE * 4)
+            except socket.timeout:
+                return
+            got.extend(data)
+
+    t = threading.Thread(target=drain)
+    t.start()
+    time.sleep(0.2)
+
+    n = 35  # 5 datagrams
+    pkts = [mux_bytes[i * 188 : (i + 1) * 188] for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pkts)], "idx INT, raw BINARY"
+    ).orderBy("idx")
+    sink = udp_sink_foreach_batch("127.0.0.1", port, cbr_kbps=4096)
+    sink(df, epoch_id=0)
+    t.join()
+    recv.close()
+    assert bytes(got) == mux_bytes[: n * 188]  # order + byte-exact
