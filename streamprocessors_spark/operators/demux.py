@@ -354,3 +354,62 @@ def cc_violations(packets: DataFrame) -> DataFrame:
         )
         .select("stream_id", "pid", "pkt_index", "prev_cc", "cc", "expected_cc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lookup / filter API (SURVEY J3, J5, J6, J9): the reference's psi_table.c
+# filter functions as named DataFrame lookups. All operate on the tiny
+# parsed-state tables, so every join is a broadcast; `limit(1)` mirrors the
+# first-match semantics of the C scans (psi_table.c:151-293).
+# ---------------------------------------------------------------------------
+
+
+def pat_filter_by_pid(pat: DataFrame, pid: int) -> DataFrame:
+    """J3: PAT scan by reference PID (psi_table_pat_ctx_filter_pid,
+    psi_table.c:151-180)."""
+    return pat.where(F.col("reference_pid") == pid).limit(1)
+
+
+def pat_filter_by_program(pat: DataFrame, program_number: int) -> DataFrame:
+    """J3: PAT scan by program number (psi_table.c:182-211)."""
+    return pat.where(F.col("program_number") == program_number).limit(1)
+
+
+def pmt_filter_by_program(pmt: DataFrame, program_number: int) -> DataFrame:
+    """J6: PMT rows for one program (psi_table_pmt_ctx_filter_program_num,
+    psi_table.c:270-293)."""
+    return pmt.where(F.col("program_number") == program_number)
+
+
+def es_lookup(pat: DataFrame, pmt: DataFrame, es_pid: int) -> DataFrame:
+    """J5: (PAT ⋈ PMT) ⋈ ES by elementary PID — the composed lookup down
+    to a single ES row (psi_table.c:250-268). PAT⋈PMT equi-join on
+    program_number (J4) with the ES predicate pushed below the join."""
+    p = pat.select("stream_id", "program_number", "reference_pid")
+    m = pmt.where(F.col("elementary_pid") == es_pid).select(
+        "stream_id",
+        F.col("program_number").alias("pmt_program"),
+        "elementary_pid",
+        "stream_type",
+        "pcr_pid",
+    )
+    return p.join(
+        F.broadcast(m),
+        (p.stream_id == m.stream_id) & (p.program_number == m.pmt_program),
+    ).select(
+        p.stream_id,
+        "program_number",
+        "reference_pid",
+        "elementary_pid",
+        "stream_type",
+        "pcr_pid",
+    )
+
+
+def descriptors_filter_tag(df: DataFrame, descriptors_col: str, tag: int) -> DataFrame:
+    """J9: first descriptor with a given tag from an ArrayType column
+    (psi_desc_ctx_filter_tag, psi_desc.h:158-159)."""
+    return df.withColumn(
+        "matched_descriptor",
+        F.expr(f"filter({descriptors_col}, d -> d.tag = {tag})[0]"),
+    )

@@ -1,0 +1,112 @@
+"""Per-ES processor registry (SURVEY U1/U2): pluggable stream transforms.
+
+The reference's extensibility surface is the ``proc_if_t`` vtable —
+processors registered by name and instantiated per ES PID
+(PROCS_REGISTER_TYPE, mpeg2_sp.c:450-454; the only in-tree 'codec' is the
+identity ``proc_if_bypass``, app_prog_proc.c:236-239, and the dashboard
+knows two subtitle processors: ``dvb_subt`` and ``scte_subt2dvb``,
+assets/html/js/es_proc.js:740-745).
+
+Spark-first restatement: a registry mapping ``stream_type`` -> a DataFrame
+transform. Dispatch is data-driven (one plan handles every type — PIDs and
+stream types are columns, not topology), and each transform is a pure
+column expression where possible; actual subtitle bitstream decoding would
+need codec tables not present here, so those bodies are deterministic
+stand-ins with the registry/dispatch plumbing real (same policy as the
+multimodal decode stub).
+
+Scale: dispatch = one CASE projection, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# stream_type constants (ISO 13818-1 table 2-29 subset + DVB private)
+ST_H264 = 0x1B
+ST_AAC = 0x0F
+ST_PRIVATE_PES = 0x06  # DVB subtitles/teletext travel as private PES
+
+EsTransform = Callable[[Column], Column]
+
+_REGISTRY: dict[str, EsTransform] = {}
+
+
+def register_es_proc(name: str) -> Callable[[EsTransform], EsTransform]:
+    def deco(fn: EsTransform) -> EsTransform:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def es_proc(name: str) -> EsTransform:
+    return _REGISTRY[name]
+
+
+def registered_procs() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# Every transform emits the same struct so the CASE dispatch unifies types:
+# out_payload = the (possibly re-encoded) ES bytes, text = decoded text for
+# text-bearing streams (NULL otherwise).
+
+
+def _result(out_payload: Column, text: Column) -> Column:
+    return F.struct(out_payload.alias("out_payload"), text.alias("text"))
+
+
+@register_es_proc("bypass")
+def bypass(payload: Column) -> Column:
+    """proc_if_bypass: identity (app_prog_proc.c:236-239)."""
+    return _result(payload, F.lit(None).cast("string"))
+
+
+@register_es_proc("dvb_subt")
+def dvb_subt(payload: Column) -> Column:
+    """DVB-subtitle 'decode' stand-in: surface the payload as text the way
+    the real decoder surfaces page text (es_proc.js settings imply
+    vpos/duration editing on decoded pages). Real PES/segment parsing
+    would slot in here as a pandas_udf."""
+    return _result(payload, F.decode(payload, "utf-8"))
+
+
+@register_es_proc("scte_subt2dvb")
+def scte_subt2dvb(payload: Column) -> Column:
+    """SCTE-27 -> DVB transcoder stand-in: re-emit the payload with a
+    marker header (the real transcoder re-encodes segments; settings keys
+    time_shift_offset_msec etc. live in the config table)."""
+    return _result(
+        F.concat(F.lit(b"DVB\x00"), payload), F.lit(None).cast("string")
+    )
+
+
+# default stream_type -> processor wiring (the reference registers bypass
+# for every ES PID; subtitle PIDs go to the subtitle processors)
+DEFAULT_WIRING: dict[int, str] = {
+    ST_H264: "bypass",
+    ST_AAC: "bypass",
+    ST_PRIVATE_PES: "dvb_subt",
+}
+
+
+def dispatch_expr(
+    stream_type: Column, payload: Column, wiring: dict[int, str] | None = None
+) -> Column:
+    """One CASE projection routing each row through its type's transform —
+    the whole 'dynamic processor instantiation' surface (J12/U1) collapses
+    to this expression; keys are data, not topology."""
+    wiring = DEFAULT_WIRING if wiring is None else wiring
+    expr = None
+    for st, name in sorted(wiring.items()):
+        out = es_proc(name)(payload)
+        expr = (
+            F.when(stream_type == st, out)
+            if expr is None
+            else expr.when(stream_type == st, out)
+        )
+    return expr.otherwise(bypass(payload))

@@ -119,11 +119,14 @@ def _shingle_cte(d: str) -> str:
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = D.words(SPARK)
+    # Trailing repartition = an Exchange that self-joins downstream reuse
+    # (ReusedExchange), so tokenize+shingle runs once, not once per side.
     return (
         _docs(spark, sf_dir)
         .selectExpr("doc_id", "lang", f"{ws} as ws")
         .where(F.expr(f"{D.size(SPARK, 'ws')} >= {TP.SHINGLE_N}"))
         .selectExpr("doc_id", "lang", f"{TP.shingles(SPARK, 'ws')} as sh")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
 
@@ -206,9 +209,15 @@ def _band_exprs(d: str) -> list[str]:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingle_df(spark, sf_dir)
-    sig = s.selectExpr(
-        "doc_id", "sh", f"{MH.hashes_mod_p(SPARK, 'sh')} as hs"
-    ).selectExpr("doc_id", "sh", f"{MH.minhash_signature(SPARK, 'hs')} as sig")
+    # The signature subtree (shingling + 16 minhash permutations) feeds three
+    # branches below (band explode + both verify sides); the repartition
+    # plants an Exchange so ReusedExchange materializes it once instead of
+    # re-hashing the corpus three times.
+    sig = (
+        s.selectExpr("doc_id", "sh", f"{MH.hashes_mod_p(SPARK, 'sh')} as hs")
+        .selectExpr("doc_id", "sh", f"{MH.minhash_signature(SPARK, 'hs')} as sig")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     bands = sig.select(
         "doc_id",
         F.posexplode(F.expr("array(" + ", ".join(_band_exprs(SPARK)) + ")")).alias(
@@ -281,6 +290,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
         .selectExpr("doc_id", "lang", f"{TP.word_hashes(SPARK, 'ws', distinct=False)} as hs")
         .selectExpr("doc_id", "lang", f"{MH.simhash(SPARK, 'hs')} as sh48")
+        # Exchange so the 48-bit majority vote runs once, not per join side.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("sh48").alias("sh_a")

@@ -271,3 +271,199 @@ def ts_pcr_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcr.alias("pcr"),
         delta.alias("pcr_delta"),
     )
+
+
+@register(
+    "base64_pmt_roundtrip",
+    oracle="""
+    SELECT n_nationkey                  AS program_number,
+           257 + n_nationkey * 16       AS pcr_pid,
+           CAST(2 AS INT)               AS n_streams,
+           257 + n_nationkey * 16       AS first_es_pid,
+           CAST(27 AS INT)              AS first_stream_type
+    FROM nation
+    """,
+    doc="P10 base64 PMT hand-off (app_prog_proc.c:714-757): per nation a "
+    "PMT section is encoded (psi_enc.c mirror), base64'd and un-base64'd "
+    "with the JVM built-ins (the reference's mbedtls hop), then PSI-parsed "
+    "back to program/pcr/ES fields. Exercises encode->base64->decode->parse "
+    "with zero Python outside the codec UDF.",
+    tags=("ts", "parse"),
+)
+def base64_pmt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("program_number", IntegerType()),
+            StructField("pmt_b64", StringType()),
+        ]
+    )
+
+    def enc(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import base64
+
+        from streamprocessors_spark.codec.psi import encode_pmt
+
+        for pdf in batches:
+            rows = []
+            for key in pdf["n_nationkey"]:
+                key = int(key)
+                pmt_pid = 0x100 + key * 16
+                sec = encode_pmt(
+                    program_number=key,
+                    pcr_pid=pmt_pid + 1,
+                    streams=[(0x1B, pmt_pid + 1), (0x0F, pmt_pid + 2)],
+                )
+                rows.append((key, base64.b64encode(sec).decode("ascii")))
+            yield pd.DataFrame(rows, columns=["program_number", "pmt_b64"])
+
+    def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from streamprocessors_spark.codec.psi import parse_section
+
+        for pdf in batches:
+            rows = []
+            for sec in pdf["sec"]:
+                h = parse_section(bytes(sec))
+                pms = h["pms"]
+                rows.append(
+                    (
+                        h["table_id_ext"],
+                        pms["pcr_pid"],
+                        len(pms["streams"]),
+                        pms["streams"][0]["elementary_pid"],
+                        pms["streams"][0]["stream_type"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "program_number",
+                    "pcr_pid",
+                    "n_streams",
+                    "first_es_pid",
+                    "first_stream_type",
+                ],
+            )
+
+    out_schema = (
+        "program_number INT, pcr_pid INT, n_streams INT, "
+        "first_es_pid INT, first_stream_type INT"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey")
+    b64 = nation.mapInPandas(enc, schema=schema)
+    # the API hand-off: base64 string column -> binary via JVM unbase64
+    sec = b64.select(F.unbase64(F.col("pmt_b64")).alias("sec"))
+    return sec.mapInPandas(dec, schema=out_schema)
+
+
+@register(
+    "es_transform_registry",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 27 WHEN 1 THEN 15 ELSE 6 END AS stream_type,
+           CASE doc_id % 3 WHEN 0 THEN 'bypass' WHEN 1 THEN 'scte_subt2dvb'
+                ELSE 'dvb_subt' END AS proc_name,
+           octet_length(encode(text))
+             + CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 0 END AS out_len,
+           CASE WHEN doc_id % 3 = 2 THEN substr(text, 1, 32) END AS text_prefix
+    FROM documents
+    """,
+    doc="U1/U2 per-ES processor registry: stream_type-keyed transform "
+    "dispatch (proc_if registry, mpeg2_sp.c:450-454) as ONE CASE projection "
+    "— bypass (identity), dvb_subt (text surface), scte_subt2dvb (re-header)"
+    " — no per-type topology, no Python, no shuffle "
+    "(operators/es_procs.py).",
+    tags=("ts", "udf"),
+)
+def es_transform_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.operators.es_procs import (
+        ST_AAC,
+        ST_H264,
+        ST_PRIVATE_PES,
+        dispatch_expr,
+    )
+
+    wiring = {ST_H264: "bypass", ST_AAC: "scte_subt2dvb", ST_PRIVATE_PES: "dvb_subt"}
+    names = F.create_map(
+        *[x for st, n in sorted(wiring.items()) for x in (F.lit(st), F.lit(n))]
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(ST_H264))
+        .when(F.col("doc_id") % 3 == 1, F.lit(ST_AAC))
+        .otherwise(F.lit(ST_PRIVATE_PES))
+        .alias("stream_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    out = docs.select(
+        "doc_id",
+        "stream_type",
+        F.element_at(names, F.col("stream_type")).alias("proc_name"),
+        dispatch_expr(F.col("stream_type"), F.col("payload"), wiring).alias("r"),
+    )
+    return out.select(
+        "doc_id",
+        "stream_type",
+        "proc_name",
+        F.length("r.out_payload").alias("out_len"),
+        F.substring("r.text", 1, 32).alias("text_prefix"),
+    )
+
+
+@register(
+    "es_timestamp_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id,
+             (epoch_us(ts) * 27) % {PCR_MOD} AS pcr,
+             lag((epoch_us(ts) * 27) % {PCR_MOD})
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), d AS (
+      SELECT user_id,
+             CASE WHEN ((pcr - prev) % {PCR_MOD} + {PCR_MOD}) % {PCR_MOD} >= {PCR_MOD // 2}
+                  THEN ((pcr - prev) % {PCR_MOD} + {PCR_MOD}) % {PCR_MOD} - {PCR_MOD}
+                  ELSE ((pcr - prev) % {PCR_MOD} + {PCR_MOD}) % {PCR_MOD}
+             END AS delta
+      FROM s WHERE prev IS NOT NULL
+    )
+    SELECT user_id          AS es_id,
+           count(*)         AS n_samples,
+           min(delta)       AS min_delta,
+           max(delta)       AS max_delta,
+           sum(delta)       AS sum_delta
+    FROM d GROUP BY 1
+    """,
+    doc="A7 per-ES time-stamp series (es_proc.js:754-810 time_stamp_stats): "
+    "wrap-aware PCR-delta series per ES, aggregated to the series stats the "
+    "dashboard plots. Window + agg over the pcr-delta view; partition key "
+    "is the ES id so the shuffle spreads with key cardinality.",
+    tags=("ts", "agg", "window"),
+)
+def es_timestamp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pcr = F.pmod(F.unix_micros(F.col("ts")) * 27, F.lit(PCR_MOD))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(pcr).over(w)
+    d = F.pmod(pcr - prev, F.lit(PCR_MOD))
+    delta = F.when(d >= PCR_MOD // 2, d - PCR_MOD).otherwise(d)
+    return (
+        ev.select("user_id", prev.alias("prev"), delta.alias("delta"))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("user_id").alias("es_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("delta").alias("min_delta"),
+            F.max("delta").alias("max_delta"),
+            F.sum("delta").alias("sum_delta"),
+        )
+    )

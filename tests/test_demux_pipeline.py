@@ -113,3 +113,41 @@ def test_cc_violation_detection(spark):
     viol = demux.cc_violations(df).collect()
     assert len(viol) == 1
     assert viol[0].pid == es_pid
+
+
+def test_lookup_api_j3_j5_j6(spark):
+    """J3/J5/J6 lookups over a parsed multi-program capture."""
+    from streamprocessors_spark.codec.fixtures import MuxSpec, ProgramSpec, build_ts
+    from streamprocessors_spark.operators.demux import (
+        es_lookup,
+        pat_filter_by_pid,
+        pat_filter_by_program,
+        pat_programs,
+        pmt_filter_by_program,
+        pmt_streams,
+        reassemble_sections,
+    )
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    spec = MuxSpec(
+        programs=[
+            ProgramSpec(1, 0x100, 0x101, [(0x1B, 0x101), (0x0F, 0x102)], "SVC1"),
+            ProgramSpec(2, 0x110, 0x111, [(0x1B, 0x111)], "SVC2"),
+        ],
+        psi_interval=20,
+        es_payload_packets=10,
+    )
+    raw = spark.createDataFrame([("cap", build_ts(spec))], "stream_id STRING, value BINARY")
+    sections = reassemble_sections(packets_from_binary_column(raw))
+    pat = pat_programs(sections)
+    pmt = pmt_streams(sections)
+
+    r = pat_filter_by_pid(pat, 0x110).collect()
+    assert len(r) == 1 and r[0].program_number == 2
+    r = pat_filter_by_program(pat, 1).collect()
+    assert len(r) == 1 and r[0].reference_pid == 0x100
+    rows = pmt_filter_by_program(pmt, 1).collect()
+    assert {x.elementary_pid for x in rows} == {0x101, 0x102}
+    es = es_lookup(pat, pmt, 0x102).collect()
+    assert len(es) == 1
+    assert es[0].program_number == 1 and es[0].stream_type == 0x0F

@@ -1,0 +1,96 @@
+"""Physical-plan shape regressions (the 100 TB contract).
+
+Correctness tests can't see a plan that silently stopped pushing filters
+or started shuffling a broadcastable dim — these assertions can. Each
+pins a property the scale design depends on:
+
+- filters/column pruning reach the parquet scan (PushedFilters/ReadSchema);
+- small dims join via BroadcastHashJoin, not SortMergeJoin;
+- pure-relational plans contain NO Python stages (whole-stage codegen
+  end-to-end);
+- the quadratic LSH verify join keys on the band hash (hash-partitioned
+  equi-join), not a nested-loop cross product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamprocessors_spark import plans
+
+plans.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    """Formatted physical plan (executedPlan().toString() truncates long
+    scan attribute lists, hiding PushedFilters)."""
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruning: the scan must NOT read the full 16-column lineitem
+    assert "l_comment" not in p
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in p
+
+
+def test_relational_plans_have_no_python(spark, sf_dir):
+    """The hot relational path must stay JVM-side end to end."""
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "window_1min_event_rate",
+        "topk_orders_by_value",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_bruteforce_topk",
+        "ann_lsh_bucketed",
+        "text_quality_score",
+        "doc_fingerprint_winnow",
+        "es_transform_registry",
+    ]:
+        p = _plan(spark, sf_dir, name)
+        assert "Python" not in p and "ArrowEval" not in p, (
+            f"{name} plan contains a Python stage"
+        )
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    p = _plan(spark, sf_dir, "ann_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    p = _plan(spark, sf_dir, "ann_lsh_bucketed")
+    # bucket equi-join: the corpus side must NOT be nested-loop scanned
+    assert "BroadcastHashJoin" in p
+
+
+def test_minhash_lsh_joins_on_band_hash(spark, sf_dir):
+    """The candidate join must be an equi-join on (band, band-hash) — a
+    nested loop here means the LSH degenerated to all-pairs."""
+    p = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "NestedLoop" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_reassembly_prunes_pids_before_shuffle(spark, sf_dir):
+    """ts_programs_summary passes an explicit PSI-PID list; the pid filter
+    must sit below the reassembly exchange so ES packets never shuffle."""
+    p = _plan(spark, sf_dir, "ts_programs_summary")
+    assert "INSET 0, 17, 256" in p  # PSI-PID INSET inside the pre-shuffle Filter
+
+
+def test_section_reassembly_single_exchange_before_state(spark, sf_dir):
+    """The reassembly path should shuffle packet rows exactly once (the
+    (stream,pid) repartition); extra exchanges double the network cost."""
+    p = _plan(spark, sf_dir, "ts_section_reassembly")
+    n_exchanges = p.count("hashpartitioning(")
+    assert n_exchanges == 1, f"expected 1 hash exchange, saw {n_exchanges}:\n{p[:2000]}"

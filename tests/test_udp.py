@@ -79,8 +79,13 @@ def test_udp_source_roundtrip(spark, mux_bytes):
         .start()
     )
     try:
-        # let the reader bind before replaying (fire-and-forget transport)
-        time.sleep(1.5)
+        # Wait for the first micro-batch to complete — the reader binds its
+        # socket during batch 1, and UDP is fire-and-forget, so replaying
+        # earlier silently drops everything (a fixed sleep races under load).
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and not q.recentProgress:
+            time.sleep(0.2)
+        assert q.recentProgress, "source never produced a batch"
         sender = threading.Thread(
             target=replay_ts_to_udp,
             args=(mux_bytes, "127.0.0.1", port, 2_000_000),
