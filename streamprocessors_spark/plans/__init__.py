@@ -15,3 +15,4 @@ def load_all() -> None:
     import streamprocessors_spark.plans.ts_pipeline  # noqa: F401
     import streamprocessors_spark.plans.llm_ops  # noqa: F401
     import streamprocessors_spark.plans.streaming_queries  # noqa: F401
+    import streamprocessors_spark.plans.advanced  # noqa: F401
