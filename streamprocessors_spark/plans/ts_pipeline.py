@@ -111,26 +111,16 @@ def ts_demux_pid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.sources import packets_from_binary_column
 
     ev = read_table(spark, sf_dir, "events")
+    # One packet row per event; T1 stream order carried by event_id as the
+    # packet index (an earlier version concatenated each user's stream into
+    # one buffer with aggregate/concat — repeated binary concat is quadratic
+    # in stream length and dominated the query).
     per_event = ev.select(
-        "user_id", "event_id", _event_packet_expr().alias("pkt")
-    )
-    # One buffer per user, packets ordered by event_id (T1 order), built
-    # entirely with JVM expressions: sort_array + aggregate-concat.
-    streams = per_event.groupBy("user_id").agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("event_id", "pkt"))),
-                lambda x: x["pkt"],
-            ),
-            F.lit(b""),
-            lambda acc, x: F.concat(acc, x),
-        ).alias("value")
-    )
-    pkts = packets_from_binary_column(
-        streams.select(
-            F.col("user_id").cast("string").alias("stream_id"), "value"
-        )
-    )
+        F.col("user_id").cast("string").alias("stream_id"),
+        F.col("event_id").alias("base_idx"),
+        _event_packet_expr().alias("value"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pkts = packets_from_binary_column(per_event, index_col="base_idx")
     stats = pid_packet_stats(pkts)
     return stats.select(
         F.col("stream_id").cast("bigint").alias("user_id"),

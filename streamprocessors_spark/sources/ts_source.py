@@ -52,13 +52,50 @@ PACKET_SCHEMA = StructType(
 
 
 def _slice_batch(
-    stream_ids: pd.Series, blobs: pd.Series, keep_raw: bool
+    stream_ids: pd.Series,
+    blobs: pd.Series,
+    keep_raw: bool,
+    base_indices: pd.Series | None = None,
 ) -> pd.DataFrame:
     frames = []
-    for sid, blob in zip(stream_ids, blobs):
+    bases = base_indices if base_indices is not None else [0] * len(blobs)
+
+    # Fast path: every row is exactly one packet (the datagram/row shape).
+    # One numpy parse over the fused batch instead of one call per row —
+    # per-call numpy overhead dominates 188-byte buffers by ~100x.
+    if len(blobs) > 1 and all(
+        b is not None and len(b) == TS_PKT_SIZE for b in blobs
+    ):
+        import numpy as np
+
+        cols = parse_ts_buffer_np(b"".join(bytes(b) for b in blobs))
+        df = pd.DataFrame(
+            {
+                "stream_id": list(stream_ids),
+                "pkt_index": np.asarray(list(bases), dtype="int64"),
+                "sync_ok": cols["sync_ok"],
+                "tei": cols["tei"].astype("int32"),
+                "pusi": cols["pusi"].astype("int32"),
+                "pid": cols["pid"].astype("int32"),
+                "scrambling": cols["scrambling"].astype("int32"),
+                "afc": cols["afc"].astype("int32"),
+                "cc": cols["cc"].astype("int32"),
+                "af_len": cols["af_len"].astype("int32"),
+                "discontinuity": cols["discontinuity"].astype("int32"),
+                "random_access": cols["random_access"].astype("int32"),
+                "pcr": cols["pcr"],
+                "payload_len": cols["payload_len"].astype("int32"),
+            }
+        )
+        df["raw"] = [bytes(b) for b in blobs] if keep_raw else None
+        return df
+
+    for sid, blob, base in zip(stream_ids, blobs, bases):
         if blob is None or len(blob) < TS_PKT_SIZE:
             continue
         cols = parse_ts_buffer_np(bytes(blob))
+        if base:
+            cols["pkt_index"] = cols["pkt_index"] + int(base)
         n = len(cols["pid"])
         df = pd.DataFrame(
             {
@@ -96,20 +133,35 @@ def packets_from_binary_column(
     id_col: str = "stream_id",
     bytes_col: str = "value",
     keep_raw: bool = True,
+    index_col: str | None = None,
 ) -> DataFrame:
     """Slice+parse a binary column (P1+P2/P3): 1 row in -> N packet rows.
 
     ``pkt_index`` is the packet position within each input row's buffer —
-    the monotonic per-stream order required for CC/reassembly (T1).
+    the monotonic per-stream order required for CC/reassembly (T1). When a
+    stream arrives as many single-packet rows instead of one buffer, pass
+    ``index_col`` (a per-row base offset, e.g. a sequence number): it is
+    added to the in-buffer position, preserving T1 order without first
+    concatenating the stream into one value (repeated binary concat is
+    quadratic in stream length).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _slice_batch(pdf[id_col], pdf[bytes_col], keep_raw)
+            yield _slice_batch(
+                pdf[id_col],
+                pdf[bytes_col],
+                keep_raw,
+                pdf[index_col] if index_col else None,
+            )
 
-    return df.select(
-        F.col(id_col).cast("string").alias(id_col), F.col(bytes_col).alias(bytes_col)
-    ).mapInPandas(gen, schema=PACKET_SCHEMA)
+    cols = [
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(bytes_col).alias(bytes_col),
+    ]
+    if index_col:
+        cols.append(F.col(index_col).cast("long").alias(index_col))
+    return df.select(*cols).mapInPandas(gen, schema=PACKET_SCHEMA)
 
 
 def read_ts_files(
