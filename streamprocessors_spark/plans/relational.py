@@ -499,3 +499,86 @@ def querystring_settings_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("k").cast("bigint").alias("k_value"),
         m.getItem("tag").alias("tag"),
     )
+
+
+@register(
+    "sliding_60min_stats",
+    oracle="""
+    WITH g AS (
+      SELECT date_trunc('minute', ts) AS slot, event_type,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT slot, event_type,
+           CAST(sum(n) OVER w AS BIGINT)   AS n_window,
+           round(sum(v) OVER w, 2)         AS v_window,
+           CAST(count(*) OVER w AS BIGINT) AS slots_present
+    FROM g
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY slot
+      RANGE BETWEEN INTERVAL 59 MINUTE PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="A3-A5 stats ring buffer (60-slot sliding window over 1-slot "
+    "resolution, stats/src/stats.c:57-68, stats.h:31; minutes stand in for "
+    "seconds on the fixture time axis): tumbling pre-aggregate, then a "
+    "range-frame sliding sum — two-level aggregation so the sliding pass "
+    "touches slots, not raw events (the at-scale shape).",
+    tags=("agg", "window"),
+)
+def sliding_60min_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    slots = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("slot"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("slot"))
+        .rangeBetween(-59 * 60, 0)
+    )
+    return slots.select(
+        "slot",
+        "event_type",
+        F.sum("n").over(w).alias("n_window"),
+        F.round(F.sum("v").over(w), 2).alias("v_window"),
+        F.count(F.lit(1)).over(w).alias("slots_present"),
+    )
+
+
+@register(
+    "packet_quarantine_split",
+    oracle="""
+    SELECT CAST(event_id % 97 = 0 AS BOOLEAN) AS corrupted,
+           count(*)                           AS n_packets,
+           CAST(sum(CASE WHEN event_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_parseable
+    FROM events GROUP BY 1
+    """,
+    doc="P3 compliance checks as a quarantine split (ts_dec.c:257-419's "
+    "log-and-reject re-expressed as boolean columns + filter): packets with "
+    "a corrupted sync byte (every 97th, injected deterministically) are "
+    "counted into a side output instead of killing the pipeline — loss is "
+    "data, not an error path.",
+    tags=("ts", "parse"),
+)
+def packet_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.ts_pipeline import _event_packet_expr
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    ev = _t(spark, sf_dir, "events")
+    corrupt = F.when(
+        F.col("base_idx") % 97 == 0,
+        F.concat(F.unhex(F.lit("00")), F.expr("substring(pkt, 2, 187)")),
+    ).otherwise(F.col("pkt"))
+    per_event = ev.select(
+        F.col("event_id").cast("string").alias("stream_id"),
+        F.col("event_id").alias("base_idx"),
+        _event_packet_expr().alias("pkt"),
+    ).select(
+        "stream_id", "base_idx", corrupt.alias("value")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pkts = packets_from_binary_column(per_event, index_col="base_idx")
+    return pkts.groupBy((~F.col("sync_ok")).alias("corrupted")).agg(
+        F.count(F.lit(1)).alias("n_packets"),
+        F.sum(F.col("sync_ok").cast("int")).cast("long").alias("n_parseable"),
+    )
