@@ -25,8 +25,13 @@ plans.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return plans.REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    ts_programs_summary is the engine's flagship: encode -> packetize ->
+    per-PID reassembly -> PAT x PMT x SDT joins — the reference's
+    programs-summary REST response rebuilt end-to-end (SURVEY §7.1).
+    """
+    return plans.REGISTRY["ts_programs_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
