@@ -10,7 +10,8 @@ Correctness strategy: every expression is emitted by a dual-dialect
 fragment builder (functions/dialect.py), so the Spark plan and the DuckDB
 oracle run the *same* computation — integer hashes and integer set sizes
 wherever possible; the only floats are cosines, computed in order-stable
-double precision and rounded to 6 dp on both sides (parity verified).
+double precision and floor-quantized to 6 dp on both sides (bit-identical
+across engines, unlike round() — see dialect.floor_round).
 
 Scale strategy (100 TB):
 - Exact/blocked pairwise operators (dedup_ngram_jaccard,
