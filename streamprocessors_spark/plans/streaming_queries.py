@@ -222,3 +222,29 @@ def config_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_settings(store.read()).select(
         "sys_id", "seq", "doc", "is_json", "tag", "cbr"
     )
+
+
+@register(
+    "stream_latest_version",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="R7 current-table register as a streaming aggregation: max_by over "
+    "(ts, event_id) per key in complete output mode — the latest-version "
+    "'register' the reference keeps behind a mutex (psi_proc.c:362-390) is "
+    "just the running aggregate of the stream. Shares semantics (and hash) "
+    "with the batch latest_version_per_key window form.",
+    tags=("streaming", "state"),
+)
+def stream_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("event_type"),
+    )
+    return run_available_now(agg, output_mode="complete")

@@ -94,3 +94,13 @@ def test_section_reassembly_single_exchange_before_state(spark, sf_dir):
     p = _plan(spark, sf_dir, "ts_section_reassembly")
     n_exchanges = p.count("hashpartitioning(")
     assert n_exchanges == 1, f"expected 1 hash exchange, saw {n_exchanges}:\n{p[:2000]}"
+
+
+def test_pid_stats_two_level_fanout_single_exchange(spark, sf_dir):
+    """J1/J2: the CC window (partitionBy stream,pid) and the stats groupBy
+    (same keys) must share ONE hash exchange — Catalyst reuses the child
+    distribution, mirroring the reference's re-key-free program->ES
+    fan-out (app_prog_proc.c:320-355)."""
+    p = _plan(spark, sf_dir, "ts_demux_pid_stats")
+    n = p.count("hashpartitioning(")
+    assert n == 1, f"expected 1 hash exchange, saw {n}"
