@@ -582,3 +582,37 @@ def packet_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_packets"),
         F.sum(F.col("sync_ok").cast("int")).cast("long").alias("n_parseable"),
     )
+
+
+@register(
+    "cube_events_by_type_hour",
+    oracle="""
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS INT) AS hr,
+           count(*)            AS n,
+           round(sum(value),2) AS v,
+           CAST(grouping(event_type) AS INT) + 2 * CAST(grouping(extract(hour FROM ts)) AS INT) AS gid
+    FROM events
+    GROUP BY CUBE (event_type, extract(hour FROM ts))
+    """,
+    doc="CUBE over (type, hour) with grouping ids — the grouping-sets "
+    "surface the reference lacks entirely (SURVEY §2 end-note); partial "
+    "aggregation applies per grouping set, one shuffle total.",
+    tags=("agg", "cube"),
+)
+def cube_events_by_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("int")
+    )
+    return (
+        ev.cube("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+            (
+                F.grouping("event_type").cast("int")
+                + 2 * F.grouping("hr").cast("int")
+            ).alias("gid"),
+        )
+        .select("event_type", "hr", "n", "v", "gid")
+    )

@@ -1,0 +1,139 @@
+"""10x scale smoke: headline operators on a self-multiplied corpus.
+
+The largest fixture is sf0.1; this harness unions `documents`/`embeddings`
+10x with shifted ids (~50k docs / ~50k vectors at sf0.1 input — an
+effective sf1) and runs the heaviest operator families end to end. It
+answers the scale question the unit fixtures can't: do the LSH paths,
+the reassembly shuffle and the ANN ranking degrade linearly (good) or
+quadratically (bad) when the corpus grows 10x?
+
+Usage: python tools/scale_smoke.py [sf_dir] [multiplier]
+Prints one JSON line: {"op": sec, ...} + row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from streamprocessors_spark.functions import minhash as MH
+    from streamprocessors_spark.functions import textprep as TP
+    from streamprocessors_spark.functions import vectors as V
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.session import get_spark, read_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="scale-smoke")
+
+    docs0 = read_table(spark, sf_dir, "documents")
+    embs0 = read_table(spark, sf_dir, "embeddings")
+    n0 = docs0.count()
+    docs = docs0
+    embs = embs0
+    for k in range(1, mult):
+        docs = docs.unionByName(
+            docs0.withColumn("doc_id", F.col("doc_id") + k * 1_000_000)
+        )
+        embs = embs.unionByName(
+            embs0.withColumn("vec_id", F.col("vec_id") + k * 1_000_000)
+        )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism).cache()
+    embs = embs.repartition(spark.sparkContext.defaultParallelism).cache()
+    n_docs, n_vecs = docs.count(), embs.count()
+
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        out[name] = round(time.perf_counter() - t0, 2)
+        print(f"{name}: {out[name]}s ({n} rows)", file=sys.stderr, flush=True)
+
+    # MinHash LSH dedup over the multiplied corpus (every copy collides ->
+    # candidate volume scales with real duplicates, not corpus^2)
+    ws = D.words(SPARK)
+    shingled = (
+        docs.selectExpr("doc_id", f"{ws} as ws")
+        .where(F.expr(f"size(ws) >= {TP.SHINGLE_N}"))
+        .selectExpr("doc_id", f"{TP.shingles(SPARK, 'ws')} as sh")
+        .selectExpr("doc_id", "sh", f"{MH.hashes_mod_p(SPARK, 'sh')} as hs")
+        .selectExpr("doc_id", f"{MH.minhash_signature(SPARK, 'hs')} as sig")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    bands = shingled.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(MH.band_hash(SPARK, "sig", i) for i in range(MH.BANDS))
+                + ")"
+            )
+        ).alias("band", "bh"),
+    )
+    x = bands.selectExpr("doc_id as a", "band", "bh")
+    y = bands.selectExpr("doc_id as b", "band as band_b", "bh as bh_b")
+    timed(
+        "minhash_lsh_candidates",
+        lambda: x.join(
+            y, (x.band == y.band_b) & (x.bh == y.bh_b) & (x.a < y.b)
+        )
+        .select("a", "b")
+        .distinct()
+        .count(),
+    )
+
+    # sign-LSH bucketed ANN
+    bucketed = embs.selectExpr(
+        "vec_id", "embedding", f"{V.sign_bucket(SPARK, 'embedding')} as bucket"
+    )
+    q = bucketed.where(F.col("vec_id") < 10).selectExpr(
+        "vec_id as va", "embedding as ea", "bucket"
+    )
+    b = bucketed.selectExpr("vec_id as vb", "embedding as eb", "bucket as bucket_b")
+    timed(
+        "ann_bucketed",
+        lambda: F.broadcast(q)
+        .join(b, (q.bucket == b.bucket_b) & (F.col("va") != F.col("vb")))
+        .selectExpr("va", "vb", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+        .count(),
+    )
+
+    # section reassembly over the multiplied document set
+    from streamprocessors_spark.operators.demux import reassemble_sections
+    from streamprocessors_spark.operators.encode import document_section_streams
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    timed(
+        "section_reassembly",
+        lambda: reassemble_sections(
+            packets_from_binary_column(document_section_streams(docs))
+        ).count(),
+    )
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "multiplier": mult,
+                "n_docs": n_docs,
+                "n_vecs": n_vecs,
+                "base_docs": n0,
+                "timings_sec": out,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
