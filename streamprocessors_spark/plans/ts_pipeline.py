@@ -457,3 +457,46 @@ def es_timestamp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").alias("sum_delta"),
         )
     )
+
+
+@register(
+    "ts_programs_summary_json",
+    oracle="""
+    SELECT '{"code":200,"status":"OK","data":[' ||
+           string_agg(
+             '{"program_number":' || (n_nationkey + 1) ||
+             ',"service_name":"' || n_name ||
+             '","n_streams":2,"pcr_pid":' || (257 + n_nationkey * 16) || '}',
+             ',' ORDER BY n_nationkey + 1
+           ) || ']}' AS body,
+           count(*)  AS n_programs
+    FROM nation
+    """,
+    doc="S7/J10 REST projection: the programs summary (full PSI pipeline) "
+    "serialized as the reference's JSON envelope {code,status,data} "
+    "(stream_procs_api_http.c:44-52, 230-290) — to_json over an ordered "
+    "collect_list, JVM-side. The oracle reconstructs the byte-identical "
+    "document relationally.",
+    tags=("ts", "json"),
+)
+def ts_programs_summary_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summary = ts_programs_summary(spark, sf_dir)
+    return summary.agg(
+        F.concat(
+            F.lit('{"code":200,"status":"OK","data":'),
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "program_number",
+                            "service_name",
+                            "n_streams",
+                            "pcr_pid",
+                        )
+                    )
+                )
+            ),
+            F.lit("}"),
+        ).alias("body"),
+        F.count(F.lit(1)).alias("n_programs"),
+    )
