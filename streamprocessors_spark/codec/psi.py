@@ -347,6 +347,50 @@ def _raw_packet(pid: int, body184: bytes, cc: int, pusi: int) -> bytes:
     return bytes([0x47, b1, pid & 0xFF, 0x10 | (cc & 0xF)]) + body184
 
 
+def pack_sections_continuous(
+    sections: list[bytes], pid: int, start_cc: int = 0
+) -> list[bytes]:
+    """Pack several sections back-to-back with standard pointer_field
+    semantics: a section may start mid-packet (pointer_field counts the
+    previous section's tail bytes before it), and consecutive sections can
+    share packets with no stuffing in between — the exact arrival shape
+    the reassembler's lookahead path exists for (psi_dec.c:344-404).
+    Contrast with ``sectionize``, which stuffs each section to a packet
+    boundary (never produces mid-packet starts)."""
+    stream = b"".join(sections)
+    starts: list[int] = []
+    off = 0
+    for s in sections:
+        starts.append(off)
+        off += len(s)
+
+    pkts: list[bytes] = []
+    pos = 0
+    cc = start_cc
+    si = 0  # next section-start not yet signalled
+    while pos < len(stream):
+        next_start = starts[si] if si < len(starts) else None
+        if next_start is not None and pos <= next_start <= pos + 183:
+            # PUSI packet: pointer_field points at the section start;
+            # bytes before it finish the previous section.
+            pointer = next_start - pos
+            chunk = stream[pos : pos + 183]
+            body = bytes([pointer]) + chunk + b"\xff" * (183 - len(chunk))
+            pkts.append(_raw_packet(pid, body, cc, pusi=1))
+            pos += 183
+            # skip every start covered by this packet (back-to-back
+            # sections share the single pointer_field)
+            while si < len(starts) and starts[si] < pos:
+                si += 1
+        else:
+            chunk = stream[pos : pos + 184]
+            body = chunk + b"\xff" * (184 - len(chunk))
+            pkts.append(_raw_packet(pid, body, cc, pusi=0))
+            pos += 184
+        cc = (cc + 1) & 0xF
+    return pkts
+
+
 # ---------------------------------------------------------------------------
 # Section reassembly (R1) — the batch/stream UDF body
 # ---------------------------------------------------------------------------

@@ -85,3 +85,34 @@ def test_pcr_delta_wraparound_property(a, d):
     wraparound arithmetic (ts.h:123-134), SURVEY hard part (c)."""
     b = (a + d) % PCR_MOD
     assert pcr_delta(a, b) == d
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    payload_sizes=st.lists(st.integers(0, 700), min_size=1, max_size=6),
+    pid=st.integers(16, 0x1FFE),
+    start_cc=st.integers(0, 15),
+    data=st.data(),
+)
+def test_continuous_packing_reassembly_property(payload_sizes, pid, start_cc, data):
+    """Sections packed back-to-back (starts at ARBITRARY mid-packet
+    alignments, shared packets, no inter-section stuffing) reassemble to
+    the identical section list — the pointer_field/lookahead path
+    (psi_dec.c:344-404) over the full alignment space."""
+    from streamprocessors_spark.codec.psi import pack_sections_continuous
+
+    sections = [
+        encode_section(
+            0x40 + i % 8,
+            data.draw(st.integers(0, 0xFFFF)),
+            i % 32,
+            0,
+            0,
+            data.draw(st.binary(min_size=n, max_size=n)),
+        )
+        for i, n in enumerate(payload_sizes)
+    ]
+    pkts = pack_sections_continuous(sections, pid=pid, start_cc=start_cc)
+    r = SectionReassembler()
+    out = [s for p in pkts for s in r.push(bytes(p))]
+    assert out == sections
