@@ -500,3 +500,81 @@ def ts_programs_summary_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("body"),
         F.count(F.lit(1)).alias("n_programs"),
     )
+
+
+@register(
+    "ts_section_reassembly_packed",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 32 AS INT) AS version,
+           strlen(coalesce(substr(text, 1, 250), '')) + 9 AS section_length,
+           TRUE AS crc_ok,
+           md5(coalesce(substr(text, 1, 250), '')) AS payload_md5
+    FROM documents
+    """,
+    doc="R1 hard-path variant of ts_section_reassembly: documents are "
+    "packed 8-to-a-stream BACK-TO-BACK (pack_sections_continuous) so "
+    "section starts land mid-packet with pointer_field > 0 and single "
+    "packets carry pieces of two sections — the pointer/lookahead "
+    "semantics (psi_dec.c:300-404) exercised through the distributed "
+    "shuffle+reassembly, not just unit tests. Same recovered bytes as the "
+    "aligned variant prove alignment independence. doc_id rides in "
+    "table_id_ext (fixture ids < 65536 at every SF).",
+    tags=("ts", "state"),
+)
+def ts_section_reassembly_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from streamprocessors_spark.operators.demux import reassemble_sections
+    from streamprocessors_spark.operators.encode import STREAM_SCHEMA
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from streamprocessors_spark.codec.psi import (
+            encode_section,
+            pack_sections_continuous,
+        )
+
+        for pdf in batches:
+            items = sorted(zip(pdf["doc_id"], pdf["text"]))
+            rows = []
+            # chunks of 8 docs per stream; the first doc_id keys the stream
+            # (globally unique -> no (stream, pid) collisions across
+            # batches/partitions, each of which packs only its own docs)
+            for i in range(0, len(items), 8):
+                chunk = items[i : i + 8]
+                secs = [
+                    encode_section(
+                        table_id=0x40,
+                        table_id_ext=int(doc_id) % 65536,
+                        version=int(doc_id) % 32,
+                        section_number=0,
+                        last_section_number=0,
+                        payload=(text or "")[:250].encode("utf-8"),
+                    )
+                    for doc_id, text in chunk
+                ]
+                rows.append(
+                    (
+                        f"s{int(chunk[0][0])}",
+                        b"".join(pack_sections_continuous(secs, pid=33)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["stream_id", "value"])
+
+    streams = docs.mapInPandas(gen, schema=STREAM_SCHEMA)
+    sections = reassemble_sections(packets_from_binary_column(streams))
+    return sections.select(
+        F.col("table_id_ext").cast("bigint").alias("doc_id"),
+        "version",
+        F.col("section_length").cast("bigint").alias("section_length"),
+        "crc_ok",
+        F.md5(F.expr("substring(section_bytes, 9, section_length - 9)")).alias(
+            "payload_md5"
+        ),
+    )
