@@ -162,3 +162,162 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical"))
+
+
+# Binned interval join: bucket width == window length (10 min), so every
+# window overlaps at most 2 buckets and every event exactly 1.
+_RJ_WIN_US = 600_000_000
+
+
+@register(
+    "range_join_error_windows",
+    oracle="""
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTE AS w_end
+      FROM events WHERE event_type = 'signup'
+    ),
+    e AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+    SELECT w.window_id,
+           count(*)        AS n_errors,
+           min(e.event_id) AS first_error_id
+    FROM w JOIN e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1
+    """,
+    doc="Pure range join (NO equi key): every 10-minute window opened by a "
+    "signup counts the error events of ANY user inside it. The naive plan "
+    "is a cartesian product with a range filter (BroadcastNestedLoop, "
+    "O(N*M)); the scale path here bins time into window-width buckets, "
+    "explodes each window into the <=2 buckets it overlaps, equi-joins on "
+    "the bucket (one shuffle each side) and applies the residual BETWEEN "
+    "as a post-filter — the standard binned interval-join rewrite.",
+    tags=("join", "range"),
+)
+def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    win = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + _RJ_WIN_US).alias("end_us"),
+    )
+    win = win.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"start_us div {_RJ_WIN_US}"),
+                    F.expr(f"(end_us - 1) div {_RJ_WIN_US}"),
+                )
+            )
+        ),
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("t_us"),
+        F.expr(f"unix_micros(ts) div {_RJ_WIN_US}").alias("bucket"),
+    )
+    j = win.join(err, "bucket").where(
+        (F.col("t_us") >= F.col("start_us")) & (F.col("t_us") < F.col("end_us"))
+    )
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.min("err_id").alias("first_error_id"),
+    )
+
+
+# Session gap: a new session starts when the in-user gap is >= 30 minutes
+# (matching Structured Streaming's session_window close-on-gap semantics).
+_SESSION_GAP_US = 1_800_000_000
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end
+    FROM t GROUP BY 1, 2
+    """,
+    doc="Sessionization (gap-and-island): per-user sessions split where the "
+    "gap to the previous event is >= 30 min. Two window passes and the "
+    "final aggregate all key on user_id — one logical partitioning; the "
+    "reference's per-PID 'stream of activity bounded by silence' pattern "
+    "generalized. Gap semantics match session_window(ts, gap) so the "
+    "streaming twin shares the oracle.",
+    tags=("window", "session"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap >= _SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id").withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# Salt fan-out for the hot-key join: the dim row for a hot key is replicated
+# once per salt so no single reducer owns the whole hot key.
+_SALT_BUCKETS = 8
+
+
+@register(
+    "skew_salted_hot_key_join",
+    oracle="""
+    SELECT CASE WHEN e.user_id % 10 = 0 THEN 0 ELSE e.user_id END AS user_id,
+           c.c_name,
+           count(*) AS n_events
+    FROM events e
+    JOIN customer c
+      ON c.c_custkey = CASE WHEN e.user_id % 10 = 0 THEN 0 ELSE e.user_id END
+    GROUP BY 1, 2
+    """,
+    doc="Skewed fact-dim join with explicit salting: 10% of events collapse "
+    "onto hot key 0, which would put the whole key on one reducer in a "
+    "plain shuffle join. The fact side appends salt = event_id % 8, the "
+    "dim side explodes each row into 8 salted replicas, and the join keys "
+    "on (key, salt) — the hot key's rows spread over 8 reducers. AQE's "
+    "skew-join split is the automatic variant; this is the portable "
+    "pattern when AQE can't see the skew (e.g. pre-AQE partial aggs).",
+    tags=("join", "skew"),
+)
+def skew_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    fact = ev.select(
+        F.when(F.col("user_id") % 10 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.pmod(F.col("event_id"), F.lit(_SALT_BUCKETS)).alias("salt"),
+    )
+    dim = cust.select(F.col("c_custkey").alias("user_id"), "c_name").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
+    )
+    return (
+        fact.join(dim, ["user_id", "salt"])
+        .groupBy("user_id", "c_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

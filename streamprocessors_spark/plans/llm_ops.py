@@ -62,6 +62,12 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "value"]
 ANN_N_QUERIES = 10  # vec_id < 10 are the designated query vectors
 ANN_TOPK = 5
 ANN_LSH_TOPK = 3
+# IVF coarse quantizer: the embeddings of the N_CELLS smallest vec_ids act
+# as fixed, deterministic centroids (stand-in for an offline sampled
+# k-means); nprobe cells are searched per query.
+ANN_IVF_CELLS = 8
+ANN_IVF_NPROBE = 2
+ANN_IVF_TOPK = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +451,94 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= ANN_LSH_TOPK)
         .select("va", "vb", "bucket", "rank", "cos")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cemb
+      FROM embeddings WHERE vec_id < {ANN_IVF_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT b.vec_id, b.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {D.cosine(DUCK, "c.cemb", "b.embedding")} DESC, c.cell
+               ) AS rn
+        FROM embeddings b CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS va, embedding AS qemb, cell FROM (
+        SELECT q.vec_id, q.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {D.cosine(DUCK, "c.cemb", "q.embedding")} DESC, c.cell
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < {ANN_N_QUERIES}
+      ) WHERE rn <= {ANN_IVF_NPROBE}
+    )
+    SELECT va, vb, rank, cos FROM (
+      SELECT va, vb, cos,
+             row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rank
+      FROM (
+        SELECT p.va, a.vec_id AS vb,
+               {D.cosine(DUCK, "p.qemb", "a.embedding")} AS cos
+        FROM probe p JOIN assign a ON p.cell = a.cell AND p.va <> a.vec_id
+      )
+    ) WHERE rank <= {ANN_IVF_TOPK}
+    """,
+    doc="IVF-style ANN, the other scale path next to sign-LSH: a tiny fixed "
+    "centroid set (broadcast) assigns every corpus vector to its nearest "
+    "cell in ONE narrow map-side pass — the inverted lists are just a "
+    "`cell` column the corpus is partitioned by. Queries probe their "
+    "nprobe=2 nearest cells and rank candidates within those lists only. "
+    "At 100 TB: centroids come from offline sampled k-means, the corpus "
+    "is written bucketed by cell, and a query batch touches nprobe/cells "
+    "of the data.",
+    tags=("vector", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < ANN_IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb")
+    )
+
+    def nearest_cells(side: DataFrame, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).selectExpr(
+            "vec_id",
+            "embedding",
+            "cell",
+            f"{D.cosine(SPARK, 'cemb', 'embedding')} as ccos",
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n)
+            .drop("ccos", "rn")
+        )
+
+    assign = nearest_cells(e, 1).select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "cell"
+    )
+    probe = nearest_cells(e.where(F.col("vec_id") < ANN_N_QUERIES), ANN_IVF_NPROBE).select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "cell"
+    )
+    j = (
+        F.broadcast(probe)
+        .join(assign, "cell")
+        .where(F.col("va") != F.col("vb"))
+        .selectExpr("va", "vb", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_IVF_TOPK)
+        .select("va", "vb", "rank", "cos")
     )
 
 

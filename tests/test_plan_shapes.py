@@ -104,3 +104,38 @@ def test_pid_stats_two_level_fanout_single_exchange(spark, sf_dir):
     p = _plan(spark, sf_dir, "ts_demux_pid_stats")
     n = p.count("hashpartitioning(")
     assert n == 1, f"expected 1 hash exchange, saw {n}"
+
+
+def test_range_join_is_binned_equi_join(spark, sf_dir):
+    """The interval join must run as an equi-join on the time bucket; a
+    nested-loop means the rewrite degenerated to the O(N*M) cartesian."""
+    p = _plan(spark, sf_dir, "range_join_error_windows")
+    assert "NestedLoop" not in p
+    assert (
+        "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    )
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both window passes and the session aggregate key on user_id (the
+    agg's (user_id, session_id) clustering is satisfied by the coarser
+    user_id hash partitioning) — the whole query is one shuffle."""
+    p = _plan(spark, sf_dir, "sessionize_events")
+    n = p.count("hashpartitioning(")
+    assert n == 1, f"expected 1 hash exchange, saw {n}"
+
+
+def test_skew_salted_join_keys_on_salt(spark, sf_dir):
+    """The salted join must be an equi-join whose key includes the salt
+    column, and must never fall back to a nested loop."""
+    p = _plan(spark, sf_dir, "skew_salted_hot_key_join")
+    assert "NestedLoop" not in p
+    assert "salt" in p
+
+
+def test_ann_ivf_probe_join_is_equi_on_cell(spark, sf_dir):
+    """IVF candidate lookup = equi-join probe.cell == assign.cell; the
+    centroid scoring passes are broadcast nested loops by design (8 rows),
+    but the corpus-sized join must be hash-based."""
+    p = _plan(spark, sf_dir, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
