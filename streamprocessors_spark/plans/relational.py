@@ -616,3 +616,128 @@ def cube_events_by_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hr", "n", "v", "gid")
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*)                                    AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure filter->scalar-agg — the pushdown showcase. All "
+    "four predicates must reach the parquet scan (PushedFilters) so row "
+    "groups outside the ship-date year are skipped entirely; the agg is "
+    "one map-side partial + a single-row exchange.",
+    tags=("agg", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "hypertable_rollup_1h",
+    oracle="""
+    WITH minute_agg AS (
+      SELECT date_trunc('minute', ts) AS m, event_type,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('hour', m) AS hour_start,
+           event_type,
+           CAST(sum(n) AS BIGINT)   AS n_events,
+           round(sum(v), 2)         AS sum_value,
+           count(*)                 AS n_active_minutes
+    FROM minute_agg GROUP BY 1, 2
+    """,
+    doc="Hypertable-style continuous-aggregate rollup: the hourly table is "
+    "computed FROM the 1-minute aggregate, not from raw events — the "
+    "timescale pattern where coarse resolutions re-aggregate fine partials. "
+    "In Spark both levels collapse into one shuffle: the minute agg's "
+    "partials combine map-side, and the hour agg re-keys the (already "
+    "tiny) minute rows; n_active_minutes is only expressible from the "
+    "fine level.",
+    tags=("agg", "rollup", "timeseries"),
+)
+def hypertable_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("m"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    return minute.groupBy(
+        F.date_trunc("hour", "m").alias("hour_start"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("v"), 2).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+    )
+
+
+# KMV sketch size; estimate = (K-1) * 2^60 / h_K over 60-bit md5 hashes.
+_KMV_K = 32
+_KMV_M = 1 << 60
+
+
+@register(
+    "approx_distinct_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+               AS hv
+      FROM events
+    ),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    s AS (SELECT max(hv) AS hk, count(*) AS nk FROM k),
+    t AS (SELECT count(*) AS n_exact FROM h)
+    SELECT CASE WHEN s.nk < {_KMV_K} THEN t.n_exact
+                ELSE CAST(FLOOR(({_KMV_K} - 1.0) * {_KMV_M} / s.hk) AS BIGINT)
+           END AS est_distinct,
+           t.n_exact AS n_exact
+    FROM s, t
+    """,
+    doc="Approximate distinct count as a deterministic KMV (k minimum "
+    "values) sketch — unlike HLL the estimator is a pure function of the "
+    "data, so it hash-matches across engines. Hash = first 60 bits of "
+    "md5 (shared dialect helper); estimate (K-1)*2^60/h_K. At 100 TB the "
+    "k-smallest pass is a TakeOrdered (no full shuffle) and sketches "
+    "merge by union+re-truncate — mergeable partials like any agg.",
+    tags=("agg", "approx", "sketch"),
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.selectExpr(
+        f"{D.md5int(SPARK, 'cast(user_id as string)')} as hv"
+    ).distinct()
+    k = h.orderBy("hv").limit(_KMV_K)
+    s = k.agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("nk"))
+    t = h.agg(F.count(F.lit(1)).alias("n_exact"))
+    return s.crossJoin(t).select(
+        F.when(F.col("nk") < _KMV_K, F.col("n_exact"))
+        .otherwise(
+            F.floor((_KMV_K - 1.0) * _KMV_M / F.col("hk")).cast("bigint")
+        )
+        .alias("est_distinct"),
+        "n_exact",
+    )

@@ -248,3 +248,50 @@ def stream_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", F.struct("ts", "event_id")).alias("event_type"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + INTERVAL 30 MINUTE    AS session_end,
+           count(*)                        AS n_events
+    FROM t GROUP BY user_id, sid
+    """,
+    doc="Sessionization as Structured Streaming: session_window(ts, 30 min) "
+    "merges per-user events into dynamic gap-bounded sessions in the "
+    "engine's session-state store — the streaming twin of "
+    "sessionize_events. session_window's end is last-event + gap (the "
+    "close time), so the batch oracle emits max(ts)+30min; hash equality "
+    "proves the gap-merge semantics match the gap-and-island formulation.",
+    tags=("streaming", "session"),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = run_available_now(agg, output_mode="complete")
+    return sink.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )

@@ -139,3 +139,27 @@ def test_ann_ivf_probe_join_is_equi_on_cell(spark, sf_dir):
     but the corpus-sized join must be hash-based."""
     p = _plan(spark, sf_dir, "ann_ivf_topk")
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown benchmark: ship-date range, discount range and
+    quantity bound must all reach the parquet scan."""
+    p = _plan(spark, sf_dir, "q6_forecast_revenue")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in p, f"missing pushed filter {frag}"
+    # pruning: only the 3 needed columns may be read
+    assert "l_comment" not in p and "l_orderkey" not in p
+
+
+def test_hypertable_rollup_single_exchange(spark, sf_dir):
+    """Hour-level re-aggregation of minute partials must not add a second
+    full shuffle of raw events: one exchange for the minute agg, and the
+    hour agg re-keys the tiny minute rows (AQE-coalesced)."""
+    p = _plan(spark, sf_dir, "hypertable_rollup_1h")
+    assert p.count("hashpartitioning(") <= 2
