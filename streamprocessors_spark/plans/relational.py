@@ -741,3 +741,39 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_distinct"),
         "n_exact",
     )
+
+
+@register(
+    "order_priority_quartiles",
+    oracle="""
+    SELECT o_orderpriority, q,
+           count(*)              AS n_orders,
+           min(o_totalprice)     AS min_price,
+           max(o_totalprice)     AS max_price
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS q
+      FROM orders
+    )
+    GROUP BY 1, 2
+    """,
+    doc="Ranking-family coverage beyond row_number/lag: ntile(4) buckets "
+    "each priority class into price quartiles (unique-key tiebreak keeps "
+    "bucket boundaries deterministic), then per-bucket min/max — the "
+    "classic distribution-summary query. One shuffle on the partition "
+    "key; the aggregate reuses the window's clustering.",
+    tags=("window", "rank"),
+)
+def order_priority_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("q"))
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

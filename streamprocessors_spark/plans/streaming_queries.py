@@ -295,3 +295,83 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "stream_stream_join_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id  AS user_id,
+           c.ts       AS click_ts,
+           p.ts       AS purchase_ts
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="Stream-stream interval join (purchase attribution): two watermarked "
+    "event streams joined on user_id with a 10-minute event-time range — "
+    "Structured Streaming buffers both sides in state and expires rows "
+    "once the watermark passes the interval bound, so state is O(window), "
+    "not O(stream). The oracle is the identical batch join; hash equality "
+    "proves no row is dropped or duplicated by state expiry.",
+    tags=("streaming", "join"),
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+    )
+    sink = run_available_now(j, output_mode="append")
+    return sink.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming exact dedup (T4/R7 family): dropDuplicates over the "
+    "event stream keeps the first arrival per (user_id, event_type) in "
+    "the state store. Only the key columns are emitted because WHICH row "
+    "arrives first depends on file order — the key set itself is "
+    "deterministic and equals batch DISTINCT.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    d = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = run_available_now(d, output_mode="append")
+    return sink.select("user_id", "event_type")
