@@ -777,3 +777,94 @@ def order_priority_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "pivot_events_by_type",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (long->wide): per-user event counts spread over one column "
+    "per type. With the pivot values enumerated up front Spark compiles "
+    "this to a single-shuffle hash aggregate of conditional counts — same "
+    "plan as the FILTER-clause formulation, no second pass to discover "
+    "the distinct keys.",
+    tags=("agg", "pivot"),
+)
+def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred; the
+    # FILTER-clause oracle counts 0 there.
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           median(o_totalprice)                               AS median_price,
+           quantile_cont(o_totalprice, 0.9)                   AS p90_price,
+           count(*)                                           AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact percentiles (interpolated): median and p90 of order value "
+    "per priority class. Spark's percentile() and DuckDB's quantile_cont "
+    "share the linear-interpolation definition, so exact equality holds. "
+    "At 100 TB swap in approx_percentile (t-digest) and a tolerance gate; "
+    "the exact form is the oracle-friendly variant.",
+    tags=("agg", "percentile"),
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 1000 THEN 21
+                     ELSE FLOOR(value / 50.0) + 1 END AS BIGINT) AS bucket,
+           count(*)                          AS n,
+           min(value)                        AS lo,
+           max(value)                        AS hi
+    FROM events GROUP BY 1
+    """,
+    doc="Equi-width histogram via width_bucket over the event value "
+    "distribution (20 buckets on [0,1000], out-of-range values land in "
+    "the 0/21 overflow buckets per the SQL spec). DuckDB has no "
+    "width_bucket, so the oracle spells out the same floor arithmetic. "
+    "Single-shuffle aggregate; the bucket expression stays in "
+    "whole-stage codegen.",
+    tags=("agg", "histogram"),
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.width_bucket("value", F.lit(0), F.lit(1000), F.lit(20)).alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
