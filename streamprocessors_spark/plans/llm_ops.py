@@ -752,3 +752,220 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(MM.with_payload(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: reproducible sampling, splits, packing, composition
+# ---------------------------------------------------------------------------
+
+_SPLIT_MOD = 100  # hash buckets for train/val/test
+_PACK_BIN_TOKENS = 4096
+_STRATUM_N = 20
+_PREP_QUALITY_MIN = 60.0
+
+
+def _doc_hash(d: str) -> str:
+    """Deterministic 60-bit uniform hash of doc_id (shared md5 dialect) —
+    the reproducibility primitive every sampling op builds on: re-running
+    the pipeline on the same corpus selects the same rows, on any engine."""
+    return D.md5int(d, "cast(doc_id as string)" if d == SPARK else "doc_id::VARCHAR")
+
+
+@register(
+    "sample_deterministic_10pct",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents WHERE {_doc_hash(DUCK)} % 10 = 0
+    """,
+    doc="Reproducible 10% Bernoulli sample: keep rows whose md5-hash "
+    "bucket is 0 — unlike TABLESAMPLE this is a pure filter (pushable, "
+    "partition-prunable, identical on re-runs and across engines), which "
+    "is what a training-data pipeline needs for auditable subsets.",
+    tags=("sample", "llm"),
+)
+def sample_deterministic_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .where(F.expr(f"{_doc_hash(SPARK)} % 10 = 0"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "stratified_sample_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_doc_hash(DUCK)}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_STRATUM_N}
+    """,
+    doc="Stratified sampling: exactly N docs per language, chosen by "
+    "ranking on the deterministic hash (a reproducible shuffle) within "
+    "each stratum. One shuffle on the stratum key; rank-N short-circuits "
+    "via the window top-k optimization.",
+    tags=("sample", "llm"),
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(F.expr(_doc_hash(SPARK)), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _STRATUM_N)
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_doc_hash(DUCK)} % {_SPLIT_MOD} < 80 THEN 'train'
+                WHEN {_doc_hash(DUCK)} % {_SPLIT_MOD} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="Hash-range train/val/test split (80/10/10): membership is a pure "
+    "function of doc_id, so the split is stable under corpus growth — "
+    "new docs never move old docs between splits (the property random "
+    "shuffles lack). Aggregated per (lang, split) for the gate.",
+    tags=("sample", "llm"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.expr(f"{_doc_hash(SPARK)} % {_SPLIT_MOD}")
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise("test")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "packed_context_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {D.regexp_all_count(DUCK, "lower(text)", _BPE_PATTERN)} AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+               AS start_off
+      FROM t
+    )
+    SELECT source,
+           CAST(start_off / {_PACK_BIN_TOKENS} AS BIGINT) AS bin,
+           count(*)                  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id)               AS first_doc,
+           max(doc_id)               AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Context packing (concat-then-chunk): docs are laid end-to-end in "
+    "doc_id order per source and assigned to the 4096-token bin their "
+    "start offset falls in — the running sum is a prefix scan windowed "
+    "per source, so packing parallelizes across sources instead of "
+    "serializing on one global order (the single-partition trap).",
+    tags=("pack", "llm"),
+)
+def packed_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "source",
+        f"{D.regexp_all_count(SPARK, 'lower(text)', _BPE_PATTERN)} as n_tok",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn(
+        "start_off", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("bigint")
+    )
+    return (
+        c.withColumn(
+            "bin", F.floor(F.col("start_off") / _PACK_BIN_TOKENS).cast("bigint")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, text,
+             {D.size(DUCK, D.words(DUCK))} AS n_words
+      FROM documents
+      WHERE {D.size(DUCK, D.words(DUCK))} > 0
+    ),
+    scored AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text, {", ".join(_quality_select(DUCK)[5:6])}
+        FROM (SELECT doc_id, lang, text, {D.words(DUCK)} AS ws FROM q)
+      ) WHERE quality_score >= {_PREP_QUALITY_MIN}
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+             any_value(text) AS text
+      FROM scored GROUP BY md5(text)
+    ),
+    sampled AS (
+      SELECT * FROM deduped WHERE {_doc_hash(DUCK)} % 2 = 0
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum({D.regexp_all_count(DUCK, "lower(text)", _BPE_PATTERN)})
+                AS BIGINT) AS n_tokens
+    FROM sampled GROUP BY lang
+    """,
+    doc="The composed training-data prep pipeline: quality-filter "
+    "(heuristic score >= 60) -> exact near-dup removal (md5(text) "
+    "group, keep lowest doc_id) -> deterministic 50% sample -> per-lang "
+    "doc/token budget. Every stage is one of the engine's own operators "
+    "chained declaratively, so Catalyst fuses the filters and the whole "
+    "pipeline runs in two shuffles (dedup group + final agg).",
+    tags=("llm", "pipeline"),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", "lang", "text", f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
+        .selectExpr(
+            "doc_id", "lang", "text",
+            _quality_select(SPARK)[5].replace(" AS ", " as "),
+        )
+        .where(F.col("quality_score") >= _PREP_QUALITY_MIN)
+    )
+    deduped = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("lang").alias("lang"),
+        F.any_value("text").alias("text"),
+    )
+    sampled = deduped.where(F.expr(f"{_doc_hash(SPARK)} % 2 = 0"))
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.expr(D.regexp_all_count(SPARK, "lower(text)", _BPE_PATTERN))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
