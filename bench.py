@@ -39,6 +39,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_bruteforce_topk",
+    # advanced joins / sessions / training-data prep
+    "range_join_error_windows",
+    "sessionize_events",
+    "hypertable_rollup_1h",
+    "packed_context_bins",
+    "corpus_prep_pipeline",
 ]
 
 
