@@ -16,3 +16,5 @@ def load_all() -> None:
     import streamprocessors_spark.plans.llm_ops  # noqa: F401
     import streamprocessors_spark.plans.streaming_queries  # noqa: F401
     import streamprocessors_spark.plans.advanced  # noqa: F401
+    import streamprocessors_spark.plans.tpch_decision  # noqa: F401
+    import streamprocessors_spark.plans.analytics  # noqa: F401

@@ -1,0 +1,236 @@
+"""Event-stream analytics the reference's dashboard hints at but cannot
+compute, plus an edit-distance dedup tier.
+
+The reference surfaces per-second rate series to a JS dashboard
+(assets/html/js/system.js, es_proc.js — SURVEY §2.5 A3-A7) but has no
+query engine behind it: no funnels, no inter-arrival statistics, no
+gap-filled resampling. These are the idiomatic Spark restatements, each
+with a DuckDB oracle.
+
+Scale notes (100 TB):
+- funnel + inter-arrival both shuffle ONCE on user_id (high cardinality,
+  well spread); everything after the shuffle is per-group;
+- the resample spine (hours x event_type) is tiny and generated, so the
+  gap-fill join broadcasts the spine side — no extra shuffle of the fact
+  aggregate;
+- levenshtein is O(len^2) per pair, so candidate pairs are blocked on
+  (source, length-band) BEFORE the quadratic metric — the same
+  block-then-verify shape as the MinHash/LSH tiers (plans/llm_ops.py);
+  at scale the self-join is an equi-join on the block key, and the DP
+  runs only inside blocks.
+
+Float parity: gaps are computed in integer MICROSECONDS (exact in both
+engines; see functions/dialect.py for why raw double round() is unsafe),
+averages floor-quantized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamprocessors_spark.plans.registry import register
+from streamprocessors_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _fr(col: Column, decimals: int) -> Column:
+    scale = 10**decimals
+    return F.floor(col * scale) / F.lit(float(scale))
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL)  AS n_view,
+           count(*) FILTER (WHERE t_view < t_click)    AS n_click_after_view,
+           count(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase)
+                                                       AS n_full_funnel
+    FROM (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    """,
+    doc="Conversion funnel view->click->purchase: per-user first-touch "
+    "timestamps via conditional min (one shuffle on user_id, map-side "
+    "partial agg), then ordered-stage counts in a single-row reduce. The "
+    "reference's dashboard plots raw per-PID series (es_proc.js:754-810) "
+    "— cross-event sequencing like this needs a real query engine.",
+    tags=("agg", "funnel"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return first.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias(
+            "n_click_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    SELECT user_id,
+           count(*)                                   AS n_gaps,
+           floor(avg(gap_us) / 10000.0) / 100         AS avg_gap_s,
+           max(gap_us)                                AS max_gap_us
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Per-user inter-arrival gaps via lag() over (user, time-ordered) "
+    "windows — the T1 per-key-ordering discipline (ts_dec.c:98-108 CC "
+    "check generalized from 4-bit counters to wall-clock gaps). Gaps are "
+    "integer microseconds (exact cross-engine); the unique event_id "
+    "tiebreak pins frame order under equal timestamps. One shuffle on "
+    "user_id; window + aggregate reuse the same clustering.",
+    tags=("window", "agg"),
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.floor(F.avg("gap_us") / 10000.0) / F.lit(100.0)).alias("avg_gap_s"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@register(
+    "resample_1h_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n_events,
+             floor(sum(value) * 100) / 100 AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hours.hour, types.event_type,
+           coalesce(c.n_events, 0)    AS n_events,
+           coalesce(c.sum_value, 0.0) AS sum_value
+    FROM hours CROSS JOIN types
+    LEFT JOIN c ON c.hour = hours.hour AND c.event_type = types.event_type
+    """,
+    doc="Time-series resample with gap filling: a generated (hour x "
+    "event_type) spine left-joined to hourly aggregates, so silent hours "
+    "appear as explicit zero rows (what a dashboard needs to draw gaps — "
+    "the reference's 60-slot ring buffer, stats.c:57-68, gets this for "
+    "free by preallocating slots). The spine is tiny and broadcast; the "
+    "fact side aggregates with one shuffle.",
+    tags=("window", "gapfill", "join"),
+)
+def resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("c_hour"),
+        F.col("event_type").alias("c_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("c_n"),
+        _fr(F.sum("value"), 2).alias("c_sv"),
+    )
+    spine = F.broadcast(hours.crossJoin(types))
+    return spine.join(
+        counts,
+        (F.col("c_hour") == F.col("hour")) & (F.col("c_type") == F.col("event_type")),
+        "left",
+    ).select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("c_n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("c_sv"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source
+     AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 0.2 * greatest(a.n_chars, b.n_chars)
+    """,
+    doc="Edit-distance near-dup tier: candidate pairs blocked on (source, "
+    "50-char length band) — an equi-join, NOT a cross product — then the "
+    "O(len^2) Levenshtein DP verifies only inside blocks, accepting pairs "
+    "within 20% relative distance. Complements the shingle/MinHash/SimHash "
+    "tiers (plans/llm_ops.py) with a character-level metric both engines "
+    "implement identically. At 100 TB the block key spreads the self-join "
+    "shuffle; band width trades recall vs candidate count.",
+    tags=("dedup", "join", "llm"),
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("source").alias("src_a"),
+        F.floor(F.col("n_chars") / 50).alias("band_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("source").alias("src_b"),
+        F.floor(F.col("n_chars") / 50).alias("band_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("src_a") == F.col("src_b"))
+        & (F.col("band_a") == F.col("band_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return pairs.where(
+        dist <= 0.2 * F.greatest(F.col("nc_a"), F.col("nc_b"))
+    ).select("doc_a", "doc_b", dist.alias("edit_dist"))

@@ -114,19 +114,40 @@ SECTION_STATE_SCHEMA = StructType(
 )
 
 
-def section_reassembly_stream(packets: DataFrame) -> DataFrame:
+def section_reassembly_stream(
+    packets: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """R1+R2 as keyed streaming state: PSI section reassembly.
 
     The partial-section buffer crosses micro-batch boundaries through the
     state store, so a section whose packets arrive in different batches
     still reassembles byte-exactly (tests force this with one-file-per-
     trigger segments).
+
+    ``idle_timeout_ms`` (T2): a key idle longer than this abandons its
+    partial buffer and frees its state — the reference's "section could
+    not be completed" rule (psi_dec.c:271-293, psi_table_dec.c:160-166)
+    applied on the time axis. Without it a continuous ingest leaks ≤4 KB
+    per dead (stream, pid) key forever.
+
+    Only pass ``idle_timeout_ms`` for continuously-triggered queries:
+    with a processing-time timeout every micro-batch schedules a
+    follow-up timeout-check batch, so a ``Trigger.AvailableNow`` query
+    never terminates. Batch-parity runs (the oracle gate) use the
+    default ``None``.
     """
     from streamprocessors_spark.codec.psi import SectionReassembler, parse_section
 
     def f(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle key: drop the partial buffer, free the state slot
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=[f.name for f in SECTION_STREAM_SCHEMA]
+            )
+            return
         r = SectionReassembler()
         if state.exists:
             buf, synced = state.get
@@ -162,11 +183,17 @@ def section_reassembly_stream(packets: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in SECTION_STREAM_SCHEMA]
             )
         state.update((bytes(r.buf), bool(r.synced)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
 
     return packets.groupBy("stream_id", "pid").applyInPandasWithState(
         f,
         outputStructType=SECTION_STREAM_SCHEMA,
         stateStructType=SECTION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

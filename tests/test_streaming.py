@@ -131,3 +131,68 @@ def test_cc_state_crosses_microbatches(spark):
     )
     assert len(agg) == 1
     assert agg[0].n == 2 and agg[0].e == 1
+
+
+def test_section_state_idle_timeout_abandons_partial(spark, split_section_dir):
+    """T2 time-axis rule: a key idle past idle_timeout_ms loses its partial
+    buffer (psi_table_dec.c:160-166 abandonment). One continuously-running
+    query (processingTime trigger — an idle timeout NEVER terminates under
+    availableNow, because every timeout check schedules a follow-up batch):
+    half a section arrives, the key goes idle past the timeout, then the
+    continuation arrives — and must NOT complete, because the reassembler
+    state was dropped and restarted unsynced."""
+    import shutil
+    import time
+
+    from streamprocessors_spark.sources import packets_from_binary_column
+    from streamprocessors_spark.streaming.stateful import section_reassembly_stream
+
+    src_dir, sec = split_section_dir
+    # stage the batches into a fresh dir so we control arrival times
+    d = tempfile.mkdtemp(prefix=f"spgraft_tmo_{uuid.uuid4().hex[:6]}_")
+    ckpt = tempfile.mkdtemp(prefix=f"spgraft_tmo_ck_{uuid.uuid4().hex[:6]}_")
+    parts = sorted(os.listdir(src_dir))
+    assert len(parts) == 2
+
+    raw = spark.readStream.schema(STREAM_SCHEMA).parquet(d)
+    out = section_reassembly_stream(
+        packets_from_binary_column(raw), idle_timeout_ms=500
+    )
+    name = f"tmo_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+
+    def batches_done() -> int:
+        p = q.lastProgress
+        return p["batchId"] if p else -1
+
+    def wait_past(batch: int, deadline_s: float = 120.0) -> None:
+        t0 = time.monotonic()
+        while batches_done() <= batch:
+            assert time.monotonic() - t0 < deadline_s, "query stalled"
+            time.sleep(0.1)
+
+    try:
+        # phase 1: first half of stream "s"'s section
+        shutil.copy(os.path.join(src_dir, parts[0]), os.path.join(d, "b0.parquet"))
+        wait_past(0)
+        # phase 2: let the key idle past 500 ms; timeout-check batches run
+        # automatically (each batch with live timeouts schedules the next)
+        b = batches_done()
+        time.sleep(1.0)
+        wait_past(b + 2)  # >= two more batches -> the timeout has fired
+        assert spark.table(name).count() == 0
+        # phase 3: the continuation arrives too late to complete
+        shutil.copy(os.path.join(src_dir, parts[1]), os.path.join(d, "b2.parquet"))
+        b = batches_done()
+        wait_past(b + 2)
+        rows = spark.table(name).collect()
+        assert rows == [], f"abandoned section must not complete, got {rows}"
+    finally:
+        q.stop()
