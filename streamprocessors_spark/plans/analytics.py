@@ -234,3 +234,101 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(
         dist <= 0.2 * F.greatest(F.col("nc_a"), F.col("nc_b"))
     ).select("doc_a", "doc_b", dist.alias("edit_dist"))
+
+
+@register(
+    "running_value_cents",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_cents
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events)
+    """,
+    doc="Running total per user: a ROWS UNBOUNDED PRECEDING window frame "
+    "(A2's peak gauge, app_prog_proc.c:110-115, generalized to a full "
+    "prefix series). Values are quantized to integer cents BEFORE the "
+    "cumulative sum — integer prefix sums are order-exact in both engines, "
+    "where a raw double cumsum would drift (DuckDB computes window sums "
+    "over a segment tree, Spark left-to-right; float association differs). "
+    "One shuffle on user_id.",
+    tags=("window", "frame"),
+)
+def running_value_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+@register(
+    "grouping_sets_event_rollup",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('hour', ts)), ())
+    """,
+    doc="Explicit GROUPING SETS — the third grouping-analytics surface "
+    "next to ROLLUP (agg_rollup_region_nation) and CUBE "
+    "(cube_events_by_type_hour): per-type totals, per-hour totals, and a "
+    "grand total in ONE pass (Catalyst expands the sets over a single "
+    "shuffle; naive UNION ALL would scan three times). Sums in integer "
+    "cents for cross-engine exactness.",
+    tags=("agg", "groupingsets"),
+)
+def grouping_sets_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ev.groupingSets(
+        [[F.col("event_type")], [F.col("hour")], []],
+        F.col("event_type"),
+        F.col("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label, count(*) AS n_vectors,
+           floor(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000) / 10000 AS min_norm,
+           floor(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000) / 10000 AS max_norm,
+           floor(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000) / 10000 AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="Higher-order array functions on the embedding column: L2 norm as "
+    "aggregate(zip_with(v, v, *)) — pure JVM expressions inside "
+    "whole-stage codegen, no Python in the loop — then per-label "
+    "min/max/avg. The norm is the building block the ANN queries "
+    "(ann_*_topk) reuse; pinning its distribution per label catches "
+    "encoder drift in a training-data pipeline. Single shuffle on label.",
+    tags=("llm", "vectors", "agg"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.expr(f"sqrt({D.dot_double(D.SPARK, 'embedding', 'embedding')})")
+    return emb.select("label", norm.alias("nrm")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        _fr(F.min("nrm"), 4).alias("min_norm"),
+        _fr(F.max("nrm"), 4).alias("max_norm"),
+        _fr(F.avg("nrm"), 4).alias("avg_norm"),
+    )

@@ -341,6 +341,26 @@ def set_intersect_both_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_except_open_only",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'P')
+    """,
+    doc="Set difference (EXCEPT): customers with open orders and nothing "
+    "finished or pending — completes the set-op surface next to INTERSECT "
+    "(set_intersect_both_status). Spark plans EXCEPT as a left-anti join "
+    "after per-side dedup; one shuffle on the key either way.",
+    tags=("setop",),
+)
+def set_except_open_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus").isin("F", "P")).select("o_custkey")
+    return a.subtract(b)  # EXCEPT DISTINCT (exceptAll would keep surplus dups)
+
+
+@register(
     "topk_orders_by_value",
     oracle="""
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
