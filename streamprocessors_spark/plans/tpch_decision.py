@@ -302,3 +302,351 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         _fr(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           floor(sum(volume) * 100) / 100 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+          OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="Q7 shape: bilateral trade volume between two nations per ship "
+    "year. Both nation filters are applied to the DIM sides first "
+    "(supplier⋈nation, customer⋈nation shrink to ~1/12 each) and broadcast, "
+    "so lineitem is cut by the supplier filter BEFORE its one shuffle onto "
+    "orderkey — the disjunctive nation-pair predicate then only runs on "
+    "survivors. The reference's only cross-table composition is the "
+    "PAT⋈PMT⋈SDT chain (psi_table.c:213-268); a 6-table snowflake with a "
+    "disjunctive cross-branch predicate is new surface.",
+    tags=("join", "agg", "broadcast"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_9", "NATION_6"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6"))
+            | ((F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            _fr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           floor(sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END)
+                 / sum(volume) * 10000) / 10000 AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+        AND p_type = 'MEDIUM'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="Q8 shape: one supplier nation's share of an entire region's "
+    "market for one part type, per order year. The 8-table snowflake "
+    "collapses to lineitem + orders with every dim broadcast: the "
+    "p_type filter cuts lineitem ~1/6 before its orderkey shuffle, the "
+    "region filter cuts customers ~1/5 behind the orders join, and the "
+    "share is a conditional-sum ratio (no second pass). floor-quantized "
+    "to 4 places for float parity.",
+    tags=("join", "agg", "broadcast"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "MEDIUM")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    share = F.sum(F.when(F.col("nation") == "NATION_9", F.col("volume")).otherwise(0.0)) / F.sum(
+        "volume"
+    )
+    return joined.groupBy("o_year").agg(_fr(share, 4).alias("mkt_share"))
+
+
+@register(
+    "q12_late_line_priority",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+    doc="Q12 shape (adapted: the fixture has no l_shipmode/commitdate, so "
+    "the grouping is l_returnflag and 'late' = shipped >30 days after "
+    "order): per flag, how many late lines came from critical- vs "
+    "normal-priority orders — the classic conditional-count pivot pair. "
+    "The non-equi ship-lag predicate rides the orderkey equi-join; counts "
+    "are integers, exact in any order. One shuffle.",
+    tags=("join", "agg", "conditional"),
+)
+def q12_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="Q15 shape: the supplier(s) with maximum quarterly revenue — a "
+    "scalar MAX subquery over a reused aggregate view. The per-supplier "
+    "aggregate materializes ONCE behind a repartition Exchange and is "
+    "consumed by both the max() branch (1-row broadcast) and the equality "
+    "filter (AQE ReusedExchange; see spark-perf memory). Equality compares "
+    "floor-quantized doubles, identical in both engines, so ties surface "
+    "identically.",
+    tags=("join", "subquery", "agg"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _fr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+        .repartition(8, "supplier_no")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    oracle="""
+    SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100
+           AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND ((p_brand = 'Brand#4'  AND l_quantity BETWEEN 1  AND 11)
+        OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#17' AND l_quantity BETWEEN 20 AND 30))
+    """,
+    doc="Q19 shape (adapted: p_size is constant and there is no "
+    "p_container, so the brackets pair brand with quantity bands): revenue "
+    "matching a disjunction of conjunctive brackets across BOTH join "
+    "sides. The shared l_shipdate range is kept OUT of the OR so it "
+    "pushes to the parquet scan (PushedFilters); the cross-side brackets "
+    "evaluate after the broadcast hash join of part. Single map-side "
+    "pass, no shuffle beyond the final 1-row agg.",
+    tags=("join", "broadcast", "predicate"),
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    brackets = (
+        ((F.col("p_brand") == "Brand#4") & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#19") & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#17") & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(brackets)
+        .agg(
+            _fr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_9'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                        ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc="Q21 shape (adapted: no receipt/commit dates, so 'kept waiting' = "
+    "shipped >60 days after order): suppliers from one nation who were "
+    "the SOLE late supplier on a multi-supplier finished order. Instead "
+    "of the textbook EXISTS + NOT EXISTS pair (two extra self-joins of "
+    "the fact table), the Spark plan derives per-order supplier/late "
+    "counts in ONE aggregate over the already-joined rows — "
+    "count(distinct suppkey) > 1 encodes the EXISTS, "
+    "count(distinct late suppkey) = 1 the NOT EXISTS — so lineitem "
+    "shuffles once on orderkey and the aggregate reuses that "
+    "partitioning (no second Exchange). Deterministic top-10 by "
+    "(numwait desc, s_name).",
+    tags=("join", "semi", "anti", "agg", "topk"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    cand = (
+        lo.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
