@@ -127,6 +127,51 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+AUDIO_WIN = 32  # samples per analysis window for the fake-PCM energy path
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_window_energy(mm_df: DataFrame, win: int = AUDIO_WIN) -> DataFrame:
+    """Windowed audio energy over the payload, vectorized with numpy.
+
+    Stand-in for a real PCM decode (decode_image_real documents the stub
+    contract): the body bytes are treated as unsigned 8-bit samples and
+    reduced to per-window mean-square energy. The Spark-side shape is the
+    real one — Arrow-batched mapInPandas, one output row per (doc, window),
+    partition-local with no shuffle — so swapping in torchaudio/pyav only
+    replaces the inner numpy line.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple[int, int, int, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = np.frombuffer(bytes(payload), dtype=np.uint8)[HEADER_LEN:]
+                n = len(body)
+                if n == 0:
+                    continue
+                sq = body.astype(np.int64) ** 2
+                for i in range((n + win - 1) // win):
+                    chunk = sq[i * win : (i + 1) * win]
+                    out.append(
+                        (int(doc_id), i, len(chunk), int(chunk.sum()) // len(chunk))
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ENERGY_SCHEMA.fields]
+            )
+
+    return mm_df.mapInPandas(batches, schema=ENERGY_SCHEMA)
+
+
 def sample_frames(mm_df: DataFrame, stride: int = 2) -> DataFrame:
     """Frame-sample the payload: every ``stride``-th FRAME_SIZE-byte chunk.
 

@@ -743,6 +743,43 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_window_energy",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, ''),
+                            c -> c <> ''), c -> ord(c)) AS bs
+      FROM documents
+    ), w AS (
+      SELECT doc_id, bs,
+             unnest(range(0, (len(bs) + {MM.AUDIO_WIN - 1}) // {MM.AUDIO_WIN}))
+               AS win_idx
+      FROM b WHERE len(bs) > 0
+    ), s AS (
+      SELECT doc_id, win_idx,
+             list_transform(list_slice(bs, win_idx * {MM.AUDIO_WIN} + 1,
+                                       (win_idx + 1) * {MM.AUDIO_WIN}),
+                            x -> x * x) AS sq
+      FROM w
+    )
+    SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+           CAST(len(sq) AS INT) AS n_samples,
+           CAST(list_sum(sq) // len(sq) AS BIGINT) AS energy
+    FROM s
+    """,
+    doc="Multimodal audio path: per-window mean-square energy over the "
+    "opaque payload (fake-PCM stand-in for a torchaudio decode; "
+    "functions/multimodal.py::audio_window_energy). numpy-vectorized "
+    "mapInPandas, one row per 32-sample window, partition-local (no "
+    "shuffle). Oracle mirrors the byte arithmetic with list lambdas "
+    "(fixture text is ASCII, so ord(char) == byte).",
+    tags=("multimodal",),
+)
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.audio_window_energy(MM.with_payload(_docs(spark, sf_dir)))
+
+
+@register(
     "mm_frame_sample",
     oracle=None,  # frame CRCs are not SQL-expressible; driver runs rows-only
     doc="Multimodal frame sampling: every 2nd 64-byte chunk of the payload "
