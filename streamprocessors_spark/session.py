@@ -69,14 +69,16 @@ _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one fixture table, normalizing nanosecond-timestamp columns.
+    """Read one fixture table, normalizing timestamp column types.
 
-    The driver's fixtures store event time as parquet TIMESTAMP(NANOS),
-    which Spark's reader rejects outright. We read those files with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (nanos surface as LongType)
-    and truncate to microseconds — exactly what DuckDB does when it reads
-    the same file, so oracle comparisons stay exact. The conf is set at
-    runtime so this works under the driver's own SparkSession too.
+    Fixture generations have varied: parquet TIMESTAMP(NANOS) (which
+    Spark's reader rejects outright) and TIMESTAMP(MICROS) without the
+    UTC-adjusted flag (which Spark surfaces as TIMESTAMP_NTZ — rejected by
+    instant functions like ``unix_micros``). Both are normalized to plain
+    ``TimestampType`` under the UTC session zone: nanos are read via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated to micros
+    (matching DuckDB's read of the same file), and NTZ columns are cast —
+    a pure re-tag under UTC, so oracle comparisons stay exact.
     """
     from pyspark.sql import functions as F
 
@@ -85,8 +87,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in nano_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif t == "bigint" and c in nano_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 

@@ -62,6 +62,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.readStream.schema(schema).parquet(_stage_dir(path))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
