@@ -19,3 +19,4 @@ def load_all() -> None:
     import streamprocessors_spark.plans.tpch_decision  # noqa: F401
     import streamprocessors_spark.plans.analytics  # noqa: F401
     import streamprocessors_spark.plans.feature_eng  # noqa: F401
+    import streamprocessors_spark.plans.data_quality  # noqa: F401
