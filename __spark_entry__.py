@@ -35,12 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in plans.REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries the driver has not yet verified come first (the
+    round-1 correctness pass truncated at ~50 entries).
+    """
+    return {name: q.fn for name, q in plans.ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query."""
     return {
-        name: q.oracle for name, q in plans.REGISTRY.items() if q.oracle is not None
+        name: q.oracle
+        for name, q in plans.ordered_registry().items()
+        if q.oracle is not None
     }

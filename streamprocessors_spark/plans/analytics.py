@@ -240,8 +240,9 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_value_cents",
     oracle="""
     SELECT event_id, user_id,
-           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT)
              AS running_cents
     FROM (SELECT event_id, user_id, ts,
                  CAST(floor(value * 100) AS BIGINT) AS cents
@@ -276,7 +277,7 @@ def running_value_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, date_trunc('hour', ts) AS hour,
            count(*) AS n_events,
-           sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
     GROUP BY GROUPING SETS ((event_type), (date_trunc('hour', ts)), ())
     """,

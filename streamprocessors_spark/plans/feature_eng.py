@@ -196,7 +196,7 @@ def _ema_exprs() -> tuple[str, str]:
     oracle=f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
-             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS day_cents
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
       FROM orders GROUP BY 1
     )
     SELECT d, day_cents,
@@ -308,7 +308,7 @@ def _zorder_sql(d: str) -> str:
     SELECT CAST(tile AS INT) AS tile,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           sum(cents) AS value_cents
+           CAST(sum(cents) AS BIGINT) AS value_cents
     FROM keyed GROUP BY tile
     """
 

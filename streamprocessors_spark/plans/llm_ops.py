@@ -661,25 +661,28 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
     k AS (SELECT doc_id, {TP.kgram_hashes(DUCK, "ws")} AS kh FROM w)
     SELECT doc_id,
-           {TP.winnow_fingerprints(DUCK, "kh")} AS fps,
+           COALESCE(array_to_string({TP.winnow_fingerprints(DUCK, "kh")}, ','), '') AS fps,
            {D.size(DUCK, TP.winnow_fingerprints(DUCK, "kh"))} AS n_fps
     FROM k
     """,
     doc="Document fingerprinting by winnowing (Schleimer et al. '03): "
     "rolling word-5-gram hashes, window-of-4 minima, sorted distinct set. "
     "Pure array expressions; the fingerprint set is the downstream join key "
-    "for containment detection at scale.",
+    "for containment detection at scale. The set is emitted as a ','-joined "
+    "string (not ArrayType) so order-insensitive row canonicalizers can "
+    "sort/hash the rows.",
     tags=("text", "dedup"),
 )
 def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = TP.winnow_fingerprints(SPARK, "kh")
     return (
         _docs(spark, sf_dir)
         .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
         .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
         .selectExpr(
             "doc_id",
-            f"{TP.winnow_fingerprints(SPARK, 'kh')} as fps",
-            f"{D.size(SPARK, TP.winnow_fingerprints(SPARK, 'kh'))} as n_fps",
+            f"array_join(transform({fps}, x -> cast(x as string)), ',') as fps",
+            f"{D.size(SPARK, fps)} as n_fps",
         )
     )
 

@@ -431,7 +431,7 @@ def es_transform_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)         AS n_samples,
            min(delta)       AS min_delta,
            max(delta)       AS max_delta,
-           sum(delta)       AS sum_delta
+           CAST(sum(delta) AS BIGINT) AS sum_delta
     FROM d GROUP BY 1
     """,
     doc="A7 per-ES time-stamp series (es_proc.js:754-810 time_stamp_stats): "

@@ -1,0 +1,74 @@
+"""Audit every declared query for driver-canonicalizer hazards.
+
+The driver's comparator pandas-sorts both result sets before hashing, so a
+query is only safely comparable when BOTH sides produce flat, hashable,
+type-stable columns. Two classes of hazard bit round 1:
+
+1. DuckDB HUGEINT (int128): ``sum(BIGINT)`` returns HUGEINT, which pandas
+   coerces through float64 — the canonical string can then differ from
+   Spark's int64 even when values are equal (es_timestamp_stats).
+2. LIST/STRUCT/MAP outputs: pandas ``sort_values`` factorizes cells and dies
+   on unhashable lists (doc_fingerprint_winnow).
+
+This tool runs ``DESCRIBE`` on every oracle (cheap, no execution) and
+inspects every Spark plan's schema (lazy, no job) and fails loudly on:
+- oracle column types containing HUGEINT/INT128/UHUGEINT/LIST/STRUCT/MAP/UNION
+- Spark columns of Array/Map/Struct type
+
+Usage: python tools/canon_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BAD_DUCK = ("HUGEINT", "INT128", "LIST", "STRUCT", "MAP", "UNION", "[]")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import types as T
+
+    from streamprocessors_spark import plans
+    from streamprocessors_spark.session import get_spark
+    from tools.compare import duckdb_conn
+
+    plans.load_all()
+    spark = get_spark()
+    con = duckdb_conn(sf_dir)
+
+    problems: list[str] = []
+    for name, q in plans.REGISTRY.items():
+        if q.oracle is not None:
+            try:
+                desc = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"{name}: oracle DESCRIBE failed: {e}")
+                desc = []
+            for col, typ, *_ in desc:
+                up = str(typ).upper()
+                if any(b in up for b in BAD_DUCK):
+                    problems.append(f"{name}: oracle column {col} is {typ}")
+        try:
+            schema = q.fn(spark, sf_dir).schema
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: spark plan failed to build: {e}")
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                problems.append(
+                    f"{name}: spark column {f.name} is {f.dataType.simpleString()}"
+                )
+
+    for p in problems:
+        print("HAZARD:", p)
+    print(f"audited {len(plans.REGISTRY)} queries, {len(problems)} hazards")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
