@@ -10,10 +10,10 @@ assets/html/js/es_proc.js:740-745).
 Spark-first restatement: a registry mapping ``stream_type`` -> a DataFrame
 transform. Dispatch is data-driven (one plan handles every type — PIDs and
 stream types are columns, not topology), and each transform is a pure
-column expression where possible; actual subtitle bitstream decoding would
-need codec tables not present here, so those bodies are deterministic
-stand-ins with the registry/dispatch plumbing real (same policy as the
-multimodal decode stub).
+column expression: the subtitle bodies are the real settings surface
+(PES PTS restamping per ISO 13818-1 §2.4.3.7, DVB subtitling-segment
+duration/position patching per EN 300 743 — see codec/pes.py) applied to
+the fixed-layout packets this engine generates and parses byte-exactly.
 
 Scale: dispatch = one CASE projection, no shuffle, no Python.
 """
@@ -33,6 +33,16 @@ ST_PRIVATE_PES = 0x06  # DVB subtitles/teletext travel as private PES
 EsTransform = Callable[[Column], Column]
 
 _REGISTRY: dict[str, EsTransform] = {}
+
+# Registry-default settings (the per-instance values live in the config
+# table, S5; defaults mirror the dashboard's "no offset" initial state).
+from streamprocessors_spark.codec.pes import (  # noqa: E402
+    DvbSubtSettings,
+    ScteSubt2DvbSettings,
+)
+
+DVB_SUBT_DEFAULTS = DvbSubtSettings()
+SCTE2DVB_DEFAULTS = ScteSubt2DvbSettings()
 
 
 def register_es_proc(name: str) -> Callable[[EsTransform], EsTransform]:
@@ -68,21 +78,35 @@ def bypass(payload: Column) -> Column:
 
 @register_es_proc("dvb_subt")
 def dvb_subt(payload: Column) -> Column:
-    """DVB-subtitle 'decode' stand-in: surface the payload as text the way
-    the real decoder surfaces page text (es_proc.js settings imply
-    vpos/duration editing on decoded pages). Real PES/segment parsing
-    would slot in here as a pandas_udf."""
-    return _result(payload, F.decode(payload, "utf-8"))
+    """DVB-subtitle editor (es_proc.js:87-93, dvb_subt.js:667-767): parse
+    the PES PTS and the page composition segment, apply the configured
+    time-shift / duration-clamp / position offsets, re-encode. The
+    registry body runs the module-default settings; parametrized use goes
+    through ``codec.pes.dvb_subt_patch_expr`` directly. ``text`` surfaces
+    the decoded page summary the dashboard renders."""
+    from streamprocessors_spark.codec.pes import dvb_subt_patch_expr
+
+    r = dvb_subt_patch_expr(payload, DVB_SUBT_DEFAULTS)
+    summary = F.format_string(
+        "pts=%d to=%d pos=%dx%d",
+        r["pts_out"],
+        r["timeout_out"],
+        r["hpos_out"],
+        r["vpos_out"],
+    )
+    return _result(r["out_payload"], summary)
 
 
 @register_es_proc("scte_subt2dvb")
 def scte_subt2dvb(payload: Column) -> Column:
-    """SCTE-27 -> DVB transcoder stand-in: re-emit the payload with a
-    marker header (the real transcoder re-encodes segments; settings keys
-    time_shift_offset_msec etc. live in the config table)."""
-    return _result(
-        F.concat(F.lit(b"DVB\x00"), payload), F.lit(None).cast("string")
-    )
+    """SCTE-27 -> DVB subtitle transcoder (scte_subt2dvb.js:371-374):
+    display duration in frames -> DVB page_time_out seconds, position
+    shifted by vpos_offset_pels, PTS carried over; emits a spec-shaped
+    DVB PES (codec/pes.py)."""
+    from streamprocessors_spark.codec.pes import scte_subt2dvb_expr
+
+    r = scte_subt2dvb_expr(payload, SCTE2DVB_DEFAULTS)
+    return _result(r["out_payload"], F.lit(None).cast("string"))
 
 
 # default stream_type -> processor wiring (the reference registers bypass

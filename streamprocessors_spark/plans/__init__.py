@@ -42,6 +42,9 @@ _DRIVER_WINDOW_FIRST = (
     "stream_section_reassembly",
     "q21_waiting_supplier",
     "corpus_prep_pipeline",
+    "es_subtitle_restamp",
+    "es_scte_subt2dvb",
+    "es_transform_registry",
 )
 
 

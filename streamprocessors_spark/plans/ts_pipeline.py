@@ -363,19 +363,30 @@ def base64_pmt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE doc_id % 3 WHEN 0 THEN 27 WHEN 1 THEN 15 ELSE 6 END AS stream_type,
            CASE doc_id % 3 WHEN 0 THEN 'bypass' WHEN 1 THEN 'scte_subt2dvb'
                 ELSE 'dvb_subt' END AS proc_name,
-           octet_length(encode(text))
-             + CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 0 END AS out_len,
-           CASE WHEN doc_id % 3 = 2 THEN substr(text, 1, 32) END AS text_prefix
+           CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text))
+                ELSE 30 END AS out_len,
+           CASE WHEN doc_id % 3 = 2 THEN substr(
+             'pts=' || (doc_id * 3003) % 8589934592 ||
+             ' to=' || doc_id % 200 ||
+             ' pos=' || doc_id % 720 || 'x' || doc_id % 576, 1, 32)
+           END AS text_prefix
     FROM documents
     """,
     doc="U1/U2 per-ES processor registry: stream_type-keyed transform "
     "dispatch (proc_if registry, mpeg2_sp.c:450-454) as ONE CASE projection "
-    "— bypass (identity), dvb_subt (text surface), scte_subt2dvb (re-header)"
-    " — no per-type topology, no Python, no shuffle "
-    "(operators/es_procs.py).",
+    "— bypass (identity), dvb_subt (PES/segment parse+patch, EN 300 743), "
+    "scte_subt2dvb (frames->page_time_out conversion emitting a DVB PES) — "
+    "no per-type topology, no Python, no shuffle (operators/es_procs.py, "
+    "codec/pes.py). Every non-bypass output is the 30-byte fixed-layout "
+    "DVB subtitle PES; dvb_subt also surfaces the decoded page summary.",
     tags=("ts", "udf"),
 )
 def es_transform_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.codec.pes import (
+        PTS_MOD,
+        dvb_subt_pes_expr,
+        scte_envelope_expr,
+    )
     from streamprocessors_spark.operators.es_procs import (
         ST_AAC,
         ST_H264,
@@ -387,13 +398,23 @@ def es_transform_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = F.create_map(
         *[x for st, n in sorted(wiring.items()) for x in (F.lit(st), F.lit(n))]
     )
+    did = F.col("doc_id")
+    pts = F.pmod(did * 3003, F.lit(PTS_MOD))
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit(ST_H264))
-        .when(F.col("doc_id") % 3 == 1, F.lit(ST_AAC))
+        F.when(did % 3 == 0, F.lit(ST_H264))
+        .when(did % 3 == 1, F.lit(ST_AAC))
         .otherwise(F.lit(ST_PRIVATE_PES))
         .alias("stream_type"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.when(did % 3 == 0, F.encode(F.col("text"), "utf-8"))
+        .when(
+            did % 3 == 1,
+            scte_envelope_expr(pts, F.lit(30) + did % 600, did % 576, did % 720),
+        )
+        .otherwise(
+            dvb_subt_pes_expr(pts, did % 100, did % 200, did % 720, did % 576)
+        )
+        .alias("payload"),
     )
     out = docs.select(
         "doc_id",
@@ -407,6 +428,144 @@ def es_transform_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "proc_name",
         F.length("r.out_payload").alias("out_len"),
         F.substring("r.text", 1, 32).alias("text_prefix"),
+    )
+
+
+@register(
+    "es_subtitle_restamp",
+    oracle="""
+    WITH f AS (
+      SELECT event_id,
+             ((epoch_us(ts) * 9) // 100) % 8589934592 AS pts_in,
+             user_id % 200  AS timeout_in,
+             event_id % 720 AS hpos_in,
+             user_id % 576  AS vpos_in
+      FROM events
+    )
+    SELECT event_id,
+           pts_in,
+           (pts_in + 250 * 90) % 8589934592            AS pts_out,
+           CAST(least(greatest(timeout_in + 2, 5), 30) AS INT) AS timeout_out,
+           CAST(least(greatest(hpos_in - 8, 0), 719) AS INT)   AS hpos_out,
+           CAST(least(greatest(vpos_in + 40, 0), 575) AS INT)  AS vpos_out
+    FROM f
+    """,
+    doc="U2 dvb_subt with a non-default settings document (es_proc.js:87-93,"
+    " dvb_subt.js:667-767): build a DVB-subtitle PES per event (ISO 13818-1 "
+    "PES header + EN 300 743 page composition segment), run the editor "
+    "(time_shift_offset_msec=250 restamping, duration clamp [5,30]+2, "
+    "vpos+40, hpos-8), then RE-PARSE every field from the transformed "
+    "bytes — the oracle is pure arithmetic, so a hash match proves the "
+    "encode->patch->decode loop is byte-exact. All JVM expressions, no "
+    "Python, no shuffle.",
+    tags=("ts", "udf"),
+)
+def es_subtitle_restamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.codec.pes import (
+        PTS_MOD,
+        DvbSubtSettings,
+        dvb_subt_patch_expr,
+        dvb_subt_pes_expr,
+        pts_decode_expr,
+        region_positions_expr,
+        page_timeout_expr,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    pts_in = F.expr("(unix_micros(ts) * 9) div 100") % F.lit(PTS_MOD)
+    pes = dvb_subt_pes_expr(
+        pts_in,
+        F.lit(1),
+        F.col("user_id") % 200,
+        F.col("event_id") % 720,
+        F.col("user_id") % 576,
+    )
+    settings = DvbSubtSettings(
+        time_shift_offset_msec=250,
+        restamping=True,
+        duration_min_seg=5,
+        duration_max_seg=30,
+        duration_offset_seg=2,
+        vpos_offset_pels=40,
+        hpos_offset_pels=-8,
+    )
+    patched = ev.select(
+        "event_id",
+        pts_in.alias("pts_in"),
+        dvb_subt_patch_expr(pes, settings)["out_payload"].alias("out"),
+    )
+    pos = region_positions_expr(F.col("out"))
+    return patched.select(
+        "event_id",
+        "pts_in",
+        pts_decode_expr(F.col("out")).alias("pts_out"),
+        page_timeout_expr(F.col("out")).cast("int").alias("timeout_out"),
+        pos["hpos"].cast("int").alias("hpos_out"),
+        pos["vpos"].cast("int").alias("vpos_out"),
+    )
+
+
+@register(
+    "es_scte_subt2dvb",
+    oracle="""
+    WITH f AS (
+      SELECT event_id,
+             ((epoch_us(ts) * 9) // 100) % 8589934592 AS pts_in,
+             30 + event_id % 600 AS dur_frames,
+             user_id % 576       AS vpos_in,
+             event_id % 720      AS hpos_in
+      FROM events
+    )
+    SELECT event_id,
+           pts_in AS pts_out,
+           CAST(least(greatest(
+             ceil((dur_frames * 1000.0 / 30 + 1500) / 1000), 0), 255) AS INT)
+             AS timeout_out,
+           CAST(least(greatest(vpos_in - 24, 0), 575) AS INT) AS vpos_out,
+           CAST(hpos_in AS INT) AS hpos_out,
+           30 AS out_len
+    FROM f
+    """,
+    doc="U2 scte_subt2dvb (scte_subt2dvb.js:371-374): SCTE-27-shaped "
+    "envelope (display_in_PTS, display duration in frames @30fps, bitmap "
+    "position) -> DVB subtitle PES, with duration_offset_msec=1500 and "
+    "vpos_offset_pels=-24 applied during conversion. Fields re-parsed from "
+    "the emitted DVB bytes; oracle is the conversion arithmetic. JVM "
+    "expressions only.",
+    tags=("ts", "udf"),
+)
+def es_scte_subt2dvb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.codec.pes import (
+        PTS_MOD,
+        ScteSubt2DvbSettings,
+        page_timeout_expr,
+        pts_decode_expr,
+        region_positions_expr,
+        scte_envelope_expr,
+        scte_subt2dvb_expr,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    pts_in = F.expr("(unix_micros(ts) * 9) div 100") % F.lit(PTS_MOD)
+    env = scte_envelope_expr(
+        pts_in,
+        F.lit(30) + F.col("event_id") % 600,
+        F.col("user_id") % 576,
+        F.col("event_id") % 720,
+    )
+    settings = ScteSubt2DvbSettings(duration_offset_msec=1500, vpos_offset_pels=-24)
+    conv = ev.select(
+        "event_id",
+        scte_subt2dvb_expr(env, settings)["out_payload"].alias("out"),
+    )
+    pos = region_positions_expr(F.col("out"))
+    return conv.select(
+        "event_id",
+        pts_decode_expr(F.col("out")).alias("pts_out"),
+        page_timeout_expr(F.col("out")).cast("int").alias("timeout_out"),
+        pos["vpos"].cast("int").alias("vpos_out"),
+        pos["hpos"].cast("int").alias("hpos_out"),
+        F.length("out").alias("out_len"),
     )
 
 
