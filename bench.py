@@ -56,16 +56,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
-    # Warm-up pass: execute every query once so the measured pass reports
-    # steady-state engine throughput (what a long-running cluster job sees)
-    # instead of attributing one-time JVM JIT / codegen / Python-worker
-    # startup to whichever query happens to hit it first. Cold-start noise
-    # swung individual queries 5-10x run to run.
+    # Cold pass: first execution of every query in a fresh session — pays
+    # JVM JIT / codegen / Python-worker startup and any cache() population.
+    # Reported separately (queries_cold/value_cold) so the headline warm
+    # number is honest about what it excludes.
     spark.range(1_000_000).selectExpr("sum(id * 2) as s").collect()
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.REGISTRY.get(name)
         if q is not None:
+            t0 = time.perf_counter()
             q.fn(spark, SF_DIR).count()
+            cold[name] = round(time.perf_counter() - t0, 3)
 
     # Two measured passes, keep the per-query MIN: a periodic host-side CPU
     # spike (observed ~20 s, hitting one random query per pass) otherwise
@@ -91,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

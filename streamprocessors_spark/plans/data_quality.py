@@ -94,8 +94,11 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.lit(1).alias("_hit")
     )
+    # No forced broadcast: customer scales with the SF (not a fixed dim), so
+    # the join strategy is left to AQE / autoBroadcastJoinThreshold — at
+    # 100 TB a forced-broadcast build side would OOM executors.
     return (
-        ev.join(F.broadcast(cust), "user_id", "left")
+        ev.join(cust, "user_id", "left")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -105,17 +108,17 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tfidf_ctes(d: str) -> str:
+def _tfidf_ctes(d: str, table: str = "documents") -> str:
     """Shared CTE text: tokens -> tf -> df -> N (dialect-parametric)."""
     ws = D.words(d)
     unnest = "explode" if d == SPARK else "unnest"
     return f"""
-    tok AS (SELECT doc_id, {unnest}({ws}) AS term FROM documents),
+    tok AS (SELECT doc_id, {unnest}({ws}) AS term FROM {table}),
     tf AS (SELECT doc_id, term, cast(count(*) as BIGINT) AS tf
            FROM tok GROUP BY doc_id, term),
     df AS (SELECT term, cast(count(*) as BIGINT) AS df
            FROM tf GROUP BY term),
-    n AS (SELECT cast(count(*) as DOUBLE) AS n_docs FROM documents)
+    n AS (SELECT cast(count(*) as DOUBLE) AS n_docs FROM {table})
     """
 
 
@@ -144,10 +147,12 @@ def _tfidf_ctes(d: str) -> str:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents")
+    # unique view name: plan functions must not clobber the session-level
+    # `documents` view registered by load_tables
+    docs.createOrReplaceTempView("sp_tfidf_documents")
     scored = spark.sql(
         f"""
-        WITH {_tfidf_ctes(SPARK)}
+        WITH {_tfidf_ctes(SPARK, table="sp_tfidf_documents")}
         SELECT tf.doc_id, tf.term, tf.tf, df.df,
                {D.floor_round(SPARK, "tf.tf * ln(n.n_docs / df.df)", 6)} AS tfidf
         FROM tf JOIN df USING (term) CROSS JOIN n

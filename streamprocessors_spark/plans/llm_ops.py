@@ -358,6 +358,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {V.sign_bucket(DUCK, "embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT va, vb, bucket, cos FROM (
+      SELECT va, vb, bucket, cos,
+             row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+      FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.bucket AS bucket,
+               {D.cosine(DUCK, "a.embedding", "b.embedding")} AS cos
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      )
+    ) WHERE rn = 1
+    """,
+    doc="Embedding near-dup candidates, the 100 TB shape: same semantics "
+    "as dedup_embedding_cosine but blocked on the sign-LSH bucket (8 fixed "
+    "hyperplanes -> 256 buckets, shared with ann_lsh_bucketed) instead of "
+    "the label column — the pairwise step is per-bucket, the only shuffle "
+    "keys on `bucket`, and the plan is a hash/sort-merge equi-join (no "
+    "NestedLoop; pinned by test_plan_shapes). At scale the corpus is "
+    "bucketed-by `bucket` once so repeated dedup passes skip the exchange.",
+    tags=("dedup", "vector", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id", "embedding", f"{V.sign_bucket(SPARK, 'embedding')} as bucket"
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    j = a.join(
+        b, (a.bucket == b.bucket_b) & (F.col("va") != F.col("vb"))
+    ).selectExpr("va", "vb", "bucket", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("va", "vb", "bucket", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN)
 # ---------------------------------------------------------------------------
@@ -719,30 +769,34 @@ def mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_image_features",
-    oracle="""
+    oracle=f"""
     WITH b AS (
-      SELECT doc_id, octet_length(encode(text)) AS blen,
-             list_sum(list_transform(list_filter(string_split_regex(text, ''),
-                      c -> c <> ''), c -> ord(c)))::BIGINT AS bsum
-      FROM documents
+      SELECT doc_id,
+             list_sum(list_transform(list_filter(
+               string_split_regex(substr(text, 1, {MM.PPM_PIX_BYTES}), ''),
+               c -> c <> ''), c -> ord(c)))::BIGINT AS psum
+      FROM documents WHERE doc_id % 3 = 0
     )
     SELECT doc_id,
-           (doc_id % 3)::INT            AS media_type,
-           blen::INT                    AS body_len,
-           (16 + (blen % 640))::INT     AS width,
-           (16 + ((blen * 7) % 480))::INT AS height,
-           (CASE WHEN blen > 0 THEN bsum // blen ELSE 0 END)::INT AS mean_byte
+           {len(MM.PPM_HEADER) + MM.PPM_PIX_BYTES}::INT AS body_len,
+           {MM.PPM_W}::INT      AS width,
+           {MM.PPM_H}::INT      AS height,
+           {MM.PPM_MAXVAL}::INT AS maxval,
+           (psum // {MM.PPM_PIX_BYTES})::INT AS mean_byte
     FROM b
     """,
-    doc="Multimodal decode + feature extraction via Arrow-batched "
-    "mapInPandas (the real-decode call is a marked NotImplementedError stub; "
-    "a deterministic fake stands in — functions/multimodal.py). The oracle "
-    "mirrors the fake byte-arithmetic in SQL (fixture text is ASCII, so "
-    "ord(char) == byte).",
+    doc="Multimodal REAL image decode: the payload body is a genuine "
+    "binary PPM (P6) rendered JVM-side from the document bytes "
+    "(functions/multimodal.py::with_media_payload); the Arrow-batched "
+    "mapInPandas stage runs a real netpbm header tokenizer (whitespace + "
+    "#-comments) and reduces the raster. Oracle mirrors the pixel "
+    "arithmetic (fixture text is ASCII, so ord(char) == byte; the raster "
+    "is the first 144 text bytes zero-padded).",
     tags=("multimodal",),
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.extract_features(MM.with_payload(_docs(spark, sf_dir)))
+    mm = MM.with_media_payload(_docs(spark, sf_dir))
+    return MM.extract_features(mm.where(F.col("meta.media_type") == 0))
 
 
 @register(
@@ -750,36 +804,48 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
       SELECT doc_id,
-             list_transform(list_filter(string_split_regex(text, ''),
-                            c -> c <> ''), c -> ord(c)) AS bs
-      FROM documents
-    ), w AS (
-      SELECT doc_id, bs,
-             unnest(range(0, (len(bs) + {MM.AUDIO_WIN - 1}) // {MM.AUDIO_WIN}))
-               AS win_idx
-      FROM b WHERE len(bs) > 0
+             list_transform(list_filter(
+               string_split_regex(substr(text, 1, {MM.WAV_DATA_LEN}), ''),
+               c -> c <> ''), c -> ord(c)) AS bs
+      FROM documents WHERE doc_id % 3 = 1
+    ), p AS (
+      SELECT doc_id,
+             list_concat(bs, list_transform(range({MM.WAV_DATA_LEN} - len(bs)),
+                                            x -> 0)) AS bp
+      FROM b
     ), s AS (
-      SELECT doc_id, win_idx,
-             list_transform(list_slice(bs, win_idx * {MM.AUDIO_WIN} + 1,
-                                       (win_idx + 1) * {MM.AUDIO_WIN}),
-                            x -> x * x) AS sq
-      FROM w
+      SELECT doc_id,
+             list_transform(range(0, {MM.WAV_DATA_LEN // 2}), i ->
+               CASE WHEN bp[2*i + 2] >= 128
+                    THEN bp[2*i + 1] + 256 * bp[2*i + 2] - 65536
+                    ELSE bp[2*i + 1] + 256 * bp[2*i + 2] END) AS smp
+      FROM p
+    ), w AS (
+      SELECT doc_id,
+             unnest(range(0, {MM.WAV_DATA_LEN // 2 // MM.AUDIO_WIN})) AS win_idx,
+             smp
+      FROM s
     )
     SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
-           CAST(len(sq) AS INT) AS n_samples,
-           CAST(list_sum(sq) // len(sq) AS BIGINT) AS energy
-    FROM s
+           CAST({MM.AUDIO_WIN} AS INT) AS n_samples,
+           CAST(list_sum(list_transform(
+                  list_slice(smp, win_idx * {MM.AUDIO_WIN} + 1,
+                             (win_idx + 1) * {MM.AUDIO_WIN}),
+                  x -> x * x)) // {MM.AUDIO_WIN} AS BIGINT) AS energy
+    FROM w
     """,
-    doc="Multimodal audio path: per-window mean-square energy over the "
-    "opaque payload (fake-PCM stand-in for a torchaudio decode; "
-    "functions/multimodal.py::audio_window_energy). numpy-vectorized "
-    "mapInPandas, one row per 32-sample window, partition-local (no "
-    "shuffle). Oracle mirrors the byte arithmetic with list lambdas "
-    "(fixture text is ASCII, so ord(char) == byte).",
+    doc="Multimodal REAL audio decode: the payload body is a genuine "
+    "RIFF/WAVE PCM16 file built JVM-side (with_media_payload); the "
+    "mapInPandas stage chunk-walks the RIFF container (fmt /data, pad "
+    "bytes, unknown-chunk skip) and reduces the little-endian s16 samples "
+    "to per-32-sample-window mean-square energy. numpy-vectorized, "
+    "partition-local, no shuffle. Oracle reconstructs the samples from "
+    "the document bytes (ASCII, zero-padded to 256 data bytes).",
     tags=("multimodal",),
 )
 def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.audio_window_energy(MM.with_payload(_docs(spark, sf_dir)))
+    mm = MM.with_media_payload(_docs(spark, sf_dir))
+    return MM.audio_window_energy(mm.where(F.col("meta.media_type") == 1))
 
 
 @register(

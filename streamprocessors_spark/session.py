@@ -82,6 +82,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    # The NTZ->timestamp cast below is a pure re-tag ONLY under UTC; this
+    # also runs under the driver's own SparkSession, whose zone we don't
+    # control — pin it here, mirroring the nanosAsLong runtime set.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     nano_cols = _NANO_TS_COLUMNS.get(name, [])
     if nano_cols:

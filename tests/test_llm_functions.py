@@ -26,15 +26,73 @@ def test_minhash_constants_sane():
         assert a * (MH.P - 1) + b < 2**63
 
 
-def test_decode_stub_is_marked():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image_real(b"\x00")
+def test_decode_ppm_real_header_tokenizer():
+    # comments and arbitrary whitespace between header tokens (netpbm spec)
+    pixels = bytes(range(2 * 2 * 3))
+    data = b"P6 # inline comment\n# full line\n 2\t2\n# again\n255\n" + pixels
+    w, h, maxval, pix = MM.decode_ppm(data)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert pix == pixels
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P5\n2 2\n255\n" + pixels)  # P5 is not P6
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P6\n2 2\n255\n" + pixels[:-1])  # truncated raster
 
 
-def test_fake_decode_deterministic():
-    assert MM._fake_decode(b"hello") == MM._fake_decode(b"hello")
-    w, h, m = MM._fake_decode(b"")
-    assert (w, h, m) == (16, 16, 0)
+def test_decode_wav_chunk_walker():
+    import struct
+
+    import numpy as np
+
+    samples = np.array([-2, -1, 0, 1, 2, 32767], dtype="<i2")
+    data_bytes = samples.tobytes()
+    junk = b"LIST" + struct.pack("<I", 5) + b"12345" + b"\x00"  # odd->pad byte
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+        + junk
+        + b"data" + struct.pack("<I", len(data_bytes)) + data_bytes
+    )
+    ch, rate, bits, out = MM.decode_wav(wav)
+    assert (ch, rate, bits) == (1, 44100, 16)
+    assert (out == samples).all()
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFX" + wav[4:])
+    with pytest.raises(ValueError):  # non-PCM format code
+        bad = wav.replace(struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16),
+                          struct.pack("<HHIIHH", 3, 1, 44100, 88200, 2, 16))
+        MM.decode_wav(bad)
+
+
+def test_decode_media_sniffs_formats():
+    fmt, info = MM.decode_media(b"P6\n1 1\n255\n\x01\x02\x03")
+    assert fmt == "ppm" and info["width"] == 1
+    fmt, _ = MM.decode_media(b"plain text bytes")
+    assert fmt == "raw"
+
+
+def test_media_payload_bodies_are_real_formats(spark, sf_dir):
+    from streamprocessors_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(9)
+    rows = MM.with_media_payload(docs).collect()
+    assert len(rows) == 9
+    seen = set()
+    for r in rows:
+        body = bytes(r.payload)[MM.HEADER_LEN :]
+        t = r.doc_id % 3
+        seen.add(t)
+        if t == 0:
+            w, h, maxval, pix = MM.decode_ppm(body)
+            assert (w, h, maxval) == (MM.PPM_W, MM.PPM_H, MM.PPM_MAXVAL)
+            assert len(pix) == MM.PPM_PIX_BYTES
+        elif t == 1:
+            ch, rate, bits, samples = MM.decode_wav(body)
+            assert (ch, rate, bits) == (1, MM.WAV_RATE, 16)
+            assert len(samples) == MM.WAV_DATA_LEN // 2
+        assert r.meta.body_len == len(body)
+    assert seen == {0, 1, 2}
 
 
 def test_payload_layout(spark, sf_dir):

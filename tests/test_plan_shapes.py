@@ -78,6 +78,16 @@ def test_minhash_lsh_joins_on_band_hash(spark, sf_dir):
     nested loop here means the LSH degenerated to all-pairs."""
     p = _plan(spark, sf_dir, "dedup_minhash_lsh")
     assert "NestedLoop" not in p
+
+
+def test_dedup_embedding_lsh_is_bucket_equijoin(spark, sf_dir):
+    """The scale path for embedding dedup: the self-join must key on the
+    sign-LSH bucket (hash-partitioned equi-join). NestedLoop would mean
+    the blocking key silently degenerated to all-pairs; Python stages
+    would mean the cosine left the JVM."""
+    p = _plan(spark, sf_dir, "dedup_embedding_lsh")
+    assert "NestedLoop" not in p
+    assert "Python" not in p and "ArrowEval" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
 
 

@@ -120,18 +120,20 @@ def main() -> None:
         ).count(),
     )
 
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "multiplier": mult,
-                "n_docs": n_docs,
-                "n_vecs": n_vecs,
-                "base_docs": n0,
-                "timings_sec": out,
-            }
-        )
-    )
+    result = {
+        "sf_dir": sf_dir,
+        "multiplier": mult,
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+        "base_docs": n0,
+        "timings_sec": out,
+    }
+    print(json.dumps(result))
+    # persist as a repo artifact so each round's effective-sf1 numbers are
+    # reviewable without re-running (SCALE_SMOKE.json at repo root)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_SMOKE.json"), "w") as f:
+        json.dump(result, f, indent=2)
     spark.stop()
 
 
