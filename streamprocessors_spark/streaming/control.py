@@ -122,3 +122,73 @@ class ConfigStore:
             self.upsert(batch_df)
 
         return fn
+
+
+def parse_udp_url(url: str | None) -> tuple[str, int] | None:
+    """'udp://host:port' -> (host, port); empty/None/other scheme -> None.
+
+    The reference treats an empty ``input_url`` PUT as 'close input'
+    (mpeg2_sp.c:722-736); we mirror that by returning None.
+    """
+    if not url:
+        return None
+    url = url.strip()
+    if not url.startswith("udp://"):
+        return None
+    hostport = url[len("udp://") :]
+    host, _, port = hostport.rpartition(":")
+    if not host or not port.isdigit():
+        return None
+    return host, int(port)
+
+
+class InputSupervisor:
+    """S2 input reconfiguration, config-table driven.
+
+    The reference swaps the ingest socket atomically on an ``input_url``
+    PUT — set / clear / change (comm_reset_external call sites,
+    mpeg2_sp.c:722-784). Spark restatement: the settings doc lives in the
+    ConfigStore; ``reconcile()`` diffs the stored URL against the running
+    streaming query and stops/starts it to match (SURVEY S2: "restart
+    streaming query with new source options"). The exercised matrix —
+    set, clear, wrong-port, restore — is the reference's own e2e soak
+    (utests_mpeg2_sp.cpp:143-188).
+    """
+
+    def __init__(self, store: ConfigStore, sys_id: int, build_query) -> None:
+        """``build_query(host, port, generation) -> StreamingQuery``."""
+        self.store = store
+        self.sys_id = sys_id
+        self.build_query = build_query
+        self.query = None
+        self.current_url: str | None = None
+        self.generation = 0
+
+    def desired_url(self) -> str | None:
+        rows = (
+            normalize_settings(
+                self.store.read().where(F.col("sys_id") == self.sys_id)
+            )
+            .select("input_url")
+            .collect()
+        )
+        return rows[0].input_url if rows else None
+
+    def reconcile(self):
+        """Make the running query match the stored input_url; returns the
+        active query (or None when input is closed)."""
+        url = self.desired_url()
+        if url == self.current_url and (
+            self.query is None or self.query.isActive
+        ):
+            return self.query
+        if self.query is not None:
+            self.query.stop()
+            self.query.awaitTermination()
+            self.query = None
+        self.current_url = url
+        parsed = parse_udp_url(url)
+        if parsed is not None:
+            self.generation += 1
+            self.query = self.build_query(parsed[0], parsed[1], self.generation)
+        return self.query
