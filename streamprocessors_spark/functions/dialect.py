@@ -59,6 +59,10 @@ def arr_min(d: str, a: str) -> str:
     return f"array_min({a})" if d == SPARK else f"list_min({a})"
 
 
+def arr_max(d: str, a: str) -> str:
+    return f"array_max({a})" if d == SPARK else f"list_max({a})"
+
+
 def arr_sort(d: str, a: str) -> str:
     return f"array_sort({a})" if d == SPARK else f"list_sort({a})"
 

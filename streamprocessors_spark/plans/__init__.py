@@ -12,7 +12,9 @@ from streamprocessors_spark.plans.registry import REGISTRY, Query, register  # n
 # The driver's correctness pass covered only the first ~50 registry entries,
 # so registration order is a scheduling decision: entries the driver has NOT
 # yet verified must come first.  This set is only an ordering hint — every
-# query stays registered and locally compared regardless.
+# query stays registered and locally compared regardless.  It is the static
+# fallback; _driver_green_names() unions every CORRECTNESS_r*.json found at
+# the repo root so the rotation updates itself each round.
 _R01_DRIVER_GREEN = frozenset({
     "q1_pricing_summary", "window_1min_event_rate", "peak_rate_per_user",
     "log_trace_rollup", "agg_rollup_region_nation", "q3_shipping_priority",
@@ -44,22 +46,58 @@ _DRIVER_WINDOW_FIRST = (
     "corpus_prep_pipeline",
     "es_subtitle_restamp",
     "es_scte_subt2dvb",
-    "es_transform_registry",
 )
+
+# Queries whose implementation/oracle changed AFTER their last driver-green
+# row — keep them in the driver window even though a green row exists.
+_FORCE_RECHECK = (
+    "es_transform_registry",  # round 2: real PES/SCTE payloads + new oracle
+)
+
+
+def _driver_green_names() -> frozenset[str]:
+    """Union of hash-green query names across every CORRECTNESS_r*.json in
+    the repo root; falls back to the pinned round-1 set when none parse."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            found = True
+            for name, row in data.items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    green.add(name)
+    return frozenset(green) if found else _R01_DRIVER_GREEN
 
 
 def ordered_registry() -> dict[str, Query]:
     """REGISTRY reordered so driver-unverified queries come first.
 
-    Order: (1) fixed r01-red rows + sentinel queries, (2) everything the
-    driver has not yet checked (registration order), (3) r01-green queries.
+    Order: (1) priority rows (fixed red rows + sentinels + new operators),
+    (2) everything without a driver-green row yet (registration order),
+    (3) driver-green queries. Rotating the unverified set to the front
+    each round converts 'locally green' into the driver's own signal even
+    though one correctness pass covers only ~50 entries.
     """
+    green = _driver_green_names()
     out: dict[str, Query] = {}
     for name in _DRIVER_WINDOW_FIRST:
-        if name in REGISTRY:
+        if name in REGISTRY and name not in green:
+            out[name] = REGISTRY[name]
+    for name in _FORCE_RECHECK:
+        if name in REGISTRY and name not in out:
             out[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
-        if name not in out and name not in _R01_DRIVER_GREEN:
+        if name not in out and name not in green:
             out[name] = q
     for name, q in REGISTRY.items():
         if name not in out:

@@ -359,6 +359,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    k AS (SELECT doc_id, {TP.shingles(DUCK, "ws")} AS sh FROM w),
+    c AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g
+          FROM k WHERE doc_id % 50 <> 0),
+    bg AS (SELECT doc_id AS bench_id, unnest(sh) AS g
+           FROM k WHERE doc_id % 50 = 0)
+    SELECT c.doc_id,
+           CAST(max(c.n_grams) AS INT)       AS n_grams,
+           CAST(count(DISTINCT c.g) AS BIGINT)       AS n_hit_grams,
+           CAST(count(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+    FROM c JOIN bg USING (g)
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark decontamination — the training-data op that keeps eval "
+    "sets out of the corpus: flag corpus documents sharing any word-3-gram "
+    "with the benchmark set (here the deterministic doc_id%50==0 slice "
+    "stands in for the eval suite; production would use 8-13-grams on a "
+    "larger vocabulary). Scale shape: the benchmark side is small and "
+    "fixed, so it is BROADCAST and the exploded corpus grams stream "
+    "through a hash join — no shuffle of the corpus, no all-pairs; output "
+    "is per-doc hit counts for the drop/keep decision.",
+    tags=("llm", "dedup", "text"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"{TP.shingles(SPARK, 'ws')} as sh")
+    )
+    corpus = k.where("doc_id % 50 != 0").select(
+        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+    )
+    bench = k.where("doc_id % 50 = 0").select(
+        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("int").alias("n_grams"),
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
     "dedup_embedding_lsh",
     oracle=f"""
     WITH e AS (
@@ -662,6 +711,59 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
         .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
         .selectExpr(*[c.replace(" AS ", " as ") for c in _quality_select(SPARK)])
+    )
+
+
+def _repetition_select(d: str) -> list[str]:
+    """Gopher-style intra-document repetition signals (dialect-parametric):
+    duplicate-2-gram fraction and top-word frequency fraction."""
+    n = D.size(d, "ws")
+    idx = D.seq1(d, f"{n} - 1")
+    gram = f"{D.element(d, 'ws', 'i')} || ' ' || {D.element(d, 'ws', 'i + 1')}"
+    grams = D.transform(d, idx, f"i -> {gram}")
+    n_grams = D.size(d, grams)
+    n_dist = D.size(d, D.distinct(d, grams))
+    dup_frac = D.floor_round(
+        d, f"1.0 - CAST({n_dist} AS DOUBLE) / CAST({n_grams} AS DOUBLE)", 6
+    )
+    occ = D.transform(
+        d, D.distinct(d, "ws"), f"w -> {D.size(d, D.filter_(d, 'ws', 'x -> x = w'))}"
+    )
+    top_frac = D.floor_round(
+        d,
+        f"CAST({D.arr_max(d, occ)} AS DOUBLE) / CAST({n} AS DOUBLE)",
+        6,
+    )
+    return [
+        "doc_id",
+        f"CAST({n} AS INT) AS n_words",
+        f"{dup_frac} AS dup_2gram_frac",
+        f"{top_frac} AS top_word_frac",
+    ]
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents)
+    SELECT {", ".join(_repetition_select(DUCK))}
+    FROM w WHERE {D.size(DUCK, "ws")} >= 2
+    """,
+    doc="Intra-document repetition signals (the Gopher/MassiveText "
+    "repetition filters): duplicate-2-gram fraction and most-frequent-word "
+    "fraction per document. Pure array expressions, floor-rounded 6dp for "
+    "cross-engine float determinism; no Python, no shuffle — a projection "
+    "a 100 TB quality-filter pass streams through the scan.",
+    tags=("text", "llm"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
+        .selectExpr(
+            *[c.replace(" AS ", " as ") for c in _repetition_select(SPARK)]
+        )
     )
 
 

@@ -161,15 +161,35 @@ def udp_sink_foreach_batch(
     """S4 paced UDP re-emission as a foreachBatch sink (T5 CBR control).
 
     Packs the batch's packets into 7-packet datagrams and paces sends to
-    ``cbr_kbps``. Runs ``collect`` on the (per-program, small) output side
-    — emission order follows the batch's sort order, PCR smoothness is the
-    upstream query's job (ts_pcr_delta).
+    ``cbr_kbps``. A single UDP socket is inherently one emission point, so
+    the batch is coalesced to ONE partition and sent from an executor task
+    via ``foreachPartition`` — the bytes never cross the driver (at scale
+    the driver hop would double the output path; the executor task streams
+    partition rows straight onto the wire). Emission order follows the
+    batch's sort order; PCR smoothness is the upstream query's job
+    (ts_pcr_delta).
     """
 
+    def send_partition(rows) -> None:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        delay = (DATAGRAM_SIZE * 8) / (cbr_kbps * 1000)
+        pending = bytearray()
+        try:
+            for r in rows:
+                b = r[bytes_col]
+                if b is None:
+                    continue
+                pending.extend(bytes(b))
+                while len(pending) >= DATAGRAM_SIZE:
+                    sock.sendto(pending[:DATAGRAM_SIZE], (host, port))
+                    del pending[:DATAGRAM_SIZE]
+                    time.sleep(delay)
+            if pending:  # trailing partial datagram (< 7 packets)
+                sock.sendto(bytes(pending), (host, port))
+        finally:
+            sock.close()
+
     def fn(batch_df, epoch_id: int) -> None:
-        rows = batch_df.select(bytes_col).collect()
-        payload = b"".join(bytes(r[0]) for r in rows if r[0] is not None)
-        if payload:
-            replay_ts_to_udp(payload, host, port, bitrate_bps=cbr_kbps * 1000)
+        batch_df.select(bytes_col).coalesce(1).foreachPartition(send_partition)
 
     return fn

@@ -80,6 +80,16 @@ def test_minhash_lsh_joins_on_band_hash(spark, sf_dir):
     assert "NestedLoop" not in p
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """Eval-set decontamination must broadcast the (small, fixed)
+    benchmark grams and hash-join the streamed corpus grams — a shuffle
+    or nested loop here would move the 100 TB corpus for a kB-side set."""
+    p = _plan(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
 def test_dedup_embedding_lsh_is_bucket_equijoin(spark, sf_dir):
     """The scale path for embedding dedup: the self-join must key on the
     sign-LSH bucket (hash-partitioned equi-join). NestedLoop would mean
