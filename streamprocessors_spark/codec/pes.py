@@ -88,6 +88,32 @@ def pts_decode_expr(pes: Column, pos: int = _PTS_OFF) -> Column:
     ).cast("bigint")
 
 
+def pts_encode_py(pts: int) -> bytes:
+    """Pure-Python twin of ``pts_encode_expr`` (property-test reference;
+    independently written from ISO 13818-1 §2.4.3.7)."""
+    p = pts % PTS_MOD
+    return bytes(
+        [
+            0x21 | (((p >> 30) & 0x7) << 1),
+            (p >> 22) & 0xFF,
+            (((p >> 15) & 0x7F) << 1) | 1,
+            (p >> 7) & 0xFF,
+            ((p & 0x7F) << 1) | 1,
+        ]
+    )
+
+
+def pts_decode_py(b: bytes, off: int = _PTS_OFF - 1) -> int:
+    """Pure-Python twin of ``pts_decode_expr`` (0-based ``off``)."""
+    return (
+        (((b[off] >> 1) & 0x7) << 30)
+        | (b[off + 1] << 22)
+        | (((b[off + 2] >> 1) & 0x7F) << 15)
+        | (b[off + 3] << 7)
+        | ((b[off + 4] >> 1) & 0x7F)
+    )
+
+
 def page_timeout_expr(pes: Column) -> Column:
     """page_time_out (seconds) of the page composition segment."""
     return _byte(pes, _PAGE_TIMEOUT_OFF)

@@ -566,6 +566,66 @@ def sliding_60min_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_endpoint_json",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, date_trunc('minute', ts) AS slot, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), last60 AS (
+      SELECT event_type, slot, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY slot DESC)
+               AS rdesc
+      FROM g
+    ), idx AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY slot ASC) - 1
+               AS i
+      FROM last60 WHERE rdesc <= 60
+    )
+    SELECT event_type,
+           CAST(count(*) AS INT) AS n_slots,
+           '{"code":200,"status":"OK","data":[' ||
+           string_agg('[' || i || ',' || n || ']', ',' ORDER BY i) ||
+           ']}' AS body
+    FROM idx GROUP BY event_type
+    """,
+    doc="S8 stats endpoints (GET cpu_stats.json / net_stats.json, "
+    "main/stream_procs_api_http.c:304-329; serialization "
+    "stats/src/stats.c:232-267): the last 60 window slots per series "
+    "rendered as the [index, value] JSON pairs the dashboard plots, inside "
+    "the {code,status,data} envelope. Two-level: tumbling pre-aggregate, "
+    "rank-trim to the ring size, one ordered string fold per series — the "
+    "raw events are touched once.",
+    tags=("agg", "json"),
+)
+def stats_endpoint_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("slot")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("event_type").orderBy(F.col("slot").desc())
+    wa = Window.partitionBy("event_type").orderBy(F.col("slot").asc())
+    idx = (
+        g.withColumn("rdesc", F.row_number().over(wd))
+        .where(F.col("rdesc") <= 60)
+        .withColumn("i", F.row_number().over(wa) - 1)
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("i", "n")))
+    series = F.array_join(
+        F.transform(
+            pairs, lambda x: F.concat(F.lit("["), x["i"], F.lit(","), x["n"], F.lit("]"))
+        ),
+        ",",
+    )
+    return idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_slots"),
+        F.concat(
+            F.lit('{"code":200,"status":"OK","data":['), series, F.lit("]}")
+        ).alias("body"),
+    )
+
+
+@register(
     "packet_quarantine_split",
     oracle="""
     SELECT CAST(event_id % 97 = 0 AS BOOLEAN) AS corrupted,

@@ -116,3 +116,30 @@ def test_continuous_packing_reassembly_property(payload_sizes, pid, start_cc, da
     r = SectionReassembler()
     out = [s for p in pkts for s in r.push(bytes(p))]
     assert out == sections
+
+
+# ---------------------------------------------------------------------------
+# PES PTS marker-bit encoding (codec/pes.py)
+# ---------------------------------------------------------------------------
+
+from streamprocessors_spark.codec.pes import (  # noqa: E402
+    PTS_MOD,
+    pts_decode_py,
+    pts_encode_py,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(pts=st.integers(0, PTS_MOD - 1))
+def test_pts_marker_encoding_roundtrip_property(pts):
+    b = pts_encode_py(pts)
+    assert len(b) == 5
+    assert b[0] >> 4 == 0x2  # '0010' prefix
+    assert b[0] & 1 and b[2] & 1 and b[4] & 1  # marker bits
+    assert pts_decode_py(b, 0) == pts
+
+
+@settings(max_examples=200, deadline=None)
+@given(pts=st.integers())
+def test_pts_encode_wraps_mod_2_33(pts):
+    assert pts_decode_py(pts_encode_py(pts), 0) == pts % PTS_MOD

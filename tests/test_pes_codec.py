@@ -87,6 +87,18 @@ def test_dvb_pes_layout_and_patch_clamps(spark):
     assert (row.t, row.pos.hpos, row.pos.vpos) == (20, 719, 575)
 
 
+def test_pts_expr_matches_python_twin(spark):
+    """The JVM expression and the pure-Python reference implement the same
+    bit layout — checked over a spread of the 33-bit space in one job."""
+    from streamprocessors_spark.codec.pes import pts_encode_py
+
+    vals = sorted({(i * 2654435761) % PTS_MOD for i in range(64)} | set(PTS_CASES))
+    df = spark.createDataFrame([(v,) for v in vals], "pts bigint")
+    rows = df.select("pts", F.hex(pts_encode_expr(F.col("pts"))).alias("h")).collect()
+    for r in rows:
+        assert bytes.fromhex(r.h) == pts_encode_py(r.pts), r.pts
+
+
 def test_restamping_disabled_keeps_pts(spark):
     df = spark.createDataFrame([(12345,)], "pts long")
     pes = dvb_subt_pes_expr(F.col("pts"), F.lit(1), F.lit(5), F.lit(0), F.lit(0))
