@@ -100,3 +100,99 @@ def test_pat_version_update_r7(spark):
         (2, 0x110),
     ]
     assert all(p.pat_version == 1 for p in progs)
+
+
+def test_subtitle_es_through_mux(spark):
+    """U2 end-to-end: a real DVB-subtitle PES rides as an ES inside a TS
+    mux, is demuxed by the packet source, and the dvb_subt editor restamps
+    it — encode (python twin) -> mux -> packetize -> extract -> patch ->
+    re-parse, every field checked against independently computed values."""
+    import struct
+
+    from streamprocessors_spark.codec.fixtures import MuxSpec, ProgramSpec, build_ts
+    from streamprocessors_spark.codec.pes import (
+        PTS_MOD,
+        DvbSubtSettings,
+        dvb_subt_patch_expr,
+        pts_encode_py,
+    )
+    from streamprocessors_spark.codec.ts import encode_ts_packet
+    from streamprocessors_spark.sources import packets_from_binary_column
+
+    SUBT_PID = 0x1A0
+
+    def build_pes(pts: int, page_id: int, timeout: int, hpos: int, vpos: int) -> bytes:
+        # python twin of codec.pes.dvb_subt_pes_expr (fixed 30-byte layout)
+        seg = (
+            b"\x0f\x10" + struct.pack(">H", page_id) + b"\x00\x08"
+            + bytes([timeout]) + b"\x0c" + b"\x01\xff"
+            + struct.pack(">HH", hpos, vpos)
+        )
+        return (
+            b"\x00\x00\x01\xbd" + struct.pack(">H", 24) + b"\x84\x80\x05"
+            + pts_encode_py(pts) + b"\x20\x00" + seg
+        )
+
+    # one ordinary program + the subtitle ES packets appended to the mux
+    spec = MuxSpec(
+        programs=[
+            ProgramSpec(
+                program_number=1,
+                pmt_pid=0x100,
+                pcr_pid=0x101,
+                streams=[(0x1B, 0x101), (0x06, SUBT_PID)],
+                service_name="SUBT-TEST",
+            )
+        ],
+        psi_interval=10,
+        es_payload_packets=10,
+    )
+    cases = [
+        (i, (1000 + i * 3600) % PTS_MOD, 1 + i, 5 + i % 50, (i * 7) % 720, (i * 5) % 576)
+        for i in range(25)
+    ]
+    subt_pkts = b"".join(
+        encode_ts_packet(
+            SUBT_PID,
+            payload=(build_pes(pts, pg, to, hp, vp) + b"\xff" * 154),
+            cc=i & 0xF,
+            pusi=1,
+        )
+        for i, pts, pg, to, hp, vp in cases
+    )
+    buf = build_ts(spec) + subt_pkts
+
+    raw = spark.createDataFrame([("mux", buf)], "stream_id STRING, value BINARY")
+    pkts = packets_from_binary_column(raw)
+    # build_ts also emits one pusi=1 filler packet for the declared ES PID;
+    # select only packets whose payload opens with the PES start code
+    subt = pkts.where(
+        (F.col("pid") == SUBT_PID)
+        & (F.col("pusi") == 1)
+        & (F.expr("substring(raw, 5, 4)") == F.lit(b"\x00\x00\x01\xbd"))
+    ).select("pkt_index", F.expr("substring(raw, 5, 30)").alias("pes"))
+    s = DvbSubtSettings(
+        time_shift_offset_msec=250,
+        duration_min_seg=10,
+        duration_max_seg=40,
+        duration_offset_seg=3,
+        vpos_offset_pels=100,
+        hpos_offset_pels=-50,
+    )
+    rows = {
+        r.pkt_index: r
+        for r in subt.select(
+            "pkt_index", dvb_subt_patch_expr(F.col("pes"), s).alias("r")
+        )
+        .select("pkt_index", "r.*")
+        .collect()
+    }
+    assert len(rows) == len(cases)
+    order = sorted(rows)
+    for (i, pts, pg, to, hp, vp), key in zip(cases, order):
+        r = rows[key]
+        assert r.pts_in == pts
+        assert r.pts_out == (pts + 250 * 90) % PTS_MOD
+        assert r.timeout_out == min(max(to + 3, 10), 40)
+        assert r.hpos_out == min(max(hp - 50, 0), 719)
+        assert r.vpos_out == min(max(vp + 100, 0), 575)
