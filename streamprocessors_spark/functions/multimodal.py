@@ -248,6 +248,7 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_byte_sum", T.LongType()),
         T.StructField("frame_crc", T.LongType()),
     ]
 )
@@ -309,7 +310,7 @@ def sample_frames(mm_df: DataFrame, stride: int = 2) -> DataFrame:
                 for i in range(0, n_frames, stride):
                     chunk = body[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
                     rows.append(
-                        (int(doc_id), i, len(chunk), zlib.crc32(chunk))
+                        (int(doc_id), i, len(chunk), sum(chunk), zlib.crc32(chunk))
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields]

@@ -952,14 +952,39 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    oracle=None,  # frame CRCs are not SQL-expressible; driver runs rows-only
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, ''),
+                            c -> c <> ''), c -> ord(c)) AS bs
+      FROM documents
+    ), f AS (
+      SELECT doc_id, bs,
+             unnest(range(0, (len(bs) + {MM.FRAME_SIZE - 1}) // {MM.FRAME_SIZE}))
+               AS fi
+      FROM b WHERE len(bs) > 0
+    )
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(len(list_slice(bs, fi * {MM.FRAME_SIZE} + 1,
+                               (fi + 1) * {MM.FRAME_SIZE})) AS INT) AS frame_len,
+           CAST(list_sum(list_slice(bs, fi * {MM.FRAME_SIZE} + 1,
+                                    (fi + 1) * {MM.FRAME_SIZE})) AS BIGINT)
+             AS frame_byte_sum
+    FROM f WHERE fi % 2 = 0
+    """,
     doc="Multimodal frame sampling: every 2nd 64-byte chunk of the payload "
-    "as a 'frame' row with byte-exact CRC, via mapInPandas. Partition-local, "
-    "no shuffle; output is (doc_id, frame_idx, frame_len, frame_crc).",
+    "as a 'frame' row, via mapInPandas. Partition-local, no shuffle. The "
+    "declared output carries the SQL-expressible byte-sum integrity column "
+    "(full DuckDB oracle; text is ASCII so ord==byte); the byte-exact "
+    "CRC-32 stays on the function's schema, pinned by "
+    "tests/test_llm_functions.py::test_frame_sample_crcs.",
     tags=("multimodal",),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.sample_frames(MM.with_payload(_docs(spark, sf_dir)))
+    return MM.sample_frames(MM.with_payload(_docs(spark, sf_dir))).drop(
+        "frame_crc"
+    )
 
 
 # ---------------------------------------------------------------------------
