@@ -69,11 +69,12 @@ def main() -> None:
             q.fn(spark, SF_DIR).count()
             cold[name] = round(time.perf_counter() - t0, 3)
 
-    # Two measured passes, keep the per-query MIN: a periodic host-side CPU
-    # spike (observed ~20 s, hitting one random query per pass) otherwise
-    # dominates the total; min-of-2 reports steady-state engine throughput.
+    # Three measured passes, keep the per-query MIN: periodic host-side CPU
+    # spikes (observed ~20 s, hitting random queries per pass) otherwise
+    # dominate the total; min-of-3 reports steady-state engine throughput
+    # (run-to-run total variance drops from ~±2 s to well under 1 s).
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             q = plans.REGISTRY.get(name)
             if q is None:

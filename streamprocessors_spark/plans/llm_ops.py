@@ -1050,6 +1050,51 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             50 + (CAST(substr(source, 4) AS INT) * 97) % 950 AS weight_permille,
+             {_doc_hash(DUCK)} % 1000 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CAST(max(weight_permille) AS INT) AS weight_permille,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN bucket < weight_permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM w GROUP BY source
+    """,
+    doc="Data-mixing by source weight (the training-mixture knob): each "
+    "source gets a sampling rate in permille (derived here from the "
+    "source ordinal; production reads a weights dim table) and a document "
+    "is kept iff its deterministic hash bucket falls under the rate — "
+    "reproducible on re-runs and stable under corpus growth, per-row "
+    "filterable (pushes to the scan), no shuffle until the audit "
+    "aggregate. Output is the per-source keep audit.",
+    tags=("sample", "llm"),
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weight = (
+        F.lit(50)
+        + F.pmod(F.substring("source", 4, 10).cast("int") * 97, F.lit(950))
+    ).alias("weight_permille")
+    bucket = F.expr(f"{_doc_hash(SPARK)} % 1000")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", weight, bucket.alias("bucket"))
+        .groupBy("source")
+        .agg(
+            F.max("weight_permille").cast("int").alias("weight_permille"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("weight_permille"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+
+
+@register(
     "train_val_test_split",
     oracle=f"""
     SELECT lang,
