@@ -45,6 +45,51 @@ DVB_SUBT_DEFAULTS = DvbSubtSettings()
 SCTE2DVB_DEFAULTS = ScteSubt2DvbSettings()
 
 
+def _parse_settings_doc(doc: str) -> dict[str, str]:
+    """P9 dual-format settings doc -> flat dict (same leading-brace format
+    guess as the reference, mpeg2_sp.c:716). ES-processor settings are
+    per-processor scalars that parametrize the plan, so this parse is
+    driver-side by design (not a row operation)."""
+    import json
+    from urllib.parse import parse_qsl
+
+    doc = doc.strip()
+    if doc.startswith("{"):
+        return {k: str(v) for k, v in json.loads(doc).items()}
+    return dict(parse_qsl(doc, keep_blank_values=True))
+
+
+def dvb_subt_settings_from_doc(doc: str) -> DvbSubtSettings:
+    """Build the dvb_subt settings (es_proc.js:87-93 + dvb_subt.js service
+    settings) from a stored config doc; unknown keys ignored, missing keys
+    keep dataclass defaults."""
+    vals = _parse_settings_doc(doc)
+    kw = {}
+    for field in (
+        "time_shift_offset_msec",
+        "duration_min_seg",
+        "duration_max_seg",
+        "duration_offset_seg",
+        "vpos_offset_pels",
+        "hpos_offset_pels",
+    ):
+        if field in vals and vals[field] != "":
+            kw[field] = int(vals[field])
+    if "restamping" in vals and vals["restamping"] != "":
+        kw["restamping"] = vals["restamping"].lower() in ("1", "true", "yes")
+    return DvbSubtSettings(**kw)
+
+
+def scte_subt2dvb_settings_from_doc(doc: str) -> ScteSubt2DvbSettings:
+    """scte_subt2dvb settings (scte_subt2dvb.js:371-374) from a config doc."""
+    vals = _parse_settings_doc(doc)
+    kw = {}
+    for field in ("duration_offset_msec", "vpos_offset_pels"):
+        if field in vals and vals[field] != "":
+            kw[field] = int(vals[field])
+    return ScteSubt2DvbSettings(**kw)
+
+
 def register_es_proc(name: str) -> Callable[[EsTransform], EsTransform]:
     def deco(fn: EsTransform) -> EsTransform:
         _REGISTRY[name] = fn

@@ -375,3 +375,44 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_available_now(d, output_mode="append")
     return sink.select("user_id", "event_type")
+
+
+@register(
+    "stream_es_restamp",
+    oracle="""
+    WITH f AS (
+      SELECT event_id,
+             ((epoch_us(ts) * 9) // 100) % 8589934592 AS pts_in,
+             user_id % 200  AS timeout_in,
+             event_id % 720 AS hpos_in,
+             user_id % 576  AS vpos_in
+      FROM events
+    )
+    SELECT event_id,
+           pts_in,
+           (pts_in + 250 * 90) % 8589934592            AS pts_out,
+           CAST(least(greatest(timeout_in + 2, 5), 30) AS INT) AS timeout_out,
+           CAST(least(greatest(hpos_in - 8, 0), 719) AS INT)   AS hpos_out,
+           CAST(least(greatest(vpos_in + 40, 0), 575) AS INT)  AS vpos_out
+    FROM f
+    """,
+    doc="Streaming twin of es_subtitle_restamp (U2 under Structured "
+    "Streaming): the same stateless PES build->patch->re-parse projection "
+    "over the event stream, availableNow, append mode — per-ES transforms "
+    "run inline in the micro-batch with no state and no shuffle, which is "
+    "how the per-PID ES processors of the reference map onto a live "
+    "stream. Hash-matches the identical batch oracle.",
+    tags=("streaming", "ts", "udf"),
+)
+def stream_es_restamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.ts_pipeline import (
+        subtitle_restamp_projection,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    sink = run_available_now(
+        subtitle_restamp_projection(ev), output_mode="append"
+    )
+    return sink.select(
+        "event_id", "pts_in", "pts_out", "timeout_out", "hpos_out", "vpos_out"
+    )

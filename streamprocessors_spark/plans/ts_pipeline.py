@@ -461,6 +461,15 @@ def es_transform_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ts", "udf"),
 )
 def es_subtitle_restamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return subtitle_restamp_projection(ev)
+
+
+def subtitle_restamp_projection(ev: DataFrame) -> DataFrame:
+    """The U2 dvb_subt editor over an events DataFrame (batch or stream):
+    build the subtitle PES, patch it with the non-default settings doc,
+    re-parse every field from the transformed bytes. Stateless projection
+    — identical plan shape in both execution modes."""
     from streamprocessors_spark.codec.pes import (
         PTS_MOD,
         DvbSubtSettings,
@@ -471,7 +480,6 @@ def es_subtitle_restamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         page_timeout_expr,
     )
 
-    ev = read_table(spark, sf_dir, "events")
     pts_in = F.expr("(unix_micros(ts) * 9) div 100") % F.lit(PTS_MOD)
     pes = dvb_subt_pes_expr(
         pts_in,

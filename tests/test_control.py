@@ -46,3 +46,49 @@ def test_config_store_last_writer_wins(spark):
     assert store.upsert(b2) == 3  # S5 read-back verify
     final = {r.sys_id: (r.seq, r.doc) for r in store.read().collect()}
     assert final == {1: (20, "v1b"), 2: (11, "v2"), 3: (12, "v3")}
+
+
+def test_es_settings_from_config_store(spark):
+    """S5 + P9 + U2 wired together: ES-processor settings stored as config
+    docs (JSON and query-string) drive the real subtitle transform."""
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.codec.pes import (
+        PTS_MOD,
+        dvb_subt_patch_expr,
+        dvb_subt_pes_expr,
+    )
+    from streamprocessors_spark.operators.es_procs import (
+        dvb_subt_settings_from_doc,
+        scte_subt2dvb_settings_from_doc,
+    )
+    from streamprocessors_spark.streaming.control import ConfigStore
+
+    store = ConfigStore(spark)
+    store.upsert(
+        spark.createDataFrame(
+            [
+                (1, 1, '{"time_shift_offset_msec": -40, "restamping": true,'
+                       ' "vpos_offset_pels": 12, "duration_max_seg": 25}'),
+                (2, 1, "duration_offset_msec=500&vpos_offset_pels=-6"),
+            ],
+            "sys_id BIGINT, seq BIGINT, doc STRING",
+        )
+    )
+    docs = {r.sys_id: r.doc for r in store.read().collect()}
+
+    s1 = dvb_subt_settings_from_doc(docs[1])
+    assert (s1.time_shift_offset_msec, s1.restamping) == (-40, True)
+    assert (s1.vpos_offset_pels, s1.duration_max_seg) == (12, 25)
+    assert s1.duration_min_seg == 0  # default preserved
+
+    s2 = scte_subt2dvb_settings_from_doc(docs[2])
+    assert (s2.duration_offset_msec, s2.vpos_offset_pels) == (500, -6)
+
+    # the parsed settings drive the actual byte transform
+    df = spark.createDataFrame([(90000, 100, 560)], "pts long, h long, v long")
+    pes = dvb_subt_pes_expr(F.col("pts"), F.lit(1), F.lit(30), F.col("h"), F.col("v"))
+    r = df.select(dvb_subt_patch_expr(pes, s1).alias("r")).select("r.*").collect()[0]
+    assert r.pts_out == (90000 - 40 * 90) % PTS_MOD
+    assert r.vpos_out == 572
+    assert r.timeout_out == 25  # clamped to duration_max_seg
