@@ -159,7 +159,13 @@ def dvb_subt_pes_expr(
 
 @dataclass(frozen=True)
 class DvbSubtSettings:
-    """dvb_subt settings surface (es_proc.js:87-93, dvb_subt.js:667-767)."""
+    """dvb_subt settings surface (es_proc.js:87-93, dvb_subt.js:667-767).
+
+    ``ts_pcr_guard_msec``: minimum lead of the ES time-stamp over its
+    program's PCR (the per-ES guard distance of es_proc.js:70-81); applied
+    by ``dvb_subt_patch_expr`` when a PCR reference column is supplied.
+    None = no guard (the reference's default depends on stream type).
+    """
 
     time_shift_offset_msec: int = 0
     restamping: bool = True
@@ -168,23 +174,40 @@ class DvbSubtSettings:
     duration_offset_seg: int = 0
     vpos_offset_pels: int = 0
     hpos_offset_pels: int = 0
+    ts_pcr_guard_msec: int | None = None
 
 
 def _clamp(c: Column, lo: Column, hi: Column) -> Column:
     return F.least(F.greatest(c, lo), hi)
 
 
-def dvb_subt_patch_expr(pes: Column, s: DvbSubtSettings) -> Column:
+def dvb_subt_patch_expr(
+    pes: Column, s: DvbSubtSettings, pcr_90k: Column | None = None
+) -> Column:
     """The real dvb_subt body: restamp PTS by time_shift_offset_msec,
     clamp page_time_out through duration_{min,max,offset}_seg, shift the
     region position by the pixel offsets; re-encode by splicing the fixed
-    layout. Returns struct(out_payload, pts_in, pts_out, timeout_out,
+    layout. When ``pcr_90k`` (program PCR base, 90 kHz ticks) is given and
+    ``ts_pcr_guard_msec`` is set, the restamped PTS is additionally held
+    at least the guard distance ahead of the PCR (es_proc.js ts_pcr_guard
+    semantics). Returns struct(out_payload, pts_in, pts_out, timeout_out,
     hpos_out, vpos_out)."""
     pts_in = pts_decode_expr(pes)
     shift = F.lit(int(s.time_shift_offset_msec) * 90)
     pts_out = (
         F.pmod(pts_in + shift, F.lit(PTS_MOD)) if s.restamping else pts_in
     )
+    if pcr_90k is not None and s.ts_pcr_guard_msec is not None:
+        floor_pts = F.pmod(
+            pcr_90k.cast("bigint") + F.lit(int(s.ts_pcr_guard_msec) * 90),
+            F.lit(PTS_MOD),
+        )
+        # wrap-aware "is pts_out at least guard ahead of pcr": compare the
+        # forward distance pcr->pts_out against the guard
+        dist = F.pmod(pts_out - pcr_90k.cast("bigint"), F.lit(PTS_MOD))
+        pts_out = F.when(
+            dist < F.lit(int(s.ts_pcr_guard_msec) * 90), floor_pts
+        ).otherwise(pts_out)
     timeout_out = _clamp(
         _byte(pes, _PAGE_TIMEOUT_OFF) + F.lit(s.duration_offset_seg),
         F.lit(s.duration_min_seg),

@@ -72,6 +72,7 @@ def dvb_subt_settings_from_doc(doc: str) -> DvbSubtSettings:
         "duration_offset_seg",
         "vpos_offset_pels",
         "hpos_offset_pels",
+        "ts_pcr_guard_msec",
     ):
         if field in vals and vals[field] != "":
             kw[field] = int(vals[field])

@@ -122,3 +122,27 @@ def test_scte_conversion_duration_and_vpos(spark):
         F.length("o").alias("n"), pts_decode_expr(F.col("o")).alias("pts")
     ).collect()[0]
     assert row.n == PES_TOTAL_LEN and row.pts == 9000
+
+
+def test_pcr_guard_clamps_pts(spark):
+    """ts_pcr_guard_msec (es_proc.js:70-81): the restamped PTS is held at
+    least the guard distance ahead of the program PCR, wrap-aware."""
+    # pts 1000 ticks after pcr; guard 100 ms = 9000 ticks -> clamp to floor
+    df = spark.createDataFrame(
+        [(10_000, 9_000), (100_000, 9_000), (500, PTS_MOD - 400)],
+        "pts long, pcr long",
+    )
+    pes = dvb_subt_pes_expr(F.col("pts"), F.lit(1), F.lit(5), F.lit(0), F.lit(0))
+    s = DvbSubtSettings(ts_pcr_guard_msec=100)
+    rows = df.select(
+        "pts",
+        "pcr",
+        dvb_subt_patch_expr(pes, s, pcr_90k=F.col("pcr")).alias("r"),
+    ).select("pts", "pcr", "r.*").collect()
+    by_pts = {r.pts: r for r in rows}
+    # 10_000 is only 1_000 ahead of 9_000 -> clamped to pcr + 9000
+    assert by_pts[10_000].pts_out == 9_000 + 9_000
+    # 100_000 is 91_000 ahead -> untouched
+    assert by_pts[100_000].pts_out == 100_000
+    # wrap case: pcr near the top, pts just past zero; distance 900 < 9000
+    assert by_pts[500].pts_out == (PTS_MOD - 400 + 9_000) % PTS_MOD
