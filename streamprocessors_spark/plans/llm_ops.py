@@ -641,6 +641,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH bf AS (
+      SELECT va, vb FROM (
+        SELECT q.vec_id AS va, b.vec_id AS vb,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {D.cosine(DUCK, "q.embedding", "b.embedding")} DESC,
+                          b.vec_id) AS rank
+        FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+        WHERE q.vec_id < {ANN_N_QUERIES}
+      ) WHERE rank <= {ANN_LSH_TOPK}
+    ), e AS (
+      SELECT vec_id, embedding, {V.sign_bucket(DUCK, "embedding")} AS bucket
+      FROM embeddings
+    ), lsh AS (
+      SELECT va, vb FROM (
+        SELECT q.vec_id AS va, b.vec_id AS vb,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {D.cosine(DUCK, "q.embedding", "b.embedding")} DESC,
+                          b.vec_id) AS rank
+        FROM e q JOIN e b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+        WHERE q.vec_id < {ANN_N_QUERIES}
+      ) WHERE rank <= {ANN_LSH_TOPK}
+    )
+    SELECT bf.va,
+           CAST(count(lsh.vb) AS BIGINT) AS n_hit,
+           {D.floor_round(DUCK, f"CAST(count(lsh.vb) AS DOUBLE) / {ANN_LSH_TOPK}", 6)}
+             AS recall
+    FROM bf LEFT JOIN lsh ON bf.va = lsh.va AND bf.vb = lsh.vb
+    GROUP BY bf.va
+    """,
+    doc=f"ANN quality measurement: recall@{ANN_LSH_TOPK} of the sign-LSH "
+    "bucketed search against the exact brute-force baseline, per query "
+    "vector — the acceptance metric that decides whether a bucketing "
+    "scheme (hyperplane count, banding) is good enough to replace the "
+    "exact path at scale. Both sides are deterministic ranked sets, so "
+    "recall itself is hash-gated.",
+    tags=("vector", "ann", "quality"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .where(F.col("rank") <= ANN_LSH_TOPK)
+        .select("va", "vb")
+    )
+    lsh = ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("va").alias("lva"), F.col("vb").alias("lvb")
+    )
+    j = bf.join(
+        lsh, (bf.va == lsh.lva) & (bf.vb == lsh.lvb), "left"
+    )
+    return j.groupBy("va").agg(
+        F.count("lvb").alias("n_hit"),
+        F.expr(
+            D.floor_round(
+                SPARK, f"CAST(count(lvb) AS DOUBLE) / {ANN_LSH_TOPK}", 6
+            )
+        ).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
