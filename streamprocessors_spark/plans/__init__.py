@@ -50,22 +50,27 @@ _DRIVER_WINDOW_FIRST = (
 
 # Queries whose implementation/oracle changed AFTER their last driver-green
 # row — keep them in the driver window even though a green row exists.
-_FORCE_RECHECK = (
-    "es_transform_registry",  # round 2: real PES/SCTE payloads + new oracle
-)
+# Maps name -> round in which the change landed; the pin expires once a
+# CORRECTNESS file from that round or later shows the query green again.
+_FORCE_RECHECK = {
+    "es_transform_registry": 2,  # round 2: real PES/SCTE payloads + new oracle
+}
 
 
-def _driver_green_names() -> frozenset[str]:
-    """Union of hash-green query names across every CORRECTNESS_r*.json in
-    the repo root; falls back to the pinned round-1 set when none parse."""
+def _driver_green_rounds() -> dict[str, int] | None:
+    """{query: latest round with a hash-green row} across every
+    CORRECTNESS_r*.json in the repo root; None when none parse."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    green: dict[str, int] = {}
     found = False
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -75,8 +80,13 @@ def _driver_green_names() -> frozenset[str]:
             found = True
             for name, row in data.items():
                 if isinstance(row, dict) and row.get("hash_match"):
-                    green.add(name)
-    return frozenset(green) if found else _R01_DRIVER_GREEN
+                    green[name] = max(green.get(name, 0), rnd)
+    return green if found else None
+
+
+def _driver_green_names() -> frozenset[str]:
+    rounds = _driver_green_rounds()
+    return frozenset(rounds) if rounds is not None else _R01_DRIVER_GREEN
 
 
 def ordered_registry() -> dict[str, Query]:
@@ -89,12 +99,17 @@ def ordered_registry() -> dict[str, Query]:
     though one correctness pass covers only ~50 entries.
     """
     green = _driver_green_names()
+    green_rounds = _driver_green_rounds() or {}
     out: dict[str, Query] = {}
     for name in _DRIVER_WINDOW_FIRST:
         if name in REGISTRY and name not in green:
             out[name] = REGISTRY[name]
-    for name in _FORCE_RECHECK:
-        if name in REGISTRY and name not in out:
+    for name, since_round in _FORCE_RECHECK.items():
+        if (
+            name in REGISTRY
+            and name not in out
+            and green_rounds.get(name, 0) < since_round
+        ):
             out[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
         if name not in out and name not in green:
