@@ -1207,7 +1207,9 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT source,
-           CAST(start_off / {_PACK_BIN_TOKENS} AS BIGINT) AS bin,
+           -- integer division: DuckDB `/` yields DOUBLE and CAST rounds
+           -- half-up, while Spark floor() truncates — `//` matches floor
+           CAST(start_off // {_PACK_BIN_TOKENS} AS BIGINT) AS bin,
            count(*)                  AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            min(doc_id)               AS first_doc,
