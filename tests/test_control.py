@@ -92,3 +92,18 @@ def test_es_settings_from_config_store(spark):
     assert r.pts_out == (90000 - 40 * 90) % PTS_MOD
     assert r.vpos_out == 572
     assert r.timeout_out == 25  # clamped to duration_max_seg
+
+
+def test_parse_udp_url_edge_cases():
+    """S2 URL parse: empty/None/other-scheme/malformed all mean 'input
+    closed' (the reference closes input on an empty input_url PUT)."""
+    from streamprocessors_spark.streaming.control import parse_udp_url
+
+    assert parse_udp_url("udp://127.0.0.1:2000") == ("127.0.0.1", 2000)
+    assert parse_udp_url("  udp://h:1  ") == ("h", 1)
+    assert parse_udp_url("") is None
+    assert parse_udp_url(None) is None
+    assert parse_udp_url("http://127.0.0.1:2000") is None
+    assert parse_udp_url("udp://nohost") is None
+    assert parse_udp_url("udp://h:notaport") is None
+    assert parse_udp_url("udp://:2000") is None
