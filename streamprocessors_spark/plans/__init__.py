@@ -53,7 +53,29 @@ _DRIVER_WINDOW_FIRST = (
 # Maps name -> round in which the change landed; the pin expires once a
 # CORRECTNESS file from that round or later shows the query green again.
 _FORCE_RECHECK = {
-    "es_transform_registry": 2,  # round 2: real PES/SCTE payloads + new oracle
+    # round 3: exact-cents money aggregation sweep (functions/money.py) —
+    # every query whose sum/avg-of-doubles was floor/round-quantized moved
+    # to per-row integer units + BIGINT sums on both engine sides.
+    "q22_idle_rich_customers": 3,  # the round-2 red row (schema changed too)
+    "q10_returned_item_revenue": 3,
+    "q14_promo_revenue_share": 3,
+    "q17_small_qty_revenue": 3,
+    "q7_volume_shipping": 3,
+    "q8_market_share": 3,
+    "q15_top_supplier": 3,
+    "q19_bracket_revenue": 3,
+    "q1_pricing_summary": 3,
+    "window_1min_event_rate": 3,
+    "agg_rollup_region_nation": 3,
+    "q3_shipping_priority": 3,
+    "q5_local_supplier_volume": 3,
+    "sliding_60min_stats": 3,
+    "cube_events_by_type_hour": 3,
+    "q6_forecast_revenue": 3,
+    "hypertable_rollup_1h": 3,
+    "stream_window_event_rate": 3,
+    "resample_1h_gapfill": 3,
+    "embedding_norm_stats": 3,
 }
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streamprocessors_spark.functions import money as M
 from streamprocessors_spark.plans.registry import register
 from streamprocessors_spark.session import read_table
 
@@ -129,7 +130,7 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "resample_1h_gapfill",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
       FROM events
@@ -139,7 +140,7 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT date_trunc('hour', ts) AS hour, event_type,
              count(*) AS n_events,
-             floor(sum(value) * 100) / 100 AS sum_value
+             {M.money_sum("value")} AS sum_value
       FROM events GROUP BY 1, 2
     )
     SELECT hours.hour, types.event_type,
@@ -173,7 +174,7 @@ def resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("c_type"),
     ).agg(
         F.count(F.lit(1)).alias("c_n"),
-        _fr(F.sum("value"), 2).alias("c_sv"),
+        F.expr(M.money_sum("value")).alias("c_sv"),
     )
     spine = F.broadcast(hours.crossJoin(types))
     return spine.join(
@@ -305,13 +306,20 @@ def grouping_sets_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NRM_DUCK = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+# avg over doubles is order-dependent; quantize each norm to 1e-6 units
+# (bit-identical per-row), sum exactly, then floor-quantize the average.
+# min/max are order-independent, so floor over them is already safe.
+_NRM_AVG = lambda x: M.avg_quant(M.sum_units(x, 1000000), 4, 1000000)  # noqa: E731
+
+
 @register(
     "embedding_norm_stats",
     oracle=f"""
     SELECT label, count(*) AS n_vectors,
-           floor(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000) / 10000 AS min_norm,
-           floor(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000) / 10000 AS max_norm,
-           floor(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 10000) / 10000 AS avg_norm
+           floor(min({_NRM_DUCK}) * 10000) / 10000 AS min_norm,
+           floor(max({_NRM_DUCK}) * 10000) / 10000 AS max_norm,
+           {_NRM_AVG(_NRM_DUCK)} AS avg_norm
     FROM embeddings GROUP BY label
     """,
     doc="Higher-order array functions on the embedding column: L2 norm as "
@@ -331,5 +339,5 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         _fr(F.min("nrm"), 4).alias("min_norm"),
         _fr(F.max("nrm"), 4).alias("max_norm"),
-        _fr(F.avg("nrm"), 4).alias("avg_norm"),
+        F.expr(_NRM_AVG("nrm")).alias("avg_norm"),
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streamprocessors_spark.functions import money as M
 from streamprocessors_spark.plans.registry import register
 from streamprocessors_spark.session import read_table
 
@@ -29,58 +30,73 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# Exact-cents revenue fragment shared by the Spark plans (via F.expr) and
+# the DuckDB oracles — money sums quantize per ROW to integer cents and sum
+# BIGINTs, so the aggregate is order-independent and bit-identical across
+# engines (functions/money.py; the round-2 q22 driver red row was the
+# floor-over-double-sum form of this).
+_REV = M.money_sum("l_extendedprice * (1 - l_discount)")
+
+
 # ---------------------------------------------------------------------------
 # Aggregation surface (SURVEY §2.5 A1-A8 analogs)
 # ---------------------------------------------------------------------------
 
 
+# q1 aggregate fragments (identical text on both sides). Quantities are
+# integer-valued doubles — their plain double sum is exact in any order, so
+# sum_qty/avg_qty need no cents detour; money columns go through exact
+# cents; avg_disc uses 1e6 "micro" units for its 6-decimal output.
+_Q1_SUM_QTY = "sum(l_quantity)"
+_Q1_AVG_QTY = (
+    "floor(sum(l_quantity) * cast(10000 as double) / count(*))"
+    " / cast(10000 as double)"
+)
+_Q1_AGGS = {
+    "sum_qty": _Q1_SUM_QTY,
+    "sum_base_price": M.money_sum("l_extendedprice"),
+    "sum_disc_price": _REV,
+    "sum_charge": M.money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+    "avg_qty": _Q1_AVG_QTY,
+    "avg_price": M.avg_quant(M.sum_units("l_extendedprice"), 4),
+    "avg_disc": M.avg_quant(M.sum_units("l_discount", 1000000), 6, 1000000),
+    "count_order": "count(*)",
+}
+
+
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 6)                                   AS avg_disc,
-           count(*)                                                    AS count_order
+           {", ".join(f'{frag} AS {name}' for name, frag in _Q1_AGGS.items())}
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="Flagship scan+agg: TPC-H-Q1-style pricing summary. Exercises map-side "
     "partial aggregation and full-scan throughput (the reference's per-second "
-    "accumulate loop, mpeg2ts/src/mpeg2_sp.c:910-916, generalized).",
+    "accumulate loop, mpeg2ts/src/mpeg2_sp.c:910-916, generalized). Money "
+    "aggregates are exact integer cents (functions/money.py).",
     tags=("agg",),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            *[F.expr(frag).alias(name) for name, frag in _Q1_AGGS.items()]
         )
     )
 
 
 @register(
     "window_1min_event_rate",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('minute', ts)        AS window_start,
            event_type,
            count(*)                        AS n_events,
-           round(sum(value), 2)            AS sum_value
+           {M.money_sum("value")}          AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -95,7 +111,7 @@ def window_1min_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.expr(M.money_sum("value")).alias("sum_value"),
     )
 
 
@@ -140,9 +156,9 @@ def log_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_rollup_region_nation",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS sum_acctbal
+           {M.money_sum("c_acctbal")} AS sum_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -161,7 +177,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        F.expr(M.money_sum("c_acctbal")).alias("sum_acctbal"),
     )
 
 
@@ -172,9 +188,9 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_REV} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -200,11 +216,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .where((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.expr(_REV).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -213,8 +225,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier_volume",
-    oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT n_name, {_REV} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -242,11 +254,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.expr(_REV).alias("revenue"))
     )
 
 
@@ -523,15 +531,15 @@ def querystring_settings_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sliding_60min_stats",
-    oracle="""
+    oracle=f"""
     WITH g AS (
       SELECT date_trunc('minute', ts) AS slot, event_type,
-             count(*) AS n, sum(value) AS v
+             count(*) AS n, {M.sum_units("value")} AS vc
       FROM events GROUP BY 1, 2
     )
     SELECT slot, event_type,
            CAST(sum(n) OVER w AS BIGINT)   AS n_window,
-           round(sum(v) OVER w, 2)         AS v_window,
+           CAST(sum(vc) OVER w AS BIGINT) / cast(100 as double) AS v_window,
            CAST(count(*) OVER w AS BIGINT) AS slots_present
     FROM g
     WINDOW w AS (
@@ -550,7 +558,10 @@ def sliding_60min_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     slots = ev.groupBy(
         F.date_trunc("minute", F.col("ts")).alias("slot"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(M.sum_units("value")).alias("vc"),
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.unix_timestamp("slot"))
@@ -560,7 +571,7 @@ def sliding_60min_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slot",
         "event_type",
         F.sum("n").over(w).alias("n_window"),
-        F.round(F.sum("v").over(w), 2).alias("v_window"),
+        (F.sum("vc").over(w) / F.lit(100.0)).alias("v_window"),
         F.count(F.lit(1)).over(w).alias("slots_present"),
     )
 
@@ -666,11 +677,11 @@ def packet_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cube_events_by_type_hour",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(extract(hour FROM ts) AS INT) AS hr,
            count(*)            AS n,
-           round(sum(value),2) AS v,
+           {M.money_sum("value")} AS v,
            CAST(grouping(event_type) AS INT) + 2 * CAST(grouping(extract(hour FROM ts)) AS INT) AS gid
     FROM events
     GROUP BY CUBE (event_type, extract(hour FROM ts))
@@ -688,7 +699,7 @@ def cube_events_by_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.cube("event_type", "hr")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("v"),
+            F.expr(M.money_sum("value")).alias("v"),
             (
                 F.grouping("event_type").cast("int")
                 + 2 * F.grouping("hr").cast("int")
@@ -700,9 +711,9 @@ def cube_events_by_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-           count(*)                                    AS n_lines
+    oracle=f"""
+    SELECT {M.money_sum("l_extendedprice * l_discount")} AS revenue,
+           count(*)                                      AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01'
       AND l_shipdate <  TIMESTAMP '1995-01-01'
@@ -726,9 +737,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.expr(M.money_sum("l_extendedprice * l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -736,16 +745,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hypertable_rollup_1h",
-    oracle="""
+    oracle=f"""
     WITH minute_agg AS (
       SELECT date_trunc('minute', ts) AS m, event_type,
-             count(*) AS n, sum(value) AS v
+             count(*) AS n, {M.sum_units("value")} AS vc
       FROM events GROUP BY 1, 2
     )
     SELECT date_trunc('hour', m) AS hour_start,
            event_type,
            CAST(sum(n) AS BIGINT)   AS n_events,
-           round(sum(v), 2)         AS sum_value,
+           CAST(sum(vc) AS BIGINT) / cast(100 as double) AS sum_value,
            count(*)                 AS n_active_minutes
     FROM minute_agg GROUP BY 1, 2
     """,
@@ -762,12 +771,15 @@ def hypertable_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     minute = ev.groupBy(
         F.date_trunc("minute", "ts").alias("m"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(M.sum_units("value")).alias("vc"),
+    )
     return minute.groupBy(
         F.date_trunc("hour", "m").alias("hour_start"), "event_type"
     ).agg(
         F.sum("n").alias("n_events"),
-        F.round(F.sum("v"), 2).alias("sum_value"),
+        F.expr("cast(sum(vc) as bigint) / cast(100 as double)").alias("sum_value"),
         F.count(F.lit(1)).alias("n_active_minutes"),
     )
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamprocessors_spark.functions import money as M
 from streamprocessors_spark.plans.registry import register
 from streamprocessors_spark.streaming.runner import (
     run_available_now,
@@ -28,11 +29,11 @@ from streamprocessors_spark.streaming.runner import (
 
 @register(
     "stream_window_event_rate",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('minute', ts)        AS window_start,
            event_type,
            count(*)                        AS n_events,
-           round(sum(value), 2)            AS sum_value
+           {M.money_sum("value")}          AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -50,7 +51,7 @@ def stream_window_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.expr(M.money_sum("value")).alias("sum_value"),
         )
     )
     sink = run_available_now(agg, output_mode="complete")

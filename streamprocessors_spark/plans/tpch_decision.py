@@ -25,15 +25,20 @@ shuffle from full-table to the filtered slice); top-k orders by the
 quantized measure + unique-key tiebreak (cross-engine determinism).
 
 Float parity: quantities are integer-valued doubles (exact sums, any
-order); money sums are floor-quantized via the same floor(x*10^n)/10^n
-form both engines evaluate bit-identically (functions/dialect.py).
+order); money aggregates are EXACT — each row quantizes to integer cents
+first (bit-identical per-row in both engines), the BIGINT sum is
+order-independent, and every derived double is computed from those
+identical bigints with identical expression text (functions/money.py).
+The earlier floor(sum(double)) form was order-DEPENDENT: a last-ulp sum
+difference between engines flipped a full cent on q22 in round 2.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamprocessors_spark.functions import money as M
 from streamprocessors_spark.plans.registry import register
 from streamprocessors_spark.session import read_table
 
@@ -42,11 +47,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _fr(col: Column, decimals: int) -> Column:
-    """floor-quantize a double: bit-identical in Spark and DuckDB (unlike
-    round(); see functions/dialect.py::floor_round)."""
-    scale = 10**decimals
-    return F.floor(col * scale) / F.lit(float(scale))
+# Shared fragment: exact-cents revenue sum emitted as dollars (double).
+_REV = M.money_sum("l_extendedprice * (1 - l_discount)")
 
 
 @register(
@@ -86,9 +88,9 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_item_revenue",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
+           {_REV} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -103,8 +105,8 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Q10 shape: top-20 customers by lost revenue from returned items in "
     "one quarter. Fact-to-fact join (orders⋈lineitem) shuffles on orderkey; "
     "customer and nation ride broadcast hash joins; top-k is TakeOrdered "
-    "(no global sort). Ordering key is the floor-quantized revenue + "
-    "custkey tiebreak so both engines pick the identical 20 rows.",
+    "(no global sort). Ordering key is the exact-cents revenue + custkey "
+    "tiebreak so both engines pick the identical 20 rows.",
     tags=("join", "topk", "agg"),
 )
 def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,11 +122,7 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            _fr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.expr(_REV).alias("revenue"))
     )
     return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
 
@@ -163,23 +161,29 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
+_Q14_PROMO = (
+    "cast(sum(case when p_type = 'PROMO' then "
+    + M.units("l_extendedprice * (1 - l_discount)")
+    + " else 0 end) as bigint)"
+)
+_Q14_PCT = M.ratio_quant(
+    _Q14_PROMO, M.sum_units("l_extendedprice * (1 - l_discount)"), 4, pct=True
+)
+
+
 @register(
     "q14_promo_revenue_share",
-    oracle="""
-    SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
-           AS promo_revenue_pct
+    oracle=f"""
+    SELECT {_Q14_PCT} AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1996-02-01'
     """,
     doc="Q14 shape: percentage of one month's revenue from PROMO parts. "
     "part is a broadcast dim (no shuffle at any scale: lineitem streams "
-    "through map-side join + partial agg to a single row). The ratio of "
-    "two same-order sums is quantized to 4 places for cross-engine float "
-    "parity.",
+    "through map-side join + partial agg to a single row). The ratio runs "
+    "over two exact-cents BIGINT sums, then floor-quantizes to 4 places — "
+    "bit-identical across engines by construction.",
     tags=("join", "agg", "broadcast"),
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,18 +192,22 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(_fr(F.lit(100.0) * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue_pct"))
+        .agg(F.expr(_Q14_PCT).alias("promo_revenue_pct"))
     )
+
+
+_Q17_AVG_YEARLY = (
+    f"floor({M.sum_units('l_extendedprice')} / cast(7 as double))"
+    " / cast(100 as double)"
+)
 
 
 @register(
     "q17_small_qty_revenue",
-    oracle="""
-    SELECT floor(sum(l_extendedprice) / 7.0 * 100) / 100 AS avg_yearly
+    oracle=f"""
+    SELECT {_Q17_AVG_YEARLY} AS avg_yearly
     FROM lineitem l JOIN part p ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#13'
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -225,7 +233,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = li.join(
         F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey")
     ).where(F.col("l_quantity") < F.col("qty_threshold"))
-    return small.agg(_fr(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    return small.agg(F.expr(_Q17_AVG_YEARLY).alias("avg_yearly"))
 
 
 @register(
@@ -263,16 +271,20 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q22_T = M.avg_quant(M.sum_units("c_acctbal"), 2)
+_Q22_BAL = M.sum_units("c_acctbal")
+
+
 @register(
     "q22_idle_rich_customers",
-    oracle="""
+    oracle=f"""
     WITH thresh AS (
-      SELECT floor(avg(c_acctbal) * 100) / 100 AS t
+      SELECT {_Q22_T} AS t
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c_mktsegment,
            count(*) AS n_cust,
-           floor(sum(c_acctbal) * 100) / 100 AS total_bal
+           {_Q22_BAL} AS total_bal_cents
     FROM customer, thresh
     WHERE c_acctbal > t
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -283,9 +295,12 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Q22 shape: above-average-balance customers with no recent orders "
     "(the fixture has no fully-orderless customers, so 'idle' = no order "
     "since 2000). The scalar avg subquery is a 1-row broadcast cross join; "
-    "NOT EXISTS is a LEFT ANTI join against date-filtered orders. The "
-    "threshold is floor-quantized to 2 places so last-ulp avg differences "
-    "between engines cannot flip a boundary row.",
+    "NOT EXISTS is a LEFT ANTI join against date-filtered orders. Money is "
+    "aggregated as exact integer cents (round-2 driver red row: the old "
+    "floor(sum(double)) flipped a cent on an engine-order ulp difference); "
+    "the threshold is a floor-quantized ratio of exact bigints and the "
+    "balance total is emitted AS cents (BIGINT) so no float formatting is "
+    "involved at all.",
     tags=("join", "anti", "subquery"),
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,22 +308,20 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
-    thresh = c.where(F.col("c_acctbal") > 0).agg(
-        _fr(F.avg("c_acctbal"), 2).alias("t")
-    )
+    thresh = c.where(F.col("c_acctbal") > 0).agg(F.expr(_Q22_T).alias("t"))
     rich = c.join(F.broadcast(thresh)).where(F.col("c_acctbal") > F.col("t"))
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        _fr(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.expr(_Q22_BAL).alias("total_bal_cents"),
     )
 
 
 @register(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           floor(sum(volume) * 100) / 100 AS revenue
+           {M.money_sum("volume")} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -363,23 +376,27 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        joined.groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        joined.withColumn(
+            "volume", F.col("l_extendedprice") * (1 - F.col("l_discount"))
         )
-        .agg(
-            _fr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.expr(M.money_sum("volume")).alias("revenue"))
     )
+
+
+_Q8_NUM = (
+    "cast(sum(case when nation = 'NATION_9' then "
+    + M.units("volume")
+    + " else 0 end) as bigint)"
+)
+_Q8_SHARE = M.ratio_quant(_Q8_NUM, M.sum_units("volume"), 4)
 
 
 @register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
-           floor(sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END)
-                 / sum(volume) * 10000) / 10000 AS mkt_share
+           {_Q8_SHARE} AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -404,8 +421,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapses to lineitem + orders with every dim broadcast: the "
     "p_type filter cuts lineitem ~1/6 before its orderkey shuffle, the "
     "region filter cuts customers ~1/5 behind the orders join, and the "
-    "share is a conditional-sum ratio (no second pass). floor-quantized "
-    "to 4 places for float parity.",
+    "share is a conditional-sum ratio (no second pass) over exact-cents "
+    "bigints, floor-quantized to 4 places for float parity.",
     tags=("join", "agg", "broadcast"),
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,10 +459,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
         )
     )
-    share = F.sum(F.when(F.col("nation") == "NATION_9", F.col("volume")).otherwise(0.0)) / F.sum(
-        "volume"
-    )
-    return joined.groupBy("o_year").agg(_fr(share, 4).alias("mkt_share"))
+    return joined.groupBy("o_year").agg(F.expr(_Q8_SHARE).alias("mkt_share"))
 
 
 @register(
@@ -493,26 +507,25 @@ def q12_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100
-               AS total_revenue
+             {M.sum_units("l_extendedprice * (1 - l_discount)")} AS rc
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, rc / cast(100 as double) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE rc = (SELECT max(rc) FROM revenue)
     """,
     doc="Q15 shape: the supplier(s) with maximum quarterly revenue — a "
     "scalar MAX subquery over a reused aggregate view. The per-supplier "
     "aggregate materializes ONCE behind a repartition Exchange and is "
     "consumed by both the max() branch (1-row broadcast) and the equality "
     "filter (AQE ReusedExchange; see spark-perf memory). Equality compares "
-    "floor-quantized doubles, identical in both engines, so ties surface "
+    "exact BIGINT cents, identical in both engines, so ties surface "
     "identically.",
     tags=("join", "subquery", "agg"),
 )
@@ -524,27 +537,28 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            _fr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+            F.expr(M.sum_units("l_extendedprice * (1 - l_discount)")).alias("rc")
         )
         .repartition(8, "supplier_no")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    mx = revenue.agg(F.max("rc").alias("mx"))
     s = _t(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(mx))
-        .where(F.col("total_revenue") == F.col("mx"))
+        .where(F.col("rc") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("rc / cast(100 as double)").alias("total_revenue"),
+        )
     )
 
 
 @register(
     "q19_bracket_revenue",
-    oracle="""
-    SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100
-           AS revenue
+    oracle=f"""
+    SELECT {_REV} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -576,11 +590,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .where(brackets)
-        .agg(
-            _fr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.expr(_REV).alias("revenue"))
     )
 
 

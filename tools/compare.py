@@ -50,8 +50,15 @@ def _norm_cell(v: object) -> str:
         if math.isnan(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
+            # Type normalization only (Spark floor() yields BIGINT where
+            # DuckDB yields DOUBLE) — not a precision concession.
             return str(int(v))
-        return f"{v:.6g}"
+        # Full precision: repr() is the shortest round-tripping string, so
+        # different doubles ALWAYS canonicalize differently. The round-2
+        # `%.6g` form collapsed 107357.17 and 107357.16 to "107357" and
+        # masked the q22 driver failure — the local comparator must never
+        # be laxer than the driver.
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):
