@@ -58,11 +58,14 @@ def _u16(col: Column, pos: int) -> Column:
 
 
 def _enc_u8(v: Column) -> Column:
-    return F.unhex(F.lpad(F.hex(v.cast("bigint")), 2, "0"))
+    # Mask first: lpad would TRUNCATE a >2-hex-digit string to its leftmost
+    # chars, silently corrupting over-width values (e.g. a timeout pushed
+    # past 255 by pathological settings) instead of wrapping.
+    return F.unhex(F.lpad(F.hex(v.cast("bigint").bitwiseAND(F.lit(0xFF))), 2, "0"))
 
 
 def _enc_u16(v: Column) -> Column:
-    return F.unhex(F.lpad(F.hex(v.cast("bigint")), 4, "0"))
+    return F.unhex(F.lpad(F.hex(v.cast("bigint").bitwiseAND(F.lit(0xFFFF))), 4, "0"))
 
 
 def pts_encode_expr(pts: Column) -> Column:
@@ -139,7 +142,9 @@ def dvb_subt_pes_expr(
         _enc_u16(page_id),
         F.unhex(F.lit("0008")),  # segment_length
         _enc_u8(timeout_s),
-        F.unhex(F.lit("0C")),  # page_version 0, page_state 'acquisition'
+        # page_version 0, page_state 'acquisition point' = 0b01 (EN 300 743
+        # §7.2.2 table 3; 0x0C would be the RESERVED state 0b11).
+        F.unhex(F.lit("04")),
         F.unhex(F.lit("01FF")),  # region_id 1, reserved
         _enc_u16(hpos),
         _enc_u16(vpos),

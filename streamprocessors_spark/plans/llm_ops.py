@@ -1118,7 +1118,10 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
       SELECT doc_id, source,
-             50 + (CAST(substr(source, 4) AS INT) * 97) % 950 AS weight_permille,
+             -- TRY_CAST: DuckDB's plain CAST hard-errors on a source name
+             -- not shaped 'srcN', while Spark's cast yields NULL — TRY_CAST
+             -- makes both engines degrade identically on a fixture change.
+             50 + (TRY_CAST(substr(source, 4) AS INT) * 97) % 950 AS weight_permille,
              {_doc_hash(DUCK)} % 1000 AS bucket
       FROM documents
     )

@@ -137,6 +137,10 @@ def parse_udp_url(url: str | None) -> tuple[str, int] | None:
         return None
     hostport = url[len("udp://") :]
     host, _, port = hostport.rpartition(":")
+    if host.startswith("[") and host.endswith("]"):
+        # Bracketed IPv6 literal ('udp://[::1]:2000') — socket APIs want the
+        # bare address, so strip the URL brackets.
+        host = host[1:-1]
     if not host or not port.isdigit():
         return None
     return host, int(port)
@@ -176,19 +180,40 @@ class InputSupervisor:
 
     def reconcile(self):
         """Make the running query match the stored input_url; returns the
-        active query (or None when input is closed)."""
+        active query (or None when input is closed).
+
+        Failure-recovery semantics (the scenario the supervisor exists
+        for): a DEAD predecessor query re-raises its
+        StreamingQueryException from awaitTermination(), and a failing
+        build_query (e.g. bind error) must not mark the URL as applied —
+        the reference swaps the socket regardless of the prior input's
+        state (comm_reset_external, mpeg2_sp.c:722-784), so the next
+        reconcile() with the same stored URL retries instead of wedging.
+        """
+        from pyspark.errors import StreamingQueryException
+
         url = self.desired_url()
         if url == self.current_url and (
             self.query is None or self.query.isActive
         ):
             return self.query
         if self.query is not None:
-            self.query.stop()
-            self.query.awaitTermination()
+            try:
+                self.query.stop()
+                self.query.awaitTermination()
+            except StreamingQueryException:
+                pass  # predecessor died on its own; the swap proceeds
             self.query = None
-        self.current_url = url
         parsed = parse_udp_url(url)
-        if parsed is not None:
-            self.generation += 1
+        if parsed is None:
+            self.current_url = url
+            return None
+        self.generation += 1
+        try:
             self.query = self.build_query(parsed[0], parsed[1], self.generation)
+        except Exception:
+            # Not applied: clear so the next reconcile() retries this URL.
+            self.current_url = None
+            raise
+        self.current_url = url
         return self.query
