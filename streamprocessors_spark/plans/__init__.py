@@ -76,6 +76,7 @@ _FORCE_RECHECK = {
     "stream_window_event_rate": 3,
     "resample_1h_gapfill": 3,
     "embedding_norm_stats": 3,
+    "event_interarrival_stats": 3,  # avg(bigint) -> structural sum/count
 }
 
 

@@ -90,12 +90,23 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quantized average over exact integer-microsecond gaps: the bigint sum is
+# order-independent, the division text is shared by both engines (the
+# avg()-based form relied on both engines computing avg(bigint) as exactly
+# sum/count — true today, but structurally unverifiable; canon_audit flags
+# quantizers over float aggregates).
+_AVG_GAP_S = (
+    "floor(cast(sum(gap_us) as bigint) * cast(1 as double) / count(*)"
+    " / cast(10000 as double)) / cast(100 as double)"
+)
+
+
 @register(
     "event_interarrival_stats",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            count(*)                                   AS n_gaps,
-           floor(avg(gap_us) / 10000.0) / 100         AS avg_gap_s,
+           {_AVG_GAP_S}                               AS avg_gap_s,
            max(gap_us)                                AS max_gap_us
     FROM (
       SELECT user_id,
@@ -123,7 +134,7 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("gap_us").isNotNull())
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        (F.floor(F.avg("gap_us") / 10000.0) / F.lit(100.0)).alias("avg_gap_s"),
+        F.expr(_AVG_GAP_S).alias("avg_gap_s"),
         F.max("gap_us").alias("max_gap_us"),
     )
 

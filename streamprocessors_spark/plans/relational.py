@@ -44,20 +44,15 @@ _REV = M.money_sum("l_extendedprice * (1 - l_discount)")
 
 
 # q1 aggregate fragments (identical text on both sides). Quantities are
-# integer-valued doubles — their plain double sum is exact in any order, so
-# sum_qty/avg_qty need no cents detour; money columns go through exact
+# integer-valued doubles — quantized at scale 1 they sum as exact BIGINTs
+# (canon_audit-clean by construction); money columns go through exact
 # cents; avg_disc uses 1e6 "micro" units for its 6-decimal output.
-_Q1_SUM_QTY = "sum(l_quantity)"
-_Q1_AVG_QTY = (
-    "floor(sum(l_quantity) * cast(10000 as double) / count(*))"
-    " / cast(10000 as double)"
-)
 _Q1_AGGS = {
-    "sum_qty": _Q1_SUM_QTY,
+    "sum_qty": M.sum_units("l_quantity", 1),
     "sum_base_price": M.money_sum("l_extendedprice"),
     "sum_disc_price": _REV,
     "sum_charge": M.money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
-    "avg_qty": _Q1_AVG_QTY,
+    "avg_qty": M.avg_quant(M.sum_units("l_quantity", 1), 4, 1),
     "avg_price": M.avg_quant(M.sum_units("l_extendedprice"), 4),
     "avg_disc": M.avg_quant(M.sum_units("l_discount", 1000000), 6, 1000000),
     "count_order": "count(*)",

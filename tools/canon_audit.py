@@ -15,17 +15,50 @@ inspects every Spark plan's schema (lazy, no job) and fails loudly on:
 - oracle column types containing HUGEINT/INT128/UHUGEINT/LIST/STRUCT/MAP/UNION
 - Spark columns of Array/Map/Struct type
 
+A third hazard class (round 2's q22 driver red row) is VALUE-level, not
+type-level: ``floor(sum(<double>))`` / ``round(avg(<double>))`` assume the
+inner double aggregate is bit-identical across engines, but double
+summation is order-dependent — a last-ulp difference lands on the
+quantization boundary and flips a full unit. The audit greps every oracle
+for floor/round applied over a raw sum/avg (``cast(round(x)*scale as
+bigint)`` per-ROW quantization, functions/money.py, is the safe form and
+does not match).
+
 Usage: python tools/canon_audit.py [sf_dir]
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BAD_DUCK = ("HUGEINT", "INT128", "LIST", "STRUCT", "MAP", "UNION", "[]")
+
+# floor(/round( whose first argument starts with sum(/avg( — i.e. the
+# quantizer wraps the AGGREGATE (order-dependent) instead of the per-row
+# value. Whitespace-insensitive; matches across the oracle's pretty-print.
+_FLOAT_AGG_HAZARD = re.compile(
+    r"\b(floor|round)\s*\(\s*(sum|avg)\s*\(", re.IGNORECASE
+)
+# Safe exception: sum(...) of already-integer per-row units, i.e. the inner
+# expression is itself cast(round(...) as bigint)/cast(floor(...) as bigint).
+_SAFE_INNER = re.compile(
+    r"\b(floor|round)\s*\(\s*(sum|avg)\s*\(\s*cast\s*\(\s*(round|floor)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _float_agg_hazards(oracle: str) -> list[str]:
+    out = []
+    for m in _FLOAT_AGG_HAZARD.finditer(oracle):
+        if _SAFE_INNER.match(oracle, m.start()):
+            continue
+        snippet = " ".join(oracle[m.start() : m.start() + 60].split())
+        out.append(snippet)
+    return out
 
 
 def main() -> int:
@@ -53,6 +86,11 @@ def main() -> int:
                 up = str(typ).upper()
                 if any(b in up for b in BAD_DUCK):
                     problems.append(f"{name}: oracle column {col} is {typ}")
+            for snip in _float_agg_hazards(q.oracle):
+                problems.append(
+                    f"{name}: quantizer over float aggregate (order-dependent"
+                    f" across engines): {snip!r}"
+                )
         try:
             schema = q.fn(spark, sf_dir).schema
         except Exception as e:  # noqa: BLE001
