@@ -5,15 +5,22 @@ The reference's e2e test replays a real multi-program capture
 with a synthetic 16-program mux — a SINGLE transport stream whose PAT
 lists every program and whose PSI tables interleave with ES packets — plus
 a PAT version update to pin R7 (latest-version register) on a genuinely
-multi-table stream.
+multi-table stream. ``test_real_capture_san_diego`` additionally replays
+the reference's OWN capture asset when present, pinning the codec layer to
+ground truth the reference itself tests against.
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
 
 N_PROGRAMS = 16
+
+# The reference e2e replays this exact asset (utests_mpeg2_sp.cpp:57-64).
+_SAN_DIEGO = "/root/reference/mpeg2ts/utests/assets/san_diego_200kbps.ts"
 
 
 @pytest.fixture(scope="module")
@@ -100,6 +107,54 @@ def test_pat_version_update_r7(spark):
         (2, 0x110),
     ]
     assert all(p.pat_version == 1 for p in progs)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_SAN_DIEGO), reason="reference capture asset not present"
+)
+def test_real_capture_san_diego(spark):
+    """Regression armor on a REAL off-air capture: every expected value
+    below was independently established from the reference's own e2e run
+    over the same asset (15,029 sync-locked packets; PAT v14 for
+    ts_id 29969; PMT v27 for program 1 with pcr_pid 69 and 2 ES; no SDT).
+    """
+    from streamprocessors_spark.operators.demux import (
+        pat_programs,
+        pmt_streams,
+        programs_summary,
+        reassemble_sections,
+        sdt_services,
+    )
+    from streamprocessors_spark.sources.ts_source import read_ts_files
+
+    pkts = read_ts_files(spark, _SAN_DIEGO)
+    counts = pkts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("sync_ok").cast("int")).alias("n_sync"),
+    ).collect()[0]
+    assert counts.n == 15029
+    assert counts.n_sync == 15029
+
+    sections = reassemble_sections(pkts, psi_pids=[0x0, 0x11, 66])
+    psi = sections.where(F.col("pid").isin(0, 66)).collect()
+    assert psi and all(s.crc_ok for s in psi)  # R2: every PSI CRC green
+
+    pats = pat_programs(sections).distinct().collect()
+    assert {(p.ts_id, p.pat_version, p.program_number, p.reference_pid)
+            for p in pats} == {(29969, 14, 1, 66)}
+
+    pmts = pmt_streams(sections).distinct().orderBy("elementary_pid").collect()
+    assert all(p.pmt_version == 27 and p.pcr_pid == 69 for p in pmts)
+    assert len(pmts) == 2  # two elementary streams
+
+    summary = programs_summary(
+        pat_programs(sections), pmt_streams(sections), sdt_services(sections)
+    ).collect()
+    assert len(summary) == 1
+    s = summary[0]
+    assert s.program_number == 1
+    assert s.pcr_pid == 69
+    assert s.n_streams == 2
 
 
 def test_subtitle_es_through_mux(spark):
