@@ -37,14 +37,19 @@ HEADLINE = [
     # LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "decontaminate_ngram_overlap",
     "text_quality_score",
     "ann_bruteforce_topk",
+    "mm_image_features",
     # advanced joins / sessions / training-data prep
     "range_join_error_windows",
     "sessionize_events",
     "hypertable_rollup_1h",
     "packed_context_bins",
     "corpus_prep_pipeline",
+    # ES processor path (PES restamp + DVB page patch, pure JVM expressions)
+    "es_subtitle_restamp",
 ]
 
 

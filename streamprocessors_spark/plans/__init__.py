@@ -77,6 +77,11 @@ _FORCE_RECHECK = {
     "resample_1h_gapfill": 3,
     "embedding_norm_stats": 3,
     "event_interarrival_stats": 3,  # avg(bigint) -> structural sum/count
+    # round 3: Generate/HOF perf restructures (identical semantics, new
+    # physical shape — explode_outer + codegen'd aggregates)
+    "decontaminate_ngram_overlap": 3,
+    "dedup_simhash": 3,
+    "bigram_corpus_topk": 3,
 }
 
 

@@ -194,10 +194,16 @@ def bigram_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = (
         docs.selectExpr(f"{ws} as ws")
         .where(F.expr("size(ws) >= 2"))
+        # explode_outer + not-null: plain explode would infer a size()>0
+        # filter pushed below the ws projection, re-inlining the
+        # tokenization per element inside the transform lambda (see
+        # llm_ops.decontaminate_ngram_overlap). The null-filter sits ABOVE
+        # the Generate (on its output attribute), so nothing is pushed.
         .selectExpr(
-            "explode(transform(sequence(1, size(ws) - 1),"
+            "explode_outer(transform(sequence(1, size(ws) - 1),"
             " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) as bigram"
         )
+        .where(F.col("bigram").isNotNull())
     )
     return (
         bigrams.groupBy("bigram")

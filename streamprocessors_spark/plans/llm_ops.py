@@ -291,14 +291,49 @@ def _simhash_cte(d: str) -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = D.words(SPARK)
-    sh = (
+    nb = MH.SIMHASH_BITS
+    # The per-bit majority vote is NOT computed with the array
+    # higher-order-function form the oracle uses: Spark evaluates HOF
+    # lambdas interpreted (outside whole-stage codegen), so n_words x 48
+    # lambda invocations per document cost ~5 ms/doc (28 s for the sf0.1
+    # corpus). Instead the word hashes explode to rows and the 48 bit
+    # counters become codegen'd SUM aggregates — identical majority
+    # semantics (bit b set iff 2 * ones_b > n), ~40x faster, and the
+    # map-side partial aggregation collapses each document back to one row
+    # before the shuffle, so the exchange carries docs, not words.
+    h = (
         _docs(spark, sf_dir)
         .selectExpr("doc_id", "lang", f"{ws} as ws")
         .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
-        .selectExpr("doc_id", "lang", f"{TP.word_hashes(SPARK, 'ws', distinct=False)} as hs")
-        .selectExpr("doc_id", "lang", f"{MH.simhash(SPARK, 'hs')} as sh48")
-        # Exchange so the 48-bit majority vote runs once, not per join side.
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # explode_outer: plain explode infers a pushed-down size()>0 filter
+        # that re-inlines the tokenization per element (see
+        # decontaminate_ngram_overlap); nulls can't occur past the where.
+        .select(
+            "doc_id",
+            "lang",
+            F.explode_outer(
+                F.expr(TP.word_hashes(SPARK, "ws", distinct=False))
+            ).alias("h"),
+        )
+    )
+    sh = (
+        h.groupBy("doc_id", "lang")
+        .agg(
+            F.count("h").alias("n"),
+            *[
+                F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"c{b}")
+                for b in range(nb)
+            ],
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            " + ".join(
+                f"(case when 2 * c{b} > n then {1 << b}L else 0L end)"
+                for b in range(nb)
+            )
+            + " as sh48",
+        )
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("sh48").alias("sh_a")
@@ -390,11 +425,19 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
         .selectExpr("doc_id", f"{TP.shingles(SPARK, 'ws')} as sh")
     )
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # `size(sh) > 0` filter and push it below the projections, inlining the
+    # whole shingle expression in terms of `text` — and inside the
+    # transform() lambda the tokenization is re-evaluated PER ELEMENT
+    # (no subexpression elimination inside higher-order-function lambdas),
+    # turning the scan O(n_grams * split). explode_outer infers no filter;
+    # the null grams it adds for empty docs drop in the inner join below.
+    # Measured at sf0.1: 20.4 s -> 0.8 s warm.
     corpus = k.where("doc_id % 50 != 0").select(
-        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+        "doc_id", F.size("sh").alias("n_grams"), F.explode_outer("sh").alias("g")
     )
     bench = k.where("doc_id % 50 = 0").select(
-        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("g")
+        F.col("doc_id").alias("bench_id"), F.explode_outer("sh").alias("g")
     )
     return (
         corpus.join(F.broadcast(bench), "g")

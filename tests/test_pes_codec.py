@@ -146,3 +146,217 @@ def test_pcr_guard_clamps_pts(spark):
     assert by_pts[100_000].pts_out == 100_000
     # wrap case: pcr near the top, pts just past zero; distance 900 < 9000
     assert by_pts[500].pts_out == (PTS_MOD - 400 + 9_000) % PTS_MOD
+
+
+# ---------------------------------------------------------------------------
+# Variable-layout path (codec/pes_var.py): the general parser/patcher the
+# fixed-offset JVM expressions are a fast path of. Pinned two ways: (a)
+# byte-identical to dvb_subt_patch_expr on the common fixed shape, (b)
+# hypothesis properties over randomized multi-segment / stuffed layouts.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hsettings
+from hypothesis import strategies as st
+
+from streamprocessors_spark.codec.pes_var import (
+    PATCH_RESULT_SCHEMA,
+    SEG_PAGE_COMPOSITION,
+    build_pes_py,
+    dvb_subt_patch_batches,
+    dvb_subt_patch_py,
+    page_composition_payload,
+    parse_pes_py,
+)
+
+
+def _rand_params(n, seed=0x5EED):
+    """Deterministic spread of (pts, page_id, timeout, hpos, vpos)."""
+    x = seed
+    out = []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append(
+            (
+                x % PTS_MOD,
+                (x >> 33) % 0x10000,
+                (x >> 49) % 256,
+                (x >> 7) % 720,
+                (x >> 17) % 576,
+            )
+        )
+    return out
+
+
+def test_build_pes_py_matches_jvm_generator(spark):
+    """The Python fixture builder reproduces dvb_subt_pes_expr's 30-byte
+    layout bit-for-bit, so the two paths patch the same input space."""
+    params = _rand_params(64)
+    df = spark.createDataFrame(params, "pts long, pg long, t long, h long, v long")
+    rows = df.select(
+        "*",
+        F.hex(
+            dvb_subt_pes_expr(
+                F.col("pts"), F.col("pg"), F.col("t"), F.col("h"), F.col("v")
+            )
+        ).alias("hx"),
+    ).collect()
+    for r in rows:
+        built = build_pes_py(
+            r.pts,
+            [
+                (
+                    SEG_PAGE_COMPOSITION,
+                    r.pg,
+                    page_composition_payload(r.t, [(1, r.h, r.v)]),
+                )
+            ],
+            end_marker=False,
+        )
+        assert built == bytes.fromhex(r.hx), (r.pts, r.pg)
+
+
+def test_variable_path_matches_jvm_patch_bytes(spark):
+    """On the fixed shape, dvb_subt_patch_py output (bytes + every reported
+    field) is identical to dvb_subt_patch_expr — one job, 64 random packets,
+    settings exercising shift/clamp/guard simultaneously."""
+    s = DvbSubtSettings(
+        time_shift_offset_msec=-3712,
+        duration_min_seg=4,
+        duration_max_seg=180,
+        duration_offset_seg=7,
+        hpos_offset_pels=-35,
+        vpos_offset_pels=60,
+        ts_pcr_guard_msec=120,
+    )
+    params = _rand_params(64, seed=0xB00)
+    df = spark.createDataFrame(
+        [(p, pg, t, h, v, (p * 7919) % PTS_MOD) for p, pg, t, h, v in params],
+        "pts long, pg long, t long, h long, v long, pcr long",
+    )
+    pes = dvb_subt_pes_expr(F.col("pts"), F.col("pg"), F.col("t"), F.col("h"), F.col("v"))
+    rows = df.select(
+        "pcr",
+        F.hex(pes).alias("in_hx"),
+        dvb_subt_patch_expr(pes, s, pcr_90k=F.col("pcr")).alias("r"),
+    ).select("pcr", "in_hx", "r.*").collect()
+    for r in rows:
+        out_py, meta = dvb_subt_patch_py(bytes.fromhex(r.in_hx), s, pcr_90k=r.pcr)
+        assert out_py == bytes(r.out_payload)
+        assert meta["pts_in"] == r.pts_in and meta["pts_out"] == r.pts_out
+        assert meta["timeout_out"] == r.timeout_out
+        assert (meta["hpos_out"], meta["vpos_out"]) == (r.hpos_out, r.vpos_out)
+
+
+_page_seg = st.tuples(
+    st.just(SEG_PAGE_COMPOSITION),
+    st.integers(0, 0xFFFF),
+    st.tuples(
+        st.integers(0, 255),
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(0, 719), st.integers(0, 575)),
+            min_size=0,
+            max_size=4,
+        ),
+    ).map(lambda tv: page_composition_payload(tv[0], tv[1])),
+)
+_other_seg = st.tuples(
+    st.sampled_from([0x11, 0x12, 0x13, 0x14, 0x80]),
+    st.integers(0, 0xFFFF),
+    st.binary(min_size=0, max_size=40),
+)
+
+
+@hsettings(max_examples=150, deadline=None)
+@given(
+    pts=st.integers(0, PTS_MOD - 1),
+    stuffing=st.integers(0, 16),
+    segs=st.lists(st.one_of(_page_seg, _other_seg), min_size=0, max_size=6),
+    shift=st.integers(-(10**6), 10**6),
+    dmin=st.integers(0, 50),
+    dmax=st.integers(50, 300),
+    doff=st.integers(-100, 300),
+    hoff=st.integers(-800, 800),
+    voff=st.integers(-600, 600),
+)
+def test_variable_layout_patch_property(
+    pts, stuffing, segs, shift, dmin, dmax, doff, hoff, voff
+):
+    """Randomized multi-segment, stuffed-header PES: the patch applies the
+    settings arithmetic to EVERY page composition segment and EVERY region,
+    leaves every other byte untouched, and preserves the layout."""
+    s = DvbSubtSettings(
+        time_shift_offset_msec=shift,
+        duration_min_seg=dmin,
+        duration_max_seg=dmax,
+        duration_offset_seg=doff,
+        hpos_offset_pels=hoff,
+        vpos_offset_pels=voff,
+    )
+    pes = build_pes_py(pts, segs, stuffing=stuffing)
+    out, meta = dvb_subt_patch_py(pes, s)
+    assert len(out) == len(pes)
+    assert meta["pts_in"] == pts
+    assert meta["pts_out"] == (pts + shift * 90) % PTS_MOD
+    pin, pout = parse_pes_py(pes), parse_pes_py(out)
+    assert pout.pts == meta["pts_out"]
+    assert pout.header_data_length == pin.header_data_length
+    assert len(pout.segments) == len(pin.segments)
+    from streamprocessors_spark.codec.pes_var import parse_page_composition
+
+    for a, b in zip(pin.segments, pout.segments):
+        assert (a.seg_type, a.page_id, len(a.payload)) == (
+            b.seg_type,
+            b.page_id,
+            len(b.payload),
+        )
+        if a.seg_type != SEG_PAGE_COMPOSITION:
+            assert a.payload == b.payload  # untouched
+            continue
+        t0, vs0, regs0 = parse_page_composition(a.payload)
+        t1, vs1, regs1 = parse_page_composition(b.payload)
+        assert vs0 == vs1
+        assert t1 == min(max(t0 + doff, dmin), min(dmax, 255))
+        for (rid0, h0, v0), (rid1, h1, v1) in zip(regs0, regs1):
+            assert rid0 == rid1
+            assert h1 == min(max(h0 + hoff, 0), 719)
+            assert v1 == min(max(v0 + voff, 0), 575)
+    # non-segment trailing bytes (end marker) untouched
+    assert out[-1] == pes[-1] == 0xFF
+
+
+def test_variable_path_mapinpandas(spark):
+    """The Arrow-batched Spark wrapper returns the same rows as the pure
+    Python patch — the distributed form of the general path."""
+    s = DvbSubtSettings(time_shift_offset_msec=40, vpos_offset_pels=-10)
+    packets = [
+        build_pes_py(
+            p,
+            [
+                (0x14, 0, b"\x01\x02"),
+                (
+                    SEG_PAGE_COMPOSITION,
+                    pg,
+                    page_composition_payload(t, [(1, h, v), (2, h // 2, v // 2)]),
+                ),
+            ],
+            stuffing=3,
+        )
+        for p, pg, t, h, v in _rand_params(16, seed=0xCAFE)
+    ]
+    df = spark.createDataFrame([(bytearray(p),) for p in packets], "payload binary")
+    got = {
+        bytes(r.out_payload): (r.pts_in, r.pts_out, r.timeout_out, r.hpos_out, r.vpos_out)
+        for r in df.mapInPandas(
+            dvb_subt_patch_batches(s), schema=PATCH_RESULT_SCHEMA
+        ).collect()
+    }
+    assert len(got) == len(packets)
+    for p in packets:
+        out, m = dvb_subt_patch_py(p, s)
+        assert got[out] == (
+            m["pts_in"],
+            m["pts_out"],
+            m["timeout_out"],
+            m["hpos_out"],
+            m["vpos_out"],
+        )
