@@ -82,6 +82,7 @@ _FORCE_RECHECK = {
     "decontaminate_ngram_overlap": 3,
     "dedup_simhash": 3,
     "bigram_corpus_topk": 3,
+    "dedup_minhash_lsh": 3,
 }
 
 

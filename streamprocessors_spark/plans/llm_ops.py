@@ -216,14 +216,32 @@ def _band_exprs(d: str) -> list[str]:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingle_df(spark, sf_dir)
-    # The signature subtree (shingling + 16 minhash permutations) feeds three
-    # branches below (band explode + both verify sides); the repartition
-    # plants an Exchange so ReusedExchange materializes it once instead of
-    # re-hashing the corpus three times.
+    # Signature computation is NOT the array-lambda form the oracle uses:
+    # Spark interprets HOF lambdas (no codegen), so 16 perms x n_shingles
+    # interpreted invocations per doc dominate the query. Instead each
+    # shingle hash explodes to a row (explode_outer — plain explode would
+    # infer a size()>0 filter that re-inlines the tokenization per element,
+    # see decontaminate_ngram_overlap) and the 16 permutation minima become
+    # codegen'd MIN aggregates; map-side partial aggregation collapses each
+    # doc back to one row before any exchange, and _shingle_df's
+    # doc_id partitioning is preserved through Generate, so the groupBy
+    # adds no shuffle. s's Exchange is reused by all three consumers
+    # (signature subtree + both verify sides).
+    hx = s.select(
+        "doc_id", F.explode_outer(F.expr(MH.hashes_mod_p(SPARK, "sh"))).alias("h")
+    )
     sig = (
-        s.selectExpr("doc_id", "sh", f"{MH.hashes_mod_p(SPARK, 'sh')} as hs")
-        .selectExpr("doc_id", "sh", f"{MH.minhash_signature(SPARK, 'hs')} as sig")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        hx.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.expr(f"({a}L * h + {b}L) % {MH.P}")).alias(f"m{i}")
+                for i, (a, b) in enumerate(MH.PERMS)
+            ]
+        )
+        .selectExpr(
+            "doc_id",
+            "array(" + ", ".join(f"m{i}" for i in range(MH.K_PERMS)) + ") as sig",
+        )
     )
     bands = sig.select(
         "doc_id",
@@ -231,26 +249,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band", "bh"
         ),
     )
-    x = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("bh").alias("bh_a")
-    )
-    y = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band").alias("band_b"),
-        F.col("bh").alias("bh_b"),
-    )
+    # Bucket-pairs instead of a bands-self-join: grouping on (band, bh) is
+    # the ONE designed LSH shuffle, and generating pairs inside each bucket
+    # consumes the signature subtree exactly once — the self-join form
+    # evaluated the whole scan->tokenize->hash->minhash pipeline once per
+    # join side (exchange reuse can't pin it: projections float above
+    # RepartitionByExpression, and an exchange planted above the signature
+    # aggregate is elided as redundant with the doc_id partitioning).
+    # Bucket membership lists are tiny (near-dup clusters), so the nested
+    # explode is per-bucket-quadratic exactly like the join was.
     cand = (
-        x.join(
-            y,
-            (x.band == y.band_b)
-            & (x.bh_a == y.bh_b)
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
+        bands.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where("doc_a < doc_b")
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -80,6 +80,23 @@ def test_minhash_lsh_joins_on_band_hash(spark, sf_dir):
     assert "NestedLoop" not in p
 
 
+def test_minhash_lsh_hashes_corpus_once(spark, sf_dir):
+    """The signature pipeline (scan->tokenize->shingle->hash->minhash) must
+    appear exactly once: candidates come from per-bucket pair generation,
+    not a bands self-join that evaluates the corpus hash per side. The two
+    extra scans are the exact-Jaccard verify sides (shingles only, no
+    minhash). A fourth scan means the single-computation shape regressed."""
+    import re
+
+    p = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    # formatted explain shows each node in the tree AND the detail list;
+    # count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 3
+    # the 16 permutation minima are codegen'd aggregates, not interpreted
+    # array lambdas: the min() must sit in a HashAggregate
+    assert "partial_min" in p
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     """Eval-set decontamination must broadcast the (small, fixed)
     benchmark grams and hash-join the streamed corpus grams — a shuffle
