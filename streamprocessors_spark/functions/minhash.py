@@ -53,9 +53,12 @@ SIMHASH_BITS = 48
 
 
 def hashes_mod_p(d: str, arr_expr: str) -> str:
-    """Hash every element of a string array into [0, P) — computed ONCE per
-    document and materialized as a column, so the 16 permutations below reuse
-    it instead of re-running md5 (16x less hashing on the hot path)."""
+    """Hash every element of a string array into [0, P).
+
+    Oracle-side formulation (DuckDB vectorizes list lambdas). The Spark
+    plan does NOT use this array form: HOF lambdas run interpreted there,
+    so it explodes the grams and applies the identical md5int % P as a
+    codegen scalar (plans/llm_ops.py:minhash_candidate_pairs)."""
     return D.transform(d, arr_expr, f"s -> ({D.md5int(d, 's')}) % {P}")
 
 

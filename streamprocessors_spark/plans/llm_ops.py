@@ -124,16 +124,70 @@ def _shingle_cte(d: str) -> str:
     """
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_docs(docs: DataFrame, parallelism: int) -> DataFrame:
+    """(doc_id, lang, sh): distinct word-3-gram sets of a documents frame.
+
+    The trailing repartition spreads the single-file local read; note it
+    does NOT materialize `sh` (projections float above
+    RepartitionByExpression), so multi-consumer plans must arrange to
+    evaluate the shingle subtree once structurally (see dedup_minhash_lsh).
+    """
     ws = D.words(SPARK)
-    # Trailing repartition = an Exchange that self-joins downstream reuse
-    # (ReusedExchange), so tokenize+shingle runs once, not once per side.
     return (
-        _docs(spark, sf_dir)
-        .selectExpr("doc_id", "lang", f"{ws} as ws")
+        docs.selectExpr("doc_id", "lang", f"{ws} as ws")
         .where(F.expr(f"{D.size(SPARK, 'ws')} >= {TP.SHINGLE_N}"))
         .selectExpr("doc_id", "lang", f"{TP.shingles(SPARK, 'ws')} as sh")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(parallelism, "doc_id")
+    )
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_docs(
+        _docs(spark, sf_dir), spark.sparkContext.defaultParallelism
+    )
+
+
+def minhash_candidate_pairs(s: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) MinHash-LSH candidates from a (doc_id, sh) frame.
+
+    Scale shape (shared by the registered query and tools/scale_smoke.py):
+    grams explode to rows with the md5 as a codegen scalar (hashing inside
+    a transform() lambda runs interpreted per element), the 16 permutation
+    minima are codegen'd MIN aggregates collapsed map-side, and candidates
+    come from per-(band, band_hash) bucket pair-generation — the one
+    designed LSH shuffle — so the signature subtree is consumed exactly
+    once by construction.
+    """
+    hx = s.select("doc_id", F.explode_outer("sh").alias("g")).selectExpr(
+        "doc_id", f"({D.md5int(SPARK, 'g')}) % {MH.P} as h"
+    )
+    sig = (
+        hx.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.expr(f"({a}L * h + {b}L) % {MH.P}")).alias(f"m{i}")
+                for i, (a, b) in enumerate(MH.PERMS)
+            ]
+        )
+        .selectExpr(
+            "doc_id",
+            "array(" + ", ".join(f"m{i}" for i in range(MH.K_PERMS)) + ") as sig",
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.expr("array(" + ", ".join(_band_exprs(SPARK)) + ")")).alias(
+            "band", "bh"
+        ),
+    )
+    return (
+        bands.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where("doc_a < doc_b")
+        .distinct()
     )
 
 
@@ -216,57 +270,11 @@ def _band_exprs(d: str) -> list[str]:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingle_df(spark, sf_dir)
-    # Signature computation is NOT the array-lambda form the oracle uses:
-    # Spark interprets HOF lambdas (no codegen), so 16 perms x n_shingles
-    # interpreted invocations per doc dominate the query. Instead each
-    # shingle hash explodes to a row (explode_outer — plain explode would
-    # infer a size()>0 filter that re-inlines the tokenization per element,
-    # see decontaminate_ngram_overlap) and the 16 permutation minima become
-    # codegen'd MIN aggregates; map-side partial aggregation collapses each
-    # doc back to one row before any exchange, and _shingle_df's
-    # doc_id partitioning is preserved through Generate, so the groupBy
-    # adds no shuffle. s's Exchange is reused by all three consumers
-    # (signature subtree + both verify sides).
-    hx = s.select(
-        "doc_id", F.explode_outer(F.expr(MH.hashes_mod_p(SPARK, "sh"))).alias("h")
-    )
-    sig = (
-        hx.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.expr(f"({a}L * h + {b}L) % {MH.P}")).alias(f"m{i}")
-                for i, (a, b) in enumerate(MH.PERMS)
-            ]
-        )
-        .selectExpr(
-            "doc_id",
-            "array(" + ", ".join(f"m{i}" for i in range(MH.K_PERMS)) + ") as sig",
-        )
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.expr("array(" + ", ".join(_band_exprs(SPARK)) + ")")).alias(
-            "band", "bh"
-        ),
-    )
-    # Bucket-pairs instead of a bands-self-join: grouping on (band, bh) is
-    # the ONE designed LSH shuffle, and generating pairs inside each bucket
-    # consumes the signature subtree exactly once — the self-join form
-    # evaluated the whole scan->tokenize->hash->minhash pipeline once per
-    # join side (exchange reuse can't pin it: projections float above
-    # RepartitionByExpression, and an exchange planted above the signature
-    # aggregate is elided as redundant with the doc_id partitioning).
-    # Bucket membership lists are tiny (near-dup clusters), so the nested
-    # explode is per-bucket-quadratic exactly like the join was.
-    cand = (
-        bands.groupBy("band", "bh")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .where("doc_a < doc_b")
-        .distinct()
-    )
+    # Candidate generation (signature + banding + bucket pairs) lives in
+    # minhash_candidate_pairs — see its docstring for the scale shape; the
+    # two extra scans below are the exact-Jaccard verify sides (shingles
+    # only, no minhash).
+    cand = minhash_candidate_pairs(s)
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -292,49 +300,33 @@ def _simhash_cte(d: str) -> str:
     """
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH {_simhash_cte(DUCK)}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {MH.hamming(DUCK, "a.sh48", "b.sh48")} AS hamming
-    FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE {MH.hamming(DUCK, "a.sh48", "b.sh48")} <= {SIMHASH_MAX_HAMMING}
-    """,
-    doc="SimHash(48-bit, tf-weighted majority vote over token hashes) near-dup: "
-    "pairs within language at hamming <= 4. Charikar '02; popcount(xor) "
-    "distance stays a 2-instruction JVM expression. Scale path: prefix-band "
-    "the signature exactly like MinHash bands.",
-    tags=("dedup",),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, sh48): SIMHASH_BITS-bit tf-weighted signatures.
+
+    The per-bit majority vote is NOT computed with the array
+    higher-order-function form the oracle uses: Spark evaluates HOF
+    lambdas interpreted (outside whole-stage codegen), so n_words x 48
+    lambda invocations per document cost ~5 ms/doc (28 s for the sf0.1
+    corpus). Instead each word explodes to a row, the md5 hash is a
+    codegen scalar, and the 48 bit counters become codegen'd SUM
+    aggregates — identical majority semantics (bit b set iff
+    2 * ones_b > n), ~15x faster, and the map-side partial aggregation
+    collapses each document back to one row before the shuffle, so the
+    exchange carries docs, not words. Shared by the registered query and
+    tools/scale_smoke.py.
+    """
     ws = D.words(SPARK)
     nb = MH.SIMHASH_BITS
-    # The per-bit majority vote is NOT computed with the array
-    # higher-order-function form the oracle uses: Spark evaluates HOF
-    # lambdas interpreted (outside whole-stage codegen), so n_words x 48
-    # lambda invocations per document cost ~5 ms/doc (28 s for the sf0.1
-    # corpus). Instead the word hashes explode to rows and the 48 bit
-    # counters become codegen'd SUM aggregates — identical majority
-    # semantics (bit b set iff 2 * ones_b > n), ~40x faster, and the
-    # map-side partial aggregation collapses each document back to one row
-    # before the shuffle, so the exchange carries docs, not words.
     h = (
-        _docs(spark, sf_dir)
-        .selectExpr("doc_id", "lang", f"{ws} as ws")
+        docs.selectExpr("doc_id", "lang", f"{ws} as ws")
         .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
         # explode_outer: plain explode infers a pushed-down size()>0 filter
         # that re-inlines the tokenization per element (see
         # decontaminate_ngram_overlap); nulls can't occur past the where.
-        .select(
-            "doc_id",
-            "lang",
-            F.explode_outer(
-                F.expr(TP.word_hashes(SPARK, "ws", distinct=False))
-            ).alias("h"),
-        )
+        .select("doc_id", "lang", F.explode_outer("ws").alias("w"))
+        .selectExpr("doc_id", "lang", f"{D.md5int(SPARK, 'w')} as h")
     )
-    sh = (
+    return (
         h.groupBy("doc_id", "lang")
         .agg(
             F.count("h").alias("n"),
@@ -353,6 +345,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " as sh48",
         )
     )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_cte(DUCK)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {MH.hamming(DUCK, "a.sh48", "b.sh48")} AS hamming
+    FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {MH.hamming(DUCK, "a.sh48", "b.sh48")} <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash(48-bit, tf-weighted majority vote over token hashes) near-dup: "
+    "pairs within language at hamming <= 4. Charikar '02; popcount(xor) "
+    "distance stays a 2-instruction JVM expression. Scale path: prefix-band "
+    "the signature exactly like MinHash bands.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = simhash_signatures(_docs(spark, sf_dir))
     a = sh.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("sh48").alias("sh_a")
     )
