@@ -625,9 +625,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+# IVF oracle text, shared by ann_ivf_topk and ann_ivf_recall (the recall
+# gate wraps it as a CTE so both sides rank identically).
+_IVF_ORACLE = f"""
     WITH cents AS (
       SELECT vec_id AS cell, embedding AS cemb
       FROM embeddings WHERE vec_id < {ANN_IVF_CELLS}
@@ -662,7 +662,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM probe p JOIN assign a ON p.cell = a.cell AND p.va <> a.vec_id
       )
     ) WHERE rank <= {ANN_IVF_TOPK}
-    """,
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE,
     doc="IVF-style ANN, the other scale path next to sign-LSH: a tiny fixed "
     "centroid set (broadcast) assigns every corpus vector to its nearest "
     "cell in ONE narrow map-side pass — the inverted lists are just a "
@@ -772,6 +777,57 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             D.floor_round(
                 SPARK, f"CAST(count(lvb) AS DOUBLE) / {ANN_LSH_TOPK}", 6
+            )
+        ).alias("recall"),
+    )
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH bf AS (
+      SELECT va, vb FROM (
+        SELECT q.vec_id AS va, b.vec_id AS vb,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {D.cosine(DUCK, "q.embedding", "b.embedding")} DESC,
+                          b.vec_id) AS rank
+        FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+        WHERE q.vec_id < {ANN_N_QUERIES}
+      ) WHERE rank <= {ANN_IVF_TOPK}
+    ), ivf AS (
+      {_IVF_ORACLE}
+    )
+    SELECT bf.va,
+           CAST(count(ivf.vb) AS BIGINT) AS n_hit,
+           {D.floor_round(DUCK, f"CAST(count(ivf.vb) AS DOUBLE) / {ANN_IVF_TOPK}", 6)}
+             AS recall
+    FROM bf LEFT JOIN ivf ON bf.va = ivf.va AND bf.vb = ivf.vb
+    GROUP BY bf.va
+    """,
+    doc=f"ANN quality measurement for the IVF path: recall@{ANN_IVF_TOPK} "
+    "of the nprobe-limited inverted-list search against the exact "
+    "brute-force baseline, per query vector — the counterpart of "
+    "ann_lsh_recall, so BOTH approximate paths carry a driver-checked "
+    "acceptance gate (a cell count / nprobe choice that tanks recall "
+    "shows up here, not in production).",
+    tags=("vector", "ann", "quality", "ivf"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .where(F.col("rank") <= ANN_IVF_TOPK)
+        .select("va", "vb")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.col("va").alias("iva"), F.col("vb").alias("ivb")
+    )
+    j = bf.join(ivf, (bf.va == ivf.iva) & (bf.vb == ivf.ivb), "left")
+    return j.groupBy("va").agg(
+        F.count("ivb").alias("n_hit"),
+        F.expr(
+            D.floor_round(
+                SPARK, f"CAST(count(ivb) AS DOUBLE) / {ANN_IVF_TOPK}", 6
             )
         ).alias("recall"),
     )
@@ -900,6 +956,68 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             *[c.replace(" AS ", " as ") for c in _repetition_select(SPARK)]
         )
+    )
+
+
+# Gopher/MassiveText-style keep/drop thresholds. Every rule is an
+# integer cross-product comparison (never a float threshold on a computed
+# ratio), so the verdict is bit-identical across engines by construction.
+QF_MIN_WORDS = 30
+QF_MAX_WORDS = 1000
+
+
+def _verdict_select(d: str) -> list[str]:
+    n = D.size(d, "ws")
+    n_distinct = D.size(d, D.distinct(d, "ws"))
+    n_stop = D.size(
+        d, D.filter_(d, "ws", f"x -> {D.contains(d, D.str_array(d, STOPWORDS), 'x')}")
+    )
+    idx = D.seq1(d, f"{n} - 1")
+    gram = f"{D.element(d, 'ws', 'i')} || ' ' || {D.element(d, 'ws', 'i + 1')}"
+    grams = D.transform(d, idx, f"i -> {gram}")
+    n_grams = D.size(d, grams)
+    n_dist_grams = D.size(d, D.distinct(d, grams))
+    rules = {
+        # word-count window
+        "r_len": f"({n} >= {QF_MIN_WORDS} AND {n} <= {QF_MAX_WORDS})",
+        # stopword ratio >= 0.05 (natural text carries function words)
+        "r_stop": f"({n_stop} * 20 >= {n})",
+        # type-token ratio >= 0.35 (low TTR = repetitive/generated)
+        "r_ttr": f"({n_distinct} * 20 >= {n} * 7)",
+        # duplicate-2-gram fraction <= 0.05
+        "r_dup2": f"(({n_grams} - {n_dist_grams}) * 20 <= {n_grams})",
+    }
+    keep = " AND ".join(rules.values())
+    return (
+        ["doc_id", f"CAST({n} AS INT) AS n_words"]
+        + [f"CAST({expr} AS INT) AS {name}" for name, expr in rules.items()]
+        + [f"CAST(({keep}) AS INT) AS keep"]
+    )
+
+
+@register(
+    "quality_filter_verdict",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents)
+    SELECT {", ".join(_verdict_select(DUCK))}
+    FROM w WHERE {D.size(DUCK, "ws")} >= 2
+    """,
+    doc="The composed keep/drop decision a training-data cleaning pass "
+    "actually emits (Gopher-style rule battery): word-count window, "
+    "stopword-ratio floor, type-token-ratio floor, duplicate-2-gram "
+    "ceiling — each surfaced as its own flag so drop reasons are "
+    "attributable, plus the conjunction. All rules are integer "
+    "cross-product comparisons (no float thresholds), so the verdict is "
+    "deterministic across engines; pure projection, no shuffle — at "
+    "100 TB this streams through the scan like the other text filters.",
+    tags=("text", "llm", "quality"),
+)
+def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
+        .selectExpr(*[c.replace(" AS ", " as ") for c in _verdict_select(SPARK)])
     )
 
 
