@@ -56,6 +56,7 @@ def test_relational_plans_have_no_python(spark, sf_dir):
         "ann_bruteforce_topk",
         "ann_lsh_bucketed",
         "text_quality_score",
+        "quality_filter_verdict",
         "doc_fingerprint_winnow",
         "es_transform_registry",
     ]:
