@@ -106,6 +106,31 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p
     assert "Python" not in p and "ArrowEval" not in p
+    # explode_outer, never explode: plain explode makes Catalyst infer a
+    # size()>0 filter pushed below the projections, re-inlining the
+    # tokenization per element inside the HOF lambda (measured 25x)
+    _assert_no_hof_in_filters(p, "decontaminate_ngram_overlap")
+
+
+def _assert_no_hof_in_filters(plan: str, name: str) -> None:
+    """The Generate filter-inference hazard signature: a shingle/gram
+    `transform(...)` lambda inlined into a Filter condition, where HOFs
+    are re-evaluated per element with no subexpression elimination. The
+    explicit `size(words) >= n` guards are fine (no transform)."""
+    for line in plan.splitlines():
+        if line.strip().startswith("Condition :"):
+            assert "transform(" not in line, (
+                f"{name}: HOF re-inlined into filter: {line[:120]}"
+            )
+
+
+def test_hof_heavy_text_ops_keep_transforms_out_of_filters(spark, sf_dir):
+    """dedup_simhash / dedup_minhash_lsh / bigram_corpus_topk must keep the
+    explode_outer + codegen-aggregate shape — a revert to plain explode
+    reintroduces the inferred filter that re-inlines the gram transform
+    per element (interpreted, 15-40x slower)."""
+    for name in ["dedup_simhash", "dedup_minhash_lsh", "bigram_corpus_topk"]:
+        _assert_no_hof_in_filters(_plan(spark, sf_dir, name), name)
 
 
 def test_dedup_embedding_lsh_is_bucket_equijoin(spark, sf_dir):
