@@ -833,6 +833,101 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64  # fixture embedding dimensionality
+KM_SCALE = 1_000_000  # per-element integer quantization for exact sums
+
+
+def _kmeans_ctes(d: str, table: str = "embeddings") -> str:
+    """Two unrolled Lloyd iterations of spherical k-means, exact across
+    engines: centroid updates sum per-element INTEGER-quantized values
+    (round(x * 1e6) of a single double is bit-identical in both engines;
+    BIGINT sums are order-independent), and every derived double (means,
+    cosines) is computed from those identical integers with identical
+    expression text. Assignments rank by the shared 6-dp-quantized cosine
+    with cell-ascending tie-break, so the trajectory is deterministic."""
+    qe = D.transform(
+        d,
+        "embedding",
+        f"x -> cast(round(cast(x as double) * {KM_SCALE}) as bigint)",
+    )
+    dims = (
+        f"(SELECT explode(sequence(0, {EMB_DIM - 1})) AS dim)"
+        if d == SPARK
+        else f"(SELECT unnest(range({EMB_DIM})) AS dim)"
+    )
+
+    def assign(cents: str) -> str:
+        return f"""(SELECT vec_id, cell FROM (
+          SELECT q.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {D.cosine(d, "c.cemb", "q.embedding")} DESC, c.cell
+                 ) AS rn
+          FROM qv q CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def sums(a: str) -> str:
+        return f"""(SELECT a.cell, t.dim,
+                 cast(sum({D.element(d, "q.qe", "t.dim + 1")}) as bigint) AS s,
+                 cast(count(*) as bigint) AS n
+          FROM qv q JOIN {a} a ON a.vec_id = q.vec_id CROSS JOIN {dims} t
+          GROUP BY a.cell, t.dim)"""
+
+    mean = f"cast(s as double) / cast(n * {KM_SCALE} as double)"
+    if d == SPARK:
+        cent = (
+            "(SELECT cell, transform(array_sort(collect_list("
+            f"named_struct('dim', dim, 'm', {mean}))), s -> s.m) AS cemb "
+            "FROM s1 GROUP BY cell)"
+        )
+    else:
+        cent = f"(SELECT cell, list({mean} ORDER BY dim) AS cemb FROM s1 GROUP BY cell)"
+    return f"""
+    qv AS (SELECT vec_id, embedding, {qe} AS qe FROM {table}),
+    c0 AS (SELECT vec_id AS cell, embedding AS cemb FROM {table}
+           WHERE vec_id < {ANN_IVF_CELLS}),
+    a1 AS {assign("c0")},
+    s1 AS {sums("a1")},
+    cent1 AS {cent},
+    a2 AS {assign("cent1")},
+    s2 AS {sums("a2")}
+    """
+
+
+@register(
+    "ivf_kmeans_centroids",
+    oracle=f"""
+    WITH {_kmeans_ctes(DUCK)}
+    SELECT cell, CAST(dim AS INT) AS dim, n AS n_members,
+           {D.floor_round(DUCK, "cast(s as double) / cast(n * " + str(KM_SCALE) + " as double)", 6)} AS mean_val
+    FROM s2
+    """,
+    doc="The IVF coarse quantizer's training step: two Lloyd iterations of "
+    "spherical k-means over the embedding corpus (assign to nearest "
+    "centroid by cosine -> recompute per-cell means -> reassign -> "
+    "recompute), seeded from the same fixed vectors ann_ivf_topk uses as "
+    "cells. Emits the trained (cell, dim) centroid components + member "
+    "counts. Cross-engine exactness by construction: per-element "
+    "integer-quantized BIGINT sums (order-independent), means derived "
+    "from identical integers, assignment ranked on the 6-dp cosine with "
+    "deterministic tie-break. Scale shape: assignment is a broadcast "
+    "cross-join against k centroids (one narrow map pass per iteration), "
+    "the update is one groupBy (cell, dim) over exploded dimensions — at "
+    "100 TB this is exactly sampled-minibatch k-means with the sample "
+    "read per round; iteration count is fixed/unrolled, so the oracle is "
+    "plain (non-recursive) SQL.",
+    tags=("vector", "ivf", "iterative", "training"),
+)
+def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
+    return spark.sql(
+        f"""
+        WITH {_kmeans_ctes(SPARK, table="sp_kmeans_embeddings")}
+        SELECT cell, CAST(dim AS INT) AS dim, n AS n_members,
+               {D.floor_round(SPARK, "cast(s as double) / cast(n * " + str(KM_SCALE) + " as double)", 6)} AS mean_val
+        FROM s2
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
