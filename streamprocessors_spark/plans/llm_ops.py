@@ -872,23 +872,29 @@ def _kmeans_ctes(d: str, table: str = "embeddings") -> str:
           GROUP BY a.cell, t.dim)"""
 
     mean = f"cast(s as double) / cast(n * {KM_SCALE} as double)"
-    if d == SPARK:
-        cent = (
-            "(SELECT cell, transform(array_sort(collect_list("
-            f"named_struct('dim', dim, 'm', {mean}))), s -> s.m) AS cemb "
-            "FROM s1 GROUP BY cell)"
+
+    def cent(src: str) -> str:
+        if d == SPARK:
+            return (
+                "(SELECT cell, transform(array_sort(collect_list("
+                f"named_struct('dim', dim, 'm', {mean}))), s -> s.m) AS cemb "
+                f"FROM {src} GROUP BY cell)"
+            )
+        return (
+            f"(SELECT cell, list({mean} ORDER BY dim) AS cemb "
+            f"FROM {src} GROUP BY cell)"
         )
-    else:
-        cent = f"(SELECT cell, list({mean} ORDER BY dim) AS cemb FROM s1 GROUP BY cell)"
+
     return f"""
     qv AS (SELECT vec_id, embedding, {qe} AS qe FROM {table}),
     c0 AS (SELECT vec_id AS cell, embedding AS cemb FROM {table}
            WHERE vec_id < {ANN_IVF_CELLS}),
     a1 AS {assign("c0")},
     s1 AS {sums("a1")},
-    cent1 AS {cent},
+    cent1 AS {cent("s1")},
     a2 AS {assign("cent1")},
-    s2 AS {sums("a2")}
+    s2 AS {sums("a2")},
+    cent2 AS {cent("s2")}
     """
 
 
@@ -926,6 +932,62 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s2
         """
     )
+
+
+def _ivf_trained_search_sql(d: str, table: str = "embeddings") -> str:
+    """Full trained-IVF search text (shared between the Spark plan and the
+    oracle modulo dialect fragments): train (2 Lloyd iterations), assign
+    the corpus to trained cells, probe each query's nprobe nearest cells,
+    rank candidates within the probed inverted lists only."""
+    cos_probe = D.cosine(d, "c.cemb", "q.embedding")
+    cos_pair = D.cosine(d, "qp.embedding", "qa.embedding")
+    return f"""
+    WITH {_kmeans_ctes(d, table=table)},
+    t_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos_probe} DESC, c.cell) AS rn
+        FROM qv q CROSS JOIN cent2 c) WHERE rn = 1
+    ),
+    t_probe AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos_probe} DESC, c.cell) AS rn
+        FROM qv q CROSS JOIN cent2 c
+        WHERE q.vec_id < {ANN_N_QUERIES}) WHERE rn <= {ANN_IVF_NPROBE}
+    )
+    SELECT va, vb, rank, cos FROM (
+      SELECT p.vec_id AS va, a.vec_id AS vb,
+             {cos_pair} AS cos,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY {cos_pair} DESC, a.vec_id) AS rank
+      FROM t_probe p
+      JOIN t_assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+      JOIN qv qp ON qp.vec_id = p.vec_id
+      JOIN qv qa ON qa.vec_id = a.vec_id
+    ) WHERE rank <= {ANN_IVF_TOPK}
+    """
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=_ivf_trained_search_sql(DUCK),
+    doc="The closed training->search loop: IVF ANN over the k-means-trained "
+    "coarse quantizer (ivf_kmeans_centroids) instead of the fixed seed "
+    "cells — corpus assigned to trained cells, queries probe their "
+    "nprobe=2 nearest trained cells, candidates ranked within those "
+    "inverted lists only. The whole trajectory (training + assignment + "
+    "ranking) is hash-gated because every float derives from the exact "
+    "integer centroid sums. Scale shape identical to ann_ivf_topk: "
+    "broadcast centroids, one narrow assignment pass, per-cell candidate "
+    "ranking.",
+    tags=("vector", "ann", "ivf", "training"),
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
+    return spark.sql(_ivf_trained_search_sql(SPARK, table="sp_kmeans_embeddings"))
 
 
 # ---------------------------------------------------------------------------
