@@ -417,3 +417,43 @@ def stream_es_restamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select(
         "event_id", "pts_in", "pts_out", "timeout_out", "hpos_out", "vpos_out"
     )
+
+
+@register(
+    "stream_quality_filter",
+    oracle=None,  # replaced below: shares quality_filter_verdict's oracle
+    doc="Streaming twin of quality_filter_verdict: the Gopher-style "
+    "keep/drop rule battery as a continuous cleaning pass over the "
+    "document stream — stateless projection, availableNow, append mode; "
+    "at scale this is the filter stage of a streaming ingest pipeline "
+    "(new crawl shards scored as they land). Hash-matches the identical "
+    "batch oracle because every rule is an integer cross-product "
+    "comparison.",
+    tags=("streaming", "text", "llm", "quality"),
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.llm_ops import _verdict_select
+    from streamprocessors_spark.functions import dialect as D
+
+    docs = stream_documents(spark, sf_dir)
+    scored = (
+        docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
+        .selectExpr(*[c.replace(" AS ", " as ") for c in _verdict_select(SPARK)])
+    )
+    sink = run_available_now(scored, output_mode="append")
+    return sink
+
+
+def _wire_stream_quality_filter_oracle() -> None:
+    """Share the batch oracle text (same rules, same fixture, so the
+    streaming result hash-matches the batch SQL)."""
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_quality_filter"].oracle = REGISTRY[
+        "quality_filter_verdict"
+    ].oracle
+
+
+_wire_stream_quality_filter_oracle()
