@@ -40,8 +40,11 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "decontaminate_ngram_overlap",
     "text_quality_score",
+    "quality_filter_verdict",
     "ann_bruteforce_topk",
     "mm_image_features",
+    # round-3 training path
+    "ivf_kmeans_centroids",
     # advanced joins / sessions / training-data prep
     "range_join_error_windows",
     "sessionize_events",
