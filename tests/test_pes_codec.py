@@ -360,3 +360,62 @@ def test_variable_path_mapinpandas(spark):
             m["hpos_out"],
             m["vpos_out"],
         )
+
+
+def test_variable_path_no_pts_and_malformed_inputs():
+    """Error/edge paths of the variable-layout parser: PES without PTS
+    (patch is a no-op on timestamps, segments still patched), missing
+    start code, and truncated segment headers."""
+    import pytest
+
+    from streamprocessors_spark.codec.pes_var import SEG_PAGE_COMPOSITION
+
+    # no PTS: pts_dts_flags '00', header empty; page comp still patched
+    pes = build_pes_py(
+        None,
+        [(SEG_PAGE_COMPOSITION, 3, page_composition_payload(9, [(1, 10, 20)]))],
+    )
+    p = parse_pes_py(pes)
+    assert p.pts is None and p.header_data_length == 0
+    out, meta = dvb_subt_patch_py(
+        pes, DvbSubtSettings(time_shift_offset_msec=999, duration_offset_seg=5)
+    )
+    assert meta["pts_in"] is None and meta["pts_out"] is None
+    assert meta["timeout_out"] == 14
+    assert len(out) == len(pes)
+
+    with pytest.raises(ValueError, match="start code"):
+        parse_pes_py(b"\x00\x00\x02\xbd" + b"\x00" * 10)
+
+    # truncated segment header: sync byte present but <6 bytes remain
+    trunc = build_pes_py(100, [])[:-1] + b"\x0f\x10\x00"
+    with pytest.raises(ValueError, match="truncated"):
+        parse_pes_py(trunc)
+
+    # truncated segment payload: declared length exceeds buffer
+    bad = build_pes_py(100, [(SEG_PAGE_COMPOSITION, 1, b"\x05\x04")], end_marker=False)
+    bad = bad[:-1]  # chop one payload byte
+    with pytest.raises(ValueError, match="truncated"):
+        parse_pes_py(bad)
+
+
+def test_variable_path_multiple_page_segments_all_patched():
+    """A display set with TWO page composition segments (e.g. current +
+    next page): the patch must rewrite both, reporting the first."""
+    s = DvbSubtSettings(duration_offset_seg=10, hpos_offset_pels=5)
+    pes = build_pes_py(
+        500,
+        [
+            (SEG_PAGE_COMPOSITION, 1, page_composition_payload(20, [(1, 100, 200)])),
+            (SEG_PAGE_COMPOSITION, 2, page_composition_payload(40, [(2, 300, 400)])),
+        ],
+    )
+    out, meta = dvb_subt_patch_py(pes, s)
+    pp = parse_pes_py(out)
+    from streamprocessors_spark.codec.pes_var import parse_page_composition
+
+    t1, _, r1 = parse_page_composition(pp.segments[0].payload)
+    t2, _, r2 = parse_page_composition(pp.segments[1].payload)
+    assert (t1, r1[0][1]) == (30, 105)
+    assert (t2, r2[0][1]) == (50, 305)
+    assert meta["timeout_out"] == 30 and meta["hpos_out"] == 105
