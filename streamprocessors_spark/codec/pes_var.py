@@ -84,18 +84,28 @@ def parse_pes_py(b: bytes) -> ParsedPes:
         pts_offset = 9
         pts = pts_decode_py(b, pts_offset)
     data_offset = 9 + header_data_length
+    # The packet ends at 6 + pes_packet_length when the length field is
+    # set (0 = unbounded, video only): a buffer carrying trailing bytes —
+    # e.g. two concatenated PES packets from an off-air ES dump — must
+    # not have its tail parsed (or patched) as if it belonged to this
+    # packet's subtitling segments.
+    end = min(len(b), 6 + pes_packet_length) if pes_packet_length else len(b)
+    if data_offset > end:
+        raise ValueError(
+            f"PES header ({data_offset}B) overruns packet end ({end}B)"
+        )
     data_identifier = None
     segments: list[SubtSegment] = []
-    if data_offset + 2 <= len(b) and b[data_offset] == 0x20:
+    if data_offset + 2 <= end and b[data_offset] == 0x20:
         data_identifier = b[data_offset]
         i = data_offset + 2  # skip subtitle_stream_id
-        while i < len(b) and b[i] == 0x0F:
-            if i + 6 > len(b):
+        while i < end and b[i] == 0x0F:
+            if i + 6 > end:
                 raise ValueError(f"truncated segment header at {i}")
             seg_type = b[i + 1]
             page_id = (b[i + 2] << 8) | b[i + 3]
             seg_len = (b[i + 4] << 8) | b[i + 5]
-            if i + 6 + seg_len > len(b):
+            if i + 6 + seg_len > end:
                 raise ValueError(f"truncated segment payload at {i}")
             segments.append(
                 SubtSegment(seg_type, page_id, bytes(b[i + 6 : i + 6 + seg_len]), i)
@@ -167,7 +177,10 @@ def dvb_subt_patch_py(
             min(s.duration_max_seg, 255),
         )
         body = seg.offset + 6
-        out[body] = t
+        # & 0xFF matches the JVM twin's _enc_u8 masking: pathological
+        # settings (duration_min_seg > 255, large negative offsets) must
+        # wrap identically on both paths, not raise here only.
+        out[body] = t & 0xFF
         for i, (_rid, h, v) in enumerate(regions):
             h2 = _clamp(h + s.hpos_offset_pels, 0, 719)
             v2 = _clamp(v + s.vpos_offset_pels, 0, 575)

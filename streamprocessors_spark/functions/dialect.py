@@ -165,6 +165,27 @@ def cosine(d: str, a: str, b: str, decimals: int = 6) -> str:
     return floor_round(d, raw, decimals)
 
 
+def cosine_ikey(d: str, a: str, b: str, decimals: int = 6) -> str:
+    """The same quantized cosine as an exact BIGINT (floor(raw * 10^n)).
+
+    Ordering by this integer is identical to ordering by cosine(); it
+    exists so argmax-style selections can run as a single map-side
+    ``max_by``/``arg_max`` aggregate over a scalar key (optionally packed
+    with a tie-break term) instead of a row_number window over the
+    expanded N x k cross-join."""
+    raw = (
+        f"{dot_double(d, a, b)} / "
+        f"sqrt({dot_double(d, a, a)} * {dot_double(d, b, b)})"
+    )
+    return f"cast(floor(({raw}) * {10**decimals}) as bigint)"
+
+
+def arg_max_by(d: str, value: str, key: str) -> str:
+    """value at the row where key is maximal (key must be duplicate-free
+    within the group for determinism — pack the tie-break into the key)."""
+    return f"max_by({value}, {key})" if d == SPARK else f"arg_max({value}, {key})"
+
+
 def regexp_all_count(d: str, col: str, pattern: str) -> str:
     """Number of non-overlapping regex matches in a string."""
     if d == SPARK:

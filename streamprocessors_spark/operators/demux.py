@@ -433,6 +433,8 @@ def complete_tables(sections: DataFrame) -> DataFrame:
         )
         .agg(
             F.max("last_section_number").alias("last_section_number"),
+            # bounded: <= 256 sections per table version (section_number is
+            # one byte, ISO 13818-1 table syntax) and <= 4 KB each
             F.array_sort(
                 F.collect_set(F.struct("section_number", "section_bytes"))
             ).alias("sections"),

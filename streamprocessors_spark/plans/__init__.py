@@ -82,7 +82,16 @@ _FORCE_RECHECK = {
     "decontaminate_ngram_overlap": 3,
     "dedup_simhash": 3,
     "bigram_corpus_topk": 3,
-    "dedup_minhash_lsh": 3,
+    # round 4: scale-shape restructures (identical values, new plans) —
+    # LSH candidates moved from per-bucket collect_list to a capped bands
+    # self-join; every corpus-sized IVF/k-means argmin moved from a
+    # row_number window to a map-side max_by aggregate (the oracle keeps
+    # the window form, so the argmin is now computed two independent ways).
+    "dedup_minhash_lsh": 4,
+    "ivf_kmeans_centroids": 4,
+    "ann_ivf_trained_topk": 4,
+    "ann_ivf_topk": 4,
+    "ann_ivf_recall": 4,
 }
 
 
@@ -123,9 +132,12 @@ def ordered_registry() -> dict[str, Query]:
 
     Order: (1) priority rows (fixed red rows + sentinels + new operators),
     (2) everything without a driver-green row yet (registration order),
-    (3) driver-green queries. Rotating the unverified set to the front
-    each round converts 'locally green' into the driver's own signal even
-    though one correctness pass covers only ~50 entries.
+    (3) driver-green queries, STALEST FIRST — ordered by the round of
+    their latest green row ascending, so each round's spare window slots
+    re-verify the rows whose last driver check is oldest (a row green in
+    r1 only has never been re-run against r2+ code). Rotating this way
+    converts 'locally green' into the driver's own signal even though one
+    correctness pass covers only ~50 entries.
     """
     green = _driver_green_names()
     green_rounds = _driver_green_rounds() or {}
@@ -143,9 +155,12 @@ def ordered_registry() -> dict[str, Query]:
     for name, q in REGISTRY.items():
         if name not in out and name not in green:
             out[name] = q
-    for name, q in REGISTRY.items():
-        if name not in out:
-            out[name] = q
+    reg_pos = {name: i for i, name in enumerate(REGISTRY)}
+    for name in sorted(
+        (n for n in REGISTRY if n not in out),
+        key=lambda n: (green_rounds.get(n, 0), reg_pos[n]),
+    ):
+        out[name] = REGISTRY[name]
     return out
 
 

@@ -147,6 +147,17 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH bucket-size cap (standard practice, e.g. Spark MLlib's MinHashLSH
+# guidance and the Lee/Leskovec formulations): a bucket with more than this
+# many members contributes NO candidate pairs. An over-full bucket is almost
+# always boilerplate / exact duplicates — exact dups are already collapsed
+# upstream by dedup_exact, and genuine near-dups in one over-full bucket are
+# still caught when any of their other BANDS-1 band buckets stays small.
+# Without the cap a single hot bucket generates B^2 pairs inside one task
+# (not AQE-splittable), which is an OOM at crawl scale.
+LSH_MAX_BUCKET = 50
+
+
 def minhash_candidate_pairs(s: DataFrame) -> DataFrame:
     """(doc_a, doc_b) MinHash-LSH candidates from a (doc_id, sh) frame.
 
@@ -154,9 +165,15 @@ def minhash_candidate_pairs(s: DataFrame) -> DataFrame:
     grams explode to rows with the md5 as a codegen scalar (hashing inside
     a transform() lambda runs interpreted per element), the 16 permutation
     minima are codegen'd MIN aggregates collapsed map-side, and candidates
-    come from per-(band, band_hash) bucket pair-generation — the one
-    designed LSH shuffle — so the signature subtree is consumed exactly
-    once by construction.
+    come from a self-join of the (doc_id, band, bh) band frame on
+    (band, bh) — an equi-join AQE can skew-split, unlike a per-bucket
+    collect_list array, which materializes a hot bucket as one row and
+    explodes its B^2 pairs inside a single task. Buckets are gated to
+    2..LSH_MAX_BUCKET members by a count-only aggregate (no arrays
+    anywhere) BEFORE the pair join, so no bucket ever expands more than
+    LSH_MAX_BUCKET^2 pairs. All three consumers of the band frame hash
+    the corpus once at runtime: they share one Exchange on (band, bh)
+    (ReusedExchange, pinned by tests/test_plan_shapes.py).
     """
     hx = s.select("doc_id", F.explode_outer("sh").alias("g")).selectExpr(
         "doc_id", f"({D.md5int(SPARK, 'g')}) % {MH.P} as h"
@@ -180,13 +197,20 @@ def minhash_candidate_pairs(s: DataFrame) -> DataFrame:
             "band", "bh"
         ),
     )
-    return (
+    # Count-only bucket-size gate: keeps 2..LSH_MAX_BUCKET member buckets.
+    bsz = (
         bands.groupBy("band", "bh")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids").between(2, LSH_MAX_BUCKET))
+        .select("band", "bh")
+    )
+    eligible = bands.join(bsz, ["band", "bh"])
+    a = eligible.select("band", "bh", F.col("doc_id").alias("doc_a"))
+    b = eligible.select("band", "bh", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bh"])
         .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -247,10 +271,15 @@ def _band_exprs(d: str) -> list[str]:
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {i} AS band, {bh} AS bh FROM sig_t" for i, bh in enumerate(_band_exprs(DUCK)))}
     ),
+    bsz AS (
+      SELECT band, bh FROM bands GROUP BY band, bh
+      HAVING count(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+    ),
+    eb AS (SELECT b.* FROM bands b JOIN bsz USING (band, bh)),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
-                                AND x.doc_id < y.doc_id
+      FROM eb x JOIN eb y ON x.band = y.band AND x.bh = y.bh
+                          AND x.doc_id < y.doc_id
     )
     SELECT doc_a, doc_b, n_inter, n_union FROM (
       SELECT c.doc_a, c.doc_b,
@@ -262,10 +291,13 @@ def _band_exprs(d: str) -> list[str]:
     ) WHERE {_PAIR_FILTER}
     """,
     doc="MinHash(16 perms) + LSH(4 bands x 4 rows) near-dup: shingle -> "
-    "minhash -> band -> bucket-join -> exact-Jaccard verify. The 100 TB "
-    "path: the only shuffle keys are (band, band_hash) — candidates "
-    "co-locate, the pairwise step is per-bucket, never global. Signatures "
-    "are JVM array expressions over a once-hashed shingle array.",
+    "minhash -> band -> capped bucket equi-join -> exact-Jaccard verify. "
+    "The 100 TB path: the only shuffle keys are (band, band_hash) — "
+    "candidates co-locate, the pairwise step is a per-bucket equi-join "
+    "AQE can skew-split, and buckets over LSH_MAX_BUCKET members are "
+    "dropped before pairing (count-only gate, no arrays), so a hot "
+    "boilerplate bucket can never expand quadratically. Signatures are "
+    "codegen'd MIN aggregates over once-exploded gram hashes.",
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +717,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def nearest_cells(side: DataFrame, n: int) -> DataFrame:
+        """Top-n cells per vector. Only the query side (tiny) may call
+        this with n > 1 — the corpus-sized n=1 case goes through the
+        map-side max_by aggregate below instead of a window."""
         scored = side.crossJoin(F.broadcast(cents)).selectExpr(
             "vec_id",
             "embedding",
@@ -698,8 +733,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("ccos", "rn")
         )
 
-    assign = nearest_cells(e, 1).select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "cell"
+    # Corpus assignment: max_by over the packed (cosine, -cell) BIGINT key
+    # collapses each vector to one row map-side (the embedding is constant
+    # within the group, so first() is deterministic) — the exchange carries
+    # N rows, never the N x k cross-join product a window would shuffle.
+    akey = f"({D.cosine_ikey(SPARK, 'cemb', 'embedding')}) * {KM_CELL_SPAN} - cell"
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .selectExpr("vec_id", "embedding", "cell", f"{akey} as akey")
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cell, akey)").alias("cell"),
+            F.first("embedding").alias("eb"),
+        )
+        .select(F.col("vec_id").alias("vb"), "eb", "cell")
     )
     probe = nearest_cells(e.where(F.col("vec_id") < ANN_N_QUERIES), ANN_IVF_NPROBE).select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "cell"
@@ -835,6 +882,39 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_DIM = 64  # fixture embedding dimensionality
 KM_SCALE = 1_000_000  # per-element integer quantization for exact sums
+# Tie-break span for the packed argmax key (cos_ikey * SPAN - cell): must
+# exceed every cell id so the cosine term always dominates the tie-break.
+KM_CELL_SPAN = 1024
+assert ANN_IVF_CELLS < KM_CELL_SPAN
+
+
+def _argmin_cell_sql(d: str, vecs: str, cents: str) -> str:
+    """(vec_id, cell): nearest centroid per vector, by quantized cosine
+    with cell-ascending tie-break. Deliberately DIFFERENT formulations per
+    engine (oracle independence + Spark scale shape — see _kmeans_ctes):
+
+    - Spark: one max_by aggregate over a scalar BIGINT key that packs
+      (floor(cos * 1e6), -cell). Partial aggregation collapses to one row
+      per vector map-side; the exchange never carries the N x k product.
+    - DuckDB: the classic row_number() window over the cross-join.
+
+    Both select the same cell for every vector because ordering by the
+    packed integer == ordering by (quantized cosine DESC, cell ASC)."""
+    if d == SPARK:
+        key = (
+            f"({D.cosine_ikey(SPARK, 'c.cemb', 'q.embedding')})"
+            f" * {KM_CELL_SPAN} - c.cell"
+        )
+        return (
+            f"(SELECT q.vec_id, max_by(c.cell, {key}) AS cell "
+            f"FROM {vecs} q CROSS JOIN {cents} c GROUP BY q.vec_id)"
+        )
+    return f"""(SELECT vec_id, cell FROM (
+      SELECT q.vec_id, c.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {D.cosine(d, "c.cemb", "q.embedding")} DESC, c.cell
+             ) AS rn
+      FROM {vecs} q CROSS JOIN {cents} c) WHERE rn = 1)"""
 
 
 def _kmeans_ctes(d: str, table: str = "embeddings") -> str:
@@ -843,8 +923,22 @@ def _kmeans_ctes(d: str, table: str = "embeddings") -> str:
     (round(x * 1e6) of a single double is bit-identical in both engines;
     BIGINT sums are order-independent), and every derived double (means,
     cosines) is computed from those identical integers with identical
-    expression text. Assignments rank by the shared 6-dp-quantized cosine
-    with cell-ascending tie-break, so the trajectory is deterministic."""
+    expression text. Assignments select by the shared 6-dp-quantized
+    cosine with cell-ascending tie-break, so the trajectory is
+    deterministic — but the two engines compute that selection through
+    DIFFERENT formulations (Spark: max_by over a packed integer key;
+    DuckDB: row_number window), so a bug in a shared argmin text cannot
+    be green on both sides.
+
+    Spark scale shape: the corpus-sized assignment is max_by(cell, key)
+    grouped by vec_id over the broadcast k-centroid cross-join — the
+    partial aggregate collapses each vector to ONE row map-side before
+    the exchange, so the shuffle carries N rows, never N x k (a
+    row_number window here would exchange the full expanded product).
+    The key packs (quantized cosine, tie-break) into one BIGINT:
+    cos_ikey * KM_CELL_SPAN - cell, which maximizes cosine first, then
+    prefers the smallest cell — duplicate-free within a group by
+    construction, so max_by is deterministic."""
     qe = D.transform(
         d,
         "embedding",
@@ -857,12 +951,7 @@ def _kmeans_ctes(d: str, table: str = "embeddings") -> str:
     )
 
     def assign(cents: str) -> str:
-        return f"""(SELECT vec_id, cell FROM (
-          SELECT q.vec_id, c.cell,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY {D.cosine(d, "c.cemb", "q.embedding")} DESC, c.cell
-                 ) AS rn
-          FROM qv q CROSS JOIN {cents} c) WHERE rn = 1)"""
+        return _argmin_cell_sql(d, "qv", cents)
 
     def sums(a: str) -> str:
         return f"""(SELECT a.cell, t.dim,
@@ -875,6 +964,7 @@ def _kmeans_ctes(d: str, table: str = "embeddings") -> str:
 
     def cent(src: str) -> str:
         if d == SPARK:
+            # bounded: exactly EMB_DIM rows per cell (one per dimension)
             return (
                 "(SELECT cell, transform(array_sort(collect_list("
                 f"named_struct('dim', dim, 'm', {mean}))), s -> s.m) AS cemb "
@@ -913,13 +1003,17 @@ def _kmeans_ctes(d: str, table: str = "embeddings") -> str:
     "cells. Emits the trained (cell, dim) centroid components + member "
     "counts. Cross-engine exactness by construction: per-element "
     "integer-quantized BIGINT sums (order-independent), means derived "
-    "from identical integers, assignment ranked on the 6-dp cosine with "
+    "from identical integers, assignment selected on the 6-dp cosine with "
     "deterministic tie-break. Scale shape: assignment is a broadcast "
-    "cross-join against k centroids (one narrow map pass per iteration), "
-    "the update is one groupBy (cell, dim) over exploded dimensions — at "
+    "cross-join against k centroids collapsed by a map-side max_by "
+    "partial aggregate — each vector leaves its input partition as ONE "
+    "row, so the per-iteration exchange carries N rows, not N x k (the "
+    "r3 row_number-window form shuffled the whole expanded product); the "
+    "update is one groupBy (cell, dim) over exploded dimensions — at "
     "100 TB this is exactly sampled-minibatch k-means with the sample "
     "read per round; iteration count is fixed/unrolled, so the oracle is "
-    "plain (non-recursive) SQL.",
+    "plain (non-recursive) SQL — and it deliberately keeps the window "
+    "formulation, so the argmin is computed two independent ways.",
     tags=("vector", "ivf", "iterative", "training"),
 )
 def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,18 +1032,19 @@ def _ivf_trained_search_sql(d: str, table: str = "embeddings") -> str:
     """Full trained-IVF search text (shared between the Spark plan and the
     oracle modulo dialect fragments): train (2 Lloyd iterations), assign
     the corpus to trained cells, probe each query's nprobe nearest cells,
-    rank candidates within the probed inverted lists only."""
+    rank candidates within the probed inverted lists only.
+
+    The corpus-sized argmin (t_assign, like the training assigns) is a
+    map-side max_by aggregate on Spark and a row_number window in the
+    oracle (see _argmin_cell_sql). t_probe keeps the window on BOTH
+    sides: it needs top-nprobe (not argmax), and it runs over the query
+    set only — tiny by definition, so the window's exchange is
+    n_queries x k rows, never corpus-sized."""
     cos_probe = D.cosine(d, "c.cemb", "q.embedding")
     cos_pair = D.cosine(d, "qp.embedding", "qa.embedding")
     return f"""
     WITH {_kmeans_ctes(d, table=table)},
-    t_assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT q.vec_id, c.cell,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY {cos_probe} DESC, c.cell) AS rn
-        FROM qv q CROSS JOIN cent2 c) WHERE rn = 1
-    ),
+    t_assign AS {_argmin_cell_sql(d, "qv", "cent2")},
     t_probe AS (
       SELECT vec_id, cell FROM (
         SELECT q.vec_id, c.cell,

@@ -616,6 +616,7 @@ def stats_endpoint_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rdesc") <= 60)
         .withColumn("i", F.row_number().over(wa) - 1)
     )
+    # bounded: the rdesc <= 60 filter above caps each group at 60 slots
     pairs = F.array_sort(F.collect_list(F.struct("i", "n")))
     series = F.array_join(
         F.transform(

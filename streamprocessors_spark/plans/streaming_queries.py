@@ -448,12 +448,15 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _wire_stream_quality_filter_oracle() -> None:
     """Share the batch oracle text (same rules, same fixture, so the
-    streaming result hash-matches the batch SQL)."""
+    streaming result hash-matches the batch SQL). Imports llm_ops for its
+    registration side effect first — this module must stay importable
+    standalone, not only via load_all()'s happens-to-be-right ordering."""
+    import streamprocessors_spark.plans.llm_ops  # noqa: F401
     from streamprocessors_spark.plans.registry import REGISTRY
 
-    REGISTRY["stream_quality_filter"].oracle = REGISTRY[
-        "quality_filter_verdict"
-    ].oracle
+    batch = REGISTRY.get("quality_filter_verdict")
+    if batch is not None:
+        REGISTRY["stream_quality_filter"].oracle = batch.oracle
 
 
 _wire_stream_quality_filter_oracle()

@@ -653,6 +653,8 @@ def ts_programs_summary_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit('{"code":200,"status":"OK","data":'),
             F.to_json(
+                # bounded: one row per program in the mux (MPTS carry tens
+                # of programs; the REST envelope is a control-plane reply)
                 F.array_sort(
                     F.collect_list(
                         F.struct(

@@ -64,8 +64,14 @@ def cc_state_stream(packets: DataFrame) -> DataFrame:
         (last_cc,) = state.get if state.exists else (-1,)
         n = 0
         errs = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("pkt_index")
+        # Concatenate the group's Arrow chunks BEFORE sorting: per-chunk
+        # sort_values only orders within a chunk, and chunk boundaries are
+        # an Arrow batching artifact with no ordering contract — a section
+        # split across chunks would otherwise feed state out of order.
+        # Memory stays bounded by the micro-batch (cap via
+        # maxFilesPerTrigger / maxBytesPerTrigger at ingest).
+        allpdf = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in [allpdf.sort_values("pkt_index")]:
             for cc, afc, disc in zip(pdf["cc"], pdf["afc"], pdf["discontinuity"]):
                 has_payload = int(afc) & 1
                 if last_cc >= 0 and not disc:
@@ -154,8 +160,10 @@ def section_reassembly_stream(
             r.buf = bytearray(buf or b"")
             r.synced = bool(synced)
         stream_id, pid = key[0], int(key[1])
-        for pdf in pdfs:
-            pdf = pdf.sort_values("pkt_index")
+        # Same cross-chunk ordering rule as cc_state_stream above: one
+        # concat+sort per group per micro-batch.
+        allpdf = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in [allpdf.sort_values("pkt_index")]:
             rows: list[tuple[Any, ...]] = []
             for raw in pdf["raw"]:
                 if raw is None:

@@ -1,0 +1,218 @@
+"""Algorithm-level invariant checks with INDEPENDENT reference paths.
+
+The driver's oracle gate proves cross-engine reproducibility, but the
+newest query family builds the DuckDB oracle from the same SQL text as
+the Spark plan (modulo dialect), so a bug in the shared text would be
+green on both sides. These tests pin the *algorithm* instead, the way
+the reference pins behavior against independently-authored golden data
+(mpeg2ts/utests/utests_prog_proc.cpp:116-173):
+
+- ivf_kmeans_centroids is recomputed on a 64-vector sub-corpus in plain
+  Python/numpy — a from-scratch Lloyd implementation sharing zero code
+  with the SQL builders — and the trained centroids must match at 6 dp.
+- quality_filter_verdict is pinned against a hand-labeled fixture: every
+  rule flag and the keep verdict were derived by hand for 12 documents
+  that each isolate one rule.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from streamprocessors_spark.plans.llm_ops import (
+    ANN_IVF_CELLS,
+    EMB_DIM,
+    KM_SCALE,
+    SPARK,
+    _kmeans_ctes,
+    _verdict_select,
+)
+
+# ---------------------------------------------------------------------------
+# k-means: independent numpy/pure-Python reference
+# ---------------------------------------------------------------------------
+
+N_SUB = 64  # sub-corpus size (includes the ANN_IVF_CELLS seed vectors)
+
+
+def _dot_ltr(a: list[float], b: list[float]) -> float:
+    """Left-to-right double accumulation — matches the engines'
+    aggregate()/list_dot_product evaluation order exactly."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _cos_ikey(a: list[float], b: list[float]) -> int:
+    raw = _dot_ltr(a, b) / math.sqrt(_dot_ltr(a, a) * _dot_ltr(b, b))
+    return math.floor(raw * 1_000_000)
+
+
+def _round_half_away(x: float) -> int:
+    """SQL round(): half away from zero (Python round() is half-even)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _reference_kmeans(vecs: dict[int, list[float]]) -> dict[tuple[int, int], tuple[int, float]]:
+    """Two Lloyd iterations from scratch; returns
+    {(cell, dim): (n_members, mean_val_6dp)} for the second update."""
+    qe = {
+        v: [_round_half_away(x * KM_SCALE) for x in emb]
+        for v, emb in vecs.items()
+    }
+    cents = {c: vecs[c] for c in range(ANN_IVF_CELLS)}
+
+    def assign(cents: dict[int, list[float]]) -> dict[int, int]:
+        out = {}
+        for v, emb in vecs.items():
+            best = max(
+                sorted(cents),
+                key=lambda c: (_cos_ikey(cents[c], emb), -c),
+            )
+            out[v] = best
+        return out
+
+    def update(a: dict[int, int]) -> tuple[dict, dict[int, list[float]]]:
+        sums: dict[tuple[int, int], int] = {}
+        counts: dict[int, int] = {}
+        for v, cell in a.items():
+            counts[cell] = counts.get(cell, 0) + 1
+            for dim in range(EMB_DIM):
+                sums[(cell, dim)] = sums.get((cell, dim), 0) + qe[v][dim]
+        cents = {
+            cell: [sums[(cell, d)] / (counts[cell] * KM_SCALE) for d in range(EMB_DIM)]
+            for cell in counts
+        }
+        table = {
+            (cell, d): (
+                counts[cell],
+                math.floor(sums[(cell, d)] / (counts[cell] * KM_SCALE) * 1e6) / 1e6,
+            )
+            for cell in counts
+            for d in range(EMB_DIM)
+        }
+        return table, cents
+
+    a1 = assign(cents)
+    _, cent1 = update(a1)
+    a2 = assign(cent1)
+    s2_table, _ = update(a2)
+    # Sanity invariant: reassignment against cent1 cannot lower the
+    # objective (sum of quantized cosines to the assigned centroid) —
+    # guaranteed by argmax, and a meaningful trajectory check computed
+    # entirely outside SQL. (The *update* step has no such guarantee
+    # here: plain-mean centroids are not the cosine-objective maximizer
+    # unless member norms are equal, so only the assign step is pinned.)
+    obj_a1 = sum(_cos_ikey(cent1[a1[v]], vecs[v]) for v in vecs if a1[v] in cent1)
+    obj_a2 = sum(_cos_ikey(cent1[a2[v]], vecs[v]) for v in vecs)
+    assert obj_a2 >= obj_a1
+    return s2_table
+
+
+def test_kmeans_centroids_match_independent_reference(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < {N_SUB} ORDER BY vec_id"
+    ).fetchall()
+    assert len(rows) == N_SUB
+    vecs = {int(v): [float(x) for x in emb] for v, emb in rows}
+
+    expected = _reference_kmeans(vecs)
+
+    from streamprocessors_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_SUB
+    ).createOrReplaceTempView("t_km_sub")
+    got = spark.sql(
+        f"""
+        WITH {_kmeans_ctes(SPARK, table="t_km_sub")}
+        SELECT cell, CAST(dim AS INT) AS dim, n AS n_members,
+               (floor(cast(s as double) / cast(n * {KM_SCALE} as double) * 1000000) / cast(1000000 as double)) AS mean_val
+        FROM s2
+        """
+    ).collect()
+
+    assert len(got) == len(expected)
+    total_members = 0
+    seen_cells = set()
+    for r in got:
+        n_ref, mean_ref = expected[(r.cell, r.dim)]
+        assert r.n_members == n_ref, (r.cell, r.dim)
+        assert abs(r.mean_val - mean_ref) < 1e-9, (r.cell, r.dim, r.mean_val, mean_ref)
+        if r.dim == 0:
+            total_members += r.n_members
+            seen_cells.add(r.cell)
+    # every vector is assigned exactly once in the final update
+    assert total_members == N_SUB
+    assert seen_cells <= set(range(ANN_IVF_CELLS))
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_verdict: hand-labeled fixture
+# ---------------------------------------------------------------------------
+
+# Each entry: (doc_id, text, (n_words, r_len, r_stop, r_ttr, r_dup2, keep)).
+# Labels derived BY HAND from the registered integer rules (word window
+# 30..1000; stopwords*20 >= n; distinct*20 >= 7n; dup-2grams*20 <= grams);
+# each failing doc isolates a single rule where constructible.
+_QF_FIXTURE = [
+    # clean keeps
+    (1, "the cat sat on a mat and the dog lay in the sun of a warm day to "
+        "rest while birds sang songs of joy in the tall green trees nearby",
+     (31, 1, 1, 1, 1, 1)),
+    (8, "the quick brown fox jumps over a lazy dog and then runs to the "
+        "river of silver water in the quiet morning light is soft here "
+        "today now then always forever",
+     (31, 1, 1, 1, 1, 1)),
+    # boundary keep: exactly 30 words, 8 stopwords
+    (10, "the a of and to in is value " + " ".join(f"v{i}" for i in range(22)),
+     (30, 1, 1, 1, 1, 1)),
+    # r_len = 0 (too short)
+    (2, "short text only", (3, 0, 0, 1, 1, 0)),
+    # r_len = 0 (too long: 1001 distinct words; also fails stopwords)
+    (9, " ".join(f"u{i}" for i in range(1001)), (1001, 0, 0, 1, 1, 0)),
+    # r_stop = 0 isolated (40 distinct words, zero stopwords)
+    (3, " ".join(f"w{i}" for i in range(40)), (40, 1, 0, 1, 1, 0)),
+    (6, "a " + " ".join(f"tok{i}" for i in range(39)), (40, 1, 0, 1, 1, 0)),
+    # r_ttr = 0 and r_dup2 = 0 (single repeated token / phrase)
+    (4, " ".join(["the"] * 30), (30, 1, 1, 0, 0, 0)),
+    (5, ("the cat sat " * 20).strip(), (60, 1, 1, 0, 0, 0)),
+    # r_stop+r_ttr+r_dup2 all fail (repeated non-stop phrase)
+    (7, ("spark rows shuffle " * 12).strip(), (36, 1, 0, 0, 0, 0)),
+    # r_dup2 = 0 isolated (distinct chain + one tripled bigram + 2 stopwords)
+    (11, "the alpha beta gamma delta epsilon zeta eta theta iota kappa lam "
+         "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega one "
+         "two a red fox red fox red fox",
+     (34, 1, 1, 1, 0, 0)),
+    # r_len = 0 isolated (29 words, everything else passes)
+    (12, "the storm broke over a quiet harbor and every boat of the old "
+         "fleet turned to face wind that rose in sharp cold lines is calm now",
+     (27, 0, 1, 1, 1, 0)),
+]
+
+
+def test_quality_filter_verdict_hand_labeled(spark):
+    from streamprocessors_spark.functions import dialect as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in _QF_FIXTURE], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.r_len, r.r_stop, r.r_ttr, r.r_dup2, r.keep)
+        for r in (
+            df.selectExpr("doc_id", f"{D.words(D.SPARK)} as ws")
+            .selectExpr(
+                *[c.replace(" AS ", " as ") for c in _verdict_select(SPARK)]
+            )
+            .collect()
+        )
+    }
+    for doc_id, _text, labels in _QF_FIXTURE:
+        assert got[doc_id] == labels, (doc_id, got[doc_id], labels)

@@ -251,3 +251,126 @@ def test_subtitle_es_through_mux(spark):
         assert r.timeout_out == min(max(to + 3, 10), 40)
         assert r.hpos_out == min(max(hp - 50, 0), 719)
         assert r.vpos_out == min(max(vp + 100, 0), 575)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_SAN_DIEGO), reason="reference capture asset not present"
+)
+def test_real_capture_streaming_parity(spark, tmp_path):
+    """SURVEY §7.2 milestone 5 on REAL off-air data: the capture is cut
+    into 7 segment files replayed one-file-per-micro-batch through the
+    keyed-state streaming operators, and the stream output must equal the
+    batch pipeline's tables byte-for-byte. Segment cuts land mid-section
+    (2200-packet boundaries), so partial PSI buffers MUST ride the state
+    store across micro-batches for the hashes to line up — this is the
+    engine's batch/stream parity claim exercised on the reference's own
+    e2e asset, not a synthetic mux."""
+    import pyspark.sql.types as T
+
+    from streamprocessors_spark.operators.demux import (
+        pid_packet_stats,
+        reassemble_sections,
+    )
+    from streamprocessors_spark.sources.ts_source import (
+        packets_from_binary_column,
+        read_ts_files,
+    )
+    from streamprocessors_spark.streaming.runner import run_available_now
+    from streamprocessors_spark.streaming.stateful import (
+        cc_state_stream,
+        section_reassembly_stream,
+    )
+
+    data = open(_SAN_DIEGO, "rb").read()
+    n_pkts = len(data) // 188
+    assert n_pkts == 15029
+    seg_pkts = 2200
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    n_segs = 0
+    for i in range(0, n_pkts, seg_pkts):
+        chunk = data[i * 188 : min(i + seg_pkts, n_pkts) * 188]
+        p = seg_dir / f"seg{i // seg_pkts:03d}.ts"
+        p.write_bytes(chunk)
+        # deterministic ingest order: FileStreamSource sorts by mtime
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        n_segs += 1
+    assert n_segs == 7
+
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(seg_dir))
+    )
+    staged = files.select(
+        F.lit("cap").alias("stream_id"),
+        F.col("content").alias("value"),
+        # global packet order across segments: segment index from the file
+        # name x packets-per-segment (equal-size cuts)
+        (
+            F.regexp_extract(F.col("path"), r"seg(\d+)\.ts", 1).cast("long")
+            * seg_pkts
+        ).alias("base"),
+    )
+    pkts_s = packets_from_binary_column(staged, index_col="base")
+
+    # --- section reassembly parity -------------------------------------
+    psi_pids = [0x0, 0x11, 66]
+    sink = run_available_now(
+        section_reassembly_stream(
+            pkts_s.where(F.col("pid").isin(psi_pids)).where(F.col("sync_ok"))
+        )
+    )
+    key_cols = [
+        "pid",
+        "table_id",
+        "table_id_ext",
+        "version",
+        "current_next",
+        "section_number",
+        "last_section_number",
+        "crc_ok",
+    ]
+    stream_secs = sorted(
+        (tuple(r[c] for c in key_cols) + (bytes(r.section_bytes),))
+        for r in sink.collect()
+    )
+
+    batch_pkts = read_ts_files(spark, _SAN_DIEGO).withColumn(
+        "stream_id", F.lit("cap")
+    )
+    batch_secs = sorted(
+        (tuple(r[c] for c in key_cols) + (bytes(r.section_bytes),))
+        for r in reassemble_sections(batch_pkts, psi_pids=psi_pids).collect()
+    )
+    assert stream_secs == batch_secs
+    assert len(stream_secs) > 100  # a real capture carries repeating PSI
+
+    # --- CC continuity parity ------------------------------------------
+    cc_sink = run_available_now(cc_state_stream(pkts_s.where(F.col("sync_ok"))))
+    stream_cc = {
+        (r.pid): (r.n_packets, r.cc_errors)
+        for r in cc_sink.groupBy("pid")
+        .agg(
+            F.sum("n_packets").alias("n_packets"),
+            F.sum("cc_errors").alias("cc_errors"),
+        )
+        .collect()
+    }
+    batch_cc = {
+        r.pid: (r.n_packets, r.cc_errors)
+        for r in pid_packet_stats(batch_pkts.where(F.col("sync_ok")))
+        .select("pid", "n_packets", "cc_errors")
+        .collect()
+    }
+    assert stream_cc == batch_cc
+    assert sum(n for n, _ in stream_cc.values()) == 15029

@@ -138,3 +138,44 @@ def test_floor_round_cross_engine(spark):
         f"SELECT {', '.join(D.floor_round(D.SPARK, f'cast({v!r} as double)', 4) for v in vals)}"
     ).collect()[0]
     assert list(du) == list(sp), (sql_vals, du, sp)
+
+
+def test_minhash_lsh_hot_bucket_capped(spark):
+    """Adversarial skew fixture (VERDICT r3 #1): 1,000 near-identical
+    boilerplate docs collapse into ONE (band, bh) bucket in all four
+    bands. The capped self-join candidate stage must (a) complete without
+    materializing the bucket as a single collect_list row, and (b) emit
+    zero pairs from the over-full bucket while still pairing the small
+    bucket — i.e. the cap bounds the quadratic blow-up at
+    LSH_MAX_BUCKET^2, so no single task ever sees the 10^6-pair
+    explosion."""
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        minhash_candidate_pairs,
+        shingle_docs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 5
+    other = "completely different text about spark shuffles and lsh caps " * 5
+    rows = [(i, "en", boiler) for i in range(1000)]
+    rows += [(10_000 + i, "en", other) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    s = shingle_docs(docs, 8)
+    cand = minhash_candidate_pairs(s)
+
+    p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" not in p
+
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    # the 1000-doc bucket exceeds LSH_MAX_BUCKET in every band -> no pairs
+    assert 1000 > LSH_MAX_BUCKET
+    assert all(a >= 10_000 and b >= 10_000 for a, b in pairs), (
+        f"hot bucket leaked pairs: {sorted(pairs)[:5]}"
+    )
+    # the small bucket still pairs: C(4,2) = 6 identical-text candidates
+    assert len(pairs) == 6

@@ -81,21 +81,36 @@ def test_minhash_lsh_joins_on_band_hash(spark, sf_dir):
     assert "NestedLoop" not in p
 
 
-def test_minhash_lsh_hashes_corpus_once(spark, sf_dir):
-    """The signature pipeline (scan->tokenize->shingle->hash->minhash) must
-    appear exactly once: candidates come from per-bucket pair generation,
-    not a bands self-join that evaluates the corpus hash per side. The two
-    extra scans are the exact-Jaccard verify sides (shingles only, no
-    minhash). A fourth scan means the single-computation shape regressed."""
-    import re
-
+def test_minhash_lsh_candidates_skew_safe_shape(spark, sf_dir):
+    """The r4 candidate stage contract: pairs come from a bands SELF-JOIN
+    on (band, bh) — an equi-join AQE can skew-split — gated by a
+    count-only bucket-size aggregate. collect_list would materialize a
+    hot bucket as one unsplittable row (single-task B^2 explosion at
+    crawl scale); the 16 permutation minima must stay codegen'd MIN
+    aggregates (not interpreted array lambdas)."""
     p = _plan(spark, sf_dir, "dedup_minhash_lsh")
-    # formatted explain shows each node in the tree AND the detail list;
-    # count the numbered detail entries
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 3
-    # the 16 permutation minima are codegen'd aggregates, not interpreted
-    # array lambdas: the min() must sit in a HashAggregate
+    assert "collect_list" not in p
     assert "partial_min" in p
+    assert "NestedLoop" not in p
+
+
+def test_minhash_lsh_runtime_reuses_band_exchange(spark, sf_dir):
+    """The band subtree feeds three consumers (size gate + both join
+    sides); at runtime AQE must collapse their identical exchanges into
+    ReusedExchange stages so the corpus is tokenized/hashed once, not
+    per-consumer."""
+    from streamprocessors_spark import plans as P
+
+    df = P.REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    # collect() (not count()) so THIS df's queryExecution is the one that
+    # runs — count() wraps it in a separate execution and the inspected
+    # plan would stay isFinalPlan=false.
+    df.collect()
+    p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
@@ -194,6 +209,26 @@ def test_skew_salted_join_keys_on_salt(spark, sf_dir):
     p = _plan(spark, sf_dir, "skew_salted_hot_key_join")
     assert "NestedLoop" not in p
     assert "salt" in p
+
+
+def test_kmeans_assignment_is_aggregate_not_window(spark, sf_dir):
+    """The k-means training path must never put a row_number window over
+    the corpus x centroids cross-join (that exchanges N x k expanded rows
+    per Lloyd iteration). The argmin is a max_by aggregate whose partial
+    collapses each vector to one row map-side: the plan must contain NO
+    Window node at all, and must carry the max_by aggregate."""
+    p = _plan(spark, sf_dir, "ivf_kmeans_centroids")
+    assert "Window" not in p, "corpus argmin regressed to a window"
+    assert "max_by" in p
+
+
+def test_ann_ivf_corpus_assign_is_aggregate(spark, sf_dir):
+    """ann_ivf_topk's corpus->cell assignment must be the max_by
+    aggregate; the only windows allowed are the query-side probe (tiny by
+    definition) and the final per-query candidate ranking — both keyed on
+    the probe vector, never corpus-sized."""
+    p = _plan(spark, sf_dir, "ann_ivf_topk")
+    assert "max_by" in p
 
 
 def test_ann_ivf_probe_join_is_equi_on_cell(spark, sf_dir):

@@ -61,6 +61,37 @@ def _float_agg_hazards(oracle: str) -> list[str]:
     return out
 
 
+# collect_list/collect_set materialize a whole group as ONE row — a skewed
+# key becomes a single-task array AQE cannot split (the r3 minhash bucket
+# hazard class). Every call site must carry a '# bounded:' comment within
+# the 6 preceding lines stating WHY the group is bounded (protocol cap,
+# fixed dimensionality, explicit size filter); unannotated sites fail.
+_COLLECT_RE = re.compile(r"collect_(list|set)\s*\(")
+
+
+def _unbounded_collects(root: str) -> list[str]:
+    out = []
+    pkg = os.path.join(root, "streamprocessors_spark")
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as fh:
+                lines = fh.readlines()
+            for i, line in enumerate(lines):
+                if not _COLLECT_RE.search(line.split("#")[0]):
+                    continue
+                window = "".join(lines[max(0, i - 6) : i + 1])
+                if "# bounded:" not in window:
+                    rel = os.path.relpath(path, root)
+                    out.append(
+                        f"{rel}:{i + 1}: collect_list/set without a"
+                        " '# bounded:' size rationale (hot-key skew hazard)"
+                    )
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -101,6 +132,9 @@ def main() -> int:
                 problems.append(
                     f"{name}: spark column {f.name} is {f.dataType.simpleString()}"
                 )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    problems.extend(_unbounded_collects(repo_root))
 
     for p in problems:
         print("HAZARD:", p)

@@ -73,6 +73,30 @@ def main() -> None:
         lambda: minhash_candidate_pairs(shingled).count(),
     )
 
+    # ... and END-TO-END (candidates + exact-Jaccard verify): guards the
+    # r4 capped bands self-join against super-linear growth — note every
+    # multiplied doc has `mult` identical copies, so bucket sizes sit at
+    # ~mult (under the LSH_MAX_BUCKET cap) and pair volume scales with
+    # real duplicates.
+    from streamprocessors_spark.plans.llm_ops import _PAIR_FILTER
+
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    timed(
+        "minhash_lsh_end_to_end",
+        lambda: minhash_candidate_pairs(shingled)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
+        .count(),
+    )
+
     # SimHash signatures (codegen'd bit-count aggregates) over 10x docs
     from streamprocessors_spark.plans.llm_ops import simhash_signatures
 
@@ -92,6 +116,21 @@ def main() -> None:
         .join(b, (q.bucket == b.bucket_b) & (F.col("va") != F.col("vb")))
         .selectExpr("va", "vb", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
         .count(),
+    )
+
+    # IVF k-means training (2 Lloyd iterations) over the multiplied
+    # embedding corpus — guards the r4 max_by argmin restructure: the
+    # per-iteration exchange must carry N rows, not N x k, so 10x vectors
+    # should cost ~10x, never 10x * k.
+    from streamprocessors_spark.plans.llm_ops import _kmeans_ctes
+
+    embs.createOrReplaceTempView("smoke_embs")
+    timed(
+        "ivf_kmeans_centroids",
+        lambda: spark.sql(
+            f"WITH {_kmeans_ctes(SPARK, table='smoke_embs')} "
+            "SELECT cell, dim, n, s FROM s2"
+        ).count(),
     )
 
     # section reassembly over the multiplied document set
