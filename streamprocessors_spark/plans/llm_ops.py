@@ -169,10 +169,10 @@ def minhash_candidate_pairs(s: DataFrame) -> DataFrame:
     (band, bh) — an equi-join AQE can skew-split, unlike a per-bucket
     collect_list array, which materializes a hot bucket as one row and
     explodes its B^2 pairs inside a single task. Buckets are gated to
-    2..LSH_MAX_BUCKET members by a count-only aggregate (no arrays
-    anywhere) BEFORE the pair join, so no bucket ever expands more than
-    LSH_MAX_BUCKET^2 pairs. All three consumers of the band frame hash
-    the corpus once at runtime: they share one Exchange on (band, bh)
+    2..LSH_MAX_BUCKET members by a count(*) window (no arrays anywhere)
+    BEFORE the pair join, so no bucket ever expands more than
+    LSH_MAX_BUCKET^2 pairs; both join sides share the window's single
+    (band, bh) exchange, so the corpus is hashed once at runtime
     (ReusedExchange, pinned by tests/test_plan_shapes.py).
     """
     hx = s.select("doc_id", F.explode_outer("sh").alias("g")).selectExpr(
@@ -197,14 +197,23 @@ def minhash_candidate_pairs(s: DataFrame) -> DataFrame:
             "band", "bh"
         ),
     )
-    # Count-only bucket-size gate: keeps 2..LSH_MAX_BUCKET member buckets.
-    bsz = (
-        bands.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("n_ids"))
+    # Count-only bucket-size gate as a window over the ONE (band, bh)
+    # exchange: a count(*) window buffers a partition in spillable storage
+    # (O(bucket) disk for a pathological bucket, never a single-row array
+    # on the heap), and — unlike a separate groupBy-count branch, whose
+    # column pruning (no doc_id) breaks exchange reuse — both self-join
+    # sides of the gated frame are canonically identical, so the corpus
+    # is tokenized/hashed/minhashed once at runtime (ReusedExchange,
+    # pinned by tests/test_plan_shapes.py).
+    w = Window.partitionBy("band", "bh")
+    eligible = (
+        bands.repartition(
+            bands.sparkSession.sparkContext.defaultParallelism, "band", "bh"
+        )
+        .withColumn("n_ids", F.count(F.lit(1)).over(w))
         .where(F.col("n_ids").between(2, LSH_MAX_BUCKET))
-        .select("band", "bh")
+        .select("band", "bh", "doc_id")
     )
-    eligible = bands.join(bsz, ["band", "bh"])
     a = eligible.select("band", "bh", F.col("doc_id").alias("doc_a"))
     b = eligible.select("band", "bh", F.col("doc_id").alias("doc_b"))
     return (
@@ -711,10 +720,21 @@ _IVF_ORACLE = f"""
     tags=("vector", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir)
-    cents = e.where(F.col("vec_id") < ANN_IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb")
+    # Norms are factored into columns so every (vector, centroid) pair
+    # costs one interpreted-HOF dot product, not three (bit-identical —
+    # same IEEE ops, see _argmin_cell_sql).
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "embedding",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
     )
+    cents = e.where(F.col("vec_id") < ANN_IVF_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cemb"),
+        F.col("qnorm").alias("cnorm"),
+    )
+    cdot = D.dot_double(SPARK, "cemb", "embedding")
+    ccos6 = f"(floor(({cdot} / sqrt(cnorm * qnorm)) * 1000000) / cast(1000000 as double))"
 
     def nearest_cells(side: DataFrame, n: int) -> DataFrame:
         """Top-n cells per vector. Only the query side (tiny) may call
@@ -723,8 +743,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cents)).selectExpr(
             "vec_id",
             "embedding",
+            "qnorm",
             "cell",
-            f"{D.cosine(SPARK, 'cemb', 'embedding')} as ccos",
+            f"{ccos6} as ccos",
         )
         w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
         return (
@@ -737,25 +758,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapses each vector to one row map-side (the embedding is constant
     # within the group, so first() is deterministic) — the exchange carries
     # N rows, never the N x k cross-join product a window would shuffle.
-    akey = f"({D.cosine_ikey(SPARK, 'cemb', 'embedding')}) * {KM_CELL_SPAN} - cell"
+    akey = (
+        f"cast(floor(({cdot} / sqrt(cnorm * qnorm)) * 1000000) as bigint)"
+        f" * {KM_CELL_SPAN} - cell"
+    )
     assign = (
         e.crossJoin(F.broadcast(cents))
-        .selectExpr("vec_id", "embedding", "cell", f"{akey} as akey")
+        .selectExpr("vec_id", "embedding", "qnorm", "cell", f"{akey} as akey")
         .groupBy("vec_id")
         .agg(
             F.expr("max_by(cell, akey)").alias("cell"),
             F.first("embedding").alias("eb"),
+            F.first("qnorm").alias("bnorm"),
         )
-        .select(F.col("vec_id").alias("vb"), "eb", "cell")
+        .select(F.col("vec_id").alias("vb"), "eb", "bnorm", "cell")
     )
     probe = nearest_cells(e.where(F.col("vec_id") < ANN_N_QUERIES), ANN_IVF_NPROBE).select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "cell"
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("qnorm").alias("anorm"),
+        "cell",
     )
+    pdot = D.dot_double(SPARK, "ea", "eb")
+    pcos6 = f"(floor(({pdot} / sqrt(anorm * bnorm)) * 1000000) / cast(1000000 as double))"
     j = (
         F.broadcast(probe)
         .join(assign, "cell")
         .where(F.col("va") != F.col("vb"))
-        .selectExpr("va", "vb", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+        .selectExpr("va", "vb", f"{pcos6} as cos")
     )
     w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
     return (
@@ -899,10 +929,21 @@ def _argmin_cell_sql(d: str, vecs: str, cents: str) -> str:
     - DuckDB: the classic row_number() window over the cross-join.
 
     Both select the same cell for every vector because ordering by the
-    packed integer == ordering by (quantized cosine DESC, cell ASC)."""
+    packed integer == ordering by (quantized cosine DESC, cell ASC).
+
+    The Spark side requires {vecs} to expose a ``qnorm`` column and
+    {cents} a ``cnorm`` column (each side's self-dot-product): factoring
+    the norms out of the cosine means each (vector, centroid) pair costs
+    ONE interpreted-HOF dot product instead of three (Spark evaluates
+    aggregate()/zip_with lambdas outside codegen, so the dot is the hot
+    cost; measured 1.17 -> 0.85 s at sf0.1). The value is bit-identical:
+    the same IEEE operations on the same doubles, merely computed through
+    a column — sqrt(cnorm * qnorm) multiplies the exact same two dot
+    results the inline form would."""
     if d == SPARK:
+        dot = D.dot_double(SPARK, "c.cemb", "q.embedding")
         key = (
-            f"({D.cosine_ikey(SPARK, 'c.cemb', 'q.embedding')})"
+            f"cast(floor(({dot} / sqrt(c.cnorm * q.qnorm)) * 1000000) as bigint)"
             f" * {KM_CELL_SPAN} - c.cell"
         )
         return (
@@ -964,21 +1005,40 @@ def _kmeans_ctes(d: str, table: str = "embeddings") -> str:
 
     def cent(src: str) -> str:
         if d == SPARK:
-            # bounded: exactly EMB_DIM rows per cell (one per dimension)
-            return (
+            # bounded: exactly EMB_DIM rows per cell (one per dimension).
+            # cnorm is the centroid's self-dot, computed once per cell so
+            # assignment pairs reuse it (see _argmin_cell_sql).
+            inner = (
                 "(SELECT cell, transform(array_sort(collect_list("
                 f"named_struct('dim', dim, 'm', {mean}))), s -> s.m) AS cemb "
                 f"FROM {src} GROUP BY cell)"
             )
+            cn = D.dot_double(SPARK, "cemb", "cemb")
+            return f"(SELECT cell, cemb, {cn} AS cnorm FROM {inner})"
         return (
             f"(SELECT cell, list({mean} ORDER BY dim) AS cemb "
             f"FROM {src} GROUP BY cell)"
         )
 
+    if d == SPARK:
+        qn = D.dot_double(SPARK, "embedding", "embedding")
+        qv = (
+            f"qv AS (SELECT vec_id, embedding, {qe} AS qe, {qn} AS qnorm "
+            f"FROM {table})"
+        )
+        c0 = (
+            f"c0 AS (SELECT vec_id AS cell, embedding AS cemb, {qn} AS cnorm "
+            f"FROM {table} WHERE vec_id < {ANN_IVF_CELLS})"
+        )
+    else:
+        qv = f"qv AS (SELECT vec_id, embedding, {qe} AS qe FROM {table})"
+        c0 = (
+            f"c0 AS (SELECT vec_id AS cell, embedding AS cemb FROM {table} "
+            f"WHERE vec_id < {ANN_IVF_CELLS})"
+        )
     return f"""
-    qv AS (SELECT vec_id, embedding, {qe} AS qe FROM {table}),
-    c0 AS (SELECT vec_id AS cell, embedding AS cemb FROM {table}
-           WHERE vec_id < {ANN_IVF_CELLS}),
+    {qv},
+    {c0},
     a1 AS {assign("c0")},
     s1 AS {sums("a1")},
     cent1 AS {cent("s1")},
@@ -1039,9 +1099,20 @@ def _ivf_trained_search_sql(d: str, table: str = "embeddings") -> str:
     oracle (see _argmin_cell_sql). t_probe keeps the window on BOTH
     sides: it needs top-nprobe (not argmax), and it runs over the query
     set only — tiny by definition, so the window's exchange is
-    n_queries x k rows, never corpus-sized."""
+    n_queries x k rows, never corpus-sized.
+
+    On the Spark side the candidate-ranking cosine reuses the qnorm
+    column qv already carries (one interpreted dot per pair, not three;
+    bit-identical — see _argmin_cell_sql)."""
     cos_probe = D.cosine(d, "c.cemb", "q.embedding")
-    cos_pair = D.cosine(d, "qp.embedding", "qa.embedding")
+    if d == SPARK:
+        pair_dot = D.dot_double(SPARK, "qp.embedding", "qa.embedding")
+        cos_pair = (
+            f"(floor(({pair_dot} / sqrt(qp.qnorm * qa.qnorm)) * 1000000)"
+            " / cast(1000000 as double))"
+        )
+    else:
+        cos_pair = D.cosine(d, "qp.embedding", "qa.embedding")
     return f"""
     WITH {_kmeans_ctes(d, table=table)},
     t_assign AS {_argmin_cell_sql(d, "qv", "cent2")},
