@@ -419,3 +419,66 @@ def test_variable_path_multiple_page_segments_all_patched():
     assert (t1, r1[0][1]) == (30, 105)
     assert (t2, r2[0][1]) == (50, 305)
     assert meta["timeout_out"] == 30 and meta["hpos_out"] == 105
+
+
+def test_pathological_settings_mask_parity(spark):
+    """ADVICE r3: settings that push the clamped timeout outside 0..255
+    must WRAP identically on both paths — the upper clamp is
+    min(duration_max_seg, 255), so the reachable pathology is a NEGATIVE
+    timeout (negative duration_min_seg + large negative offset). The JVM
+    twin masks through _enc_u8; the python twin must write t & 0xFF
+    rather than raising. Byte output and every reported field must stay
+    identical (timeout_out reports the unmasked clamp on both sides)."""
+    s = DvbSubtSettings(
+        time_shift_offset_msec=0,
+        duration_min_seg=-200,
+        duration_max_seg=400,
+        duration_offset_seg=-300,  # timeout in 0..255 -> clamp to [-200, -45]
+    )
+    params = _rand_params(16, seed=0xFACE)
+    df = spark.createDataFrame(params, "pts long, pg long, t long, h long, v long")
+    pes = dvb_subt_pes_expr(F.col("pts"), F.col("pg"), F.col("t"), F.col("h"), F.col("v"))
+    rows = df.select(
+        "t", F.hex(pes).alias("in_hx"), dvb_subt_patch_expr(pes, s).alias("r")
+    ).select("t", "in_hx", "r.*").collect()
+    for r in rows:
+        out_py, meta = dvb_subt_patch_py(bytes.fromhex(r.in_hx), s)
+        assert out_py == bytes(r.out_payload)
+        expected = max(r.t - 300, -200)
+        assert meta["timeout_out"] == r.timeout_out == expected < 0
+        # the byte on the wire is the masked wrap on BOTH paths
+        assert parse_pes_py(out_py).segments[0].payload[0] == expected & 0xFF
+
+
+def test_packet_length_bounds_segment_walk():
+    """ADVICE r3: a buffer holding bytes past the PES packet end (two
+    concatenated packets, plausible for off-air ES dumps) must have its
+    tail neither parsed nor patched — the segment walk stops at
+    6 + pes_packet_length."""
+    a = build_pes_py(
+        1000,
+        [(SEG_PAGE_COMPOSITION, 7, page_composition_payload(50, [(1, 100, 200)]))],
+    )
+    b = build_pes_py(
+        2000,
+        [(SEG_PAGE_COMPOSITION, 9, page_composition_payload(60, [(2, 300, 400)]))],
+    )
+    both = a + b
+    p = parse_pes_py(both)
+    # only packet A's segments are visible
+    assert [seg.page_id for seg in p.segments] == [7]
+    s = DvbSubtSettings(duration_offset_seg=100, hpos_offset_pels=10)
+    out, meta = dvb_subt_patch_py(both, s)
+    # packet A patched...
+    assert meta["timeout_out"] == 150 and meta["hpos_out"] == 110
+    # ...packet B byte-identical (untouched tail)
+    assert out[len(a):] == b
+    assert out[: len(a)] == dvb_subt_patch_py(a, s)[0]
+
+    # a header_data_length overrunning the declared packet end raises
+    import pytest as _pytest
+
+    bad = bytearray(a)
+    bad[8] = 250  # header_data_length far past 6 + pes_packet_length
+    with _pytest.raises(ValueError):
+        parse_pes_py(bytes(bad))
