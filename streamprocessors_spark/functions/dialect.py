@@ -180,6 +180,21 @@ def cosine_ikey(d: str, a: str, b: str, decimals: int = 6) -> str:
     return f"cast(floor(({raw}) * {10**decimals}) as bigint)"
 
 
+def cosine_pre(d: str, a: str, b: str, na: str, nb: str, decimals: int = 6) -> str:
+    """cosine() with the two self-dot-products factored into columns
+    (``na`` = dot(a,a), ``nb`` = dot(b,b), typically computed once per
+    vector upstream). Bit-identical to cosine(): the same IEEE operations
+    on the same doubles, merely computed through a column — but each pair
+    costs ONE interpreted-HOF dot product instead of three (Spark runs
+    aggregate()/zip_with lambdas outside codegen, so the dot dominates
+    pairwise cosine cost; measured ~2-3x on the ANN/dedup families)."""
+    scale = 10**decimals
+    return (
+        f"(floor(({dot_double(d, a, b)} / sqrt({na} * {nb})) * {scale})"
+        f" / cast({scale} as double))"
+    )
+
+
 def arg_max_by(d: str, value: str, key: str) -> str:
     """value at the row where key is maximal (key must be duplicate-free
     within the group for determinism — pack the tie-break into the key)."""

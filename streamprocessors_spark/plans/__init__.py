@@ -92,6 +92,13 @@ _FORCE_RECHECK = {
     "ann_ivf_trained_topk": 4,
     "ann_ivf_topk": 4,
     "ann_ivf_recall": 4,
+    # round 4: norms-factored cosine (one dot per pair instead of three;
+    # bit-identical values, oracles unchanged) across the embedding family
+    "dedup_embedding_cosine": 4,
+    "dedup_embedding_lsh": 4,
+    "ann_bruteforce_topk": 4,
+    "ann_lsh_bucketed": 4,
+    "ann_lsh_recall": 4,
 }
 
 

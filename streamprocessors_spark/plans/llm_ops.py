@@ -443,17 +443,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "vector"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir)
+    # norms factored once per vector: each of the O(block^2) pairs costs
+    # one interpreted dot, not three (bit-identical, see D.cosine_pre)
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "label",
+        "embedding",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as nrm",
+    )
     a = e.select(
-        F.col("vec_id").alias("va"), "label", F.col("embedding").alias("ea")
+        F.col("vec_id").alias("va"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vb"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     j = a.join(b, (a.label == b.label_b) & (F.col("va") != F.col("vb"))).selectExpr(
-        "va", "vb", "label", f"{D.cosine(SPARK, 'ea', 'eb')} as cos"
+        "va", "vb", "label",
+        f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos",
     )
     w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
     return (
@@ -548,20 +560,30 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "vector", "lsh"),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms factored once per vector (bit-identical, see D.cosine_pre)
     e = _embs(spark, sf_dir).selectExpr(
-        "vec_id", "embedding", f"{V.sign_bucket(SPARK, 'embedding')} as bucket"
+        "vec_id",
+        "embedding",
+        f"{V.sign_bucket(SPARK, 'embedding')} as bucket",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as nrm",
     )
     a = e.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+        F.col("nrm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
         F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nb"),
     )
     j = a.join(
         b, (a.bucket == b.bucket_b) & (F.col("va") != F.col("vb"))
-    ).selectExpr("va", "vb", "bucket", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+    ).selectExpr(
+        "va", "vb", "bucket", f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos"
+    )
     w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
     return (
         j.withColumn("rn", F.row_number().over(w))
@@ -596,15 +618,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "ann"),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir)
-    q = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    # norms factored once per vector (bit-identical, see D.cosine_pre)
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "embedding",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as nrm",
     )
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    q = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     j = (
         F.broadcast(q)
         .join(b, F.col("va") != F.col("vb"))
-        .selectExpr("va", "vb", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+        .selectExpr(
+            "va", "vb", f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos"
+        )
     )
     w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
     return (
@@ -640,23 +675,34 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "ann", "lsh"),
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms factored once per vector (bit-identical, see D.cosine_pre)
     e = _embs(spark, sf_dir).selectExpr(
-        "vec_id", "embedding", f"{V.sign_bucket(SPARK, 'embedding')} as bucket"
+        "vec_id",
+        "embedding",
+        f"{V.sign_bucket(SPARK, 'embedding')} as bucket",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as nrm",
     )
     q = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         F.col("bucket"),
+        F.col("nrm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
         F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nb"),
     )
     j = (
         F.broadcast(q)
         .join(b, (q.bucket == b.bucket_b) & (F.col("va") != F.col("vb")))
-        .selectExpr("va", "vb", "bucket", f"{D.cosine(SPARK, 'ea', 'eb')} as cos")
+        .selectExpr(
+            "va",
+            "vb",
+            "bucket",
+            f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos",
+        )
     )
     w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
     return (
@@ -734,7 +780,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qnorm").alias("cnorm"),
     )
     cdot = D.dot_double(SPARK, "cemb", "embedding")
-    ccos6 = f"(floor(({cdot} / sqrt(cnorm * qnorm)) * 1000000) / cast(1000000 as double))"
+    ccos6 = D.cosine_pre(SPARK, "cemb", "embedding", "cnorm", "qnorm")
 
     def nearest_cells(side: DataFrame, n: int) -> DataFrame:
         """Top-n cells per vector. Only the query side (tiny) may call
@@ -779,8 +825,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qnorm").alias("anorm"),
         "cell",
     )
-    pdot = D.dot_double(SPARK, "ea", "eb")
-    pcos6 = f"(floor(({pdot} / sqrt(anorm * bnorm)) * 1000000) / cast(1000000 as double))"
+    pcos6 = D.cosine_pre(SPARK, "ea", "eb", "anorm", "bnorm")
     j = (
         F.broadcast(probe)
         .join(assign, "cell")
@@ -1106,10 +1151,8 @@ def _ivf_trained_search_sql(d: str, table: str = "embeddings") -> str:
     bit-identical — see _argmin_cell_sql)."""
     cos_probe = D.cosine(d, "c.cemb", "q.embedding")
     if d == SPARK:
-        pair_dot = D.dot_double(SPARK, "qp.embedding", "qa.embedding")
-        cos_pair = (
-            f"(floor(({pair_dot} / sqrt(qp.qnorm * qa.qnorm)) * 1000000)"
-            " / cast(1000000 as double))"
+        cos_pair = D.cosine_pre(
+            SPARK, "qp.embedding", "qa.embedding", "qp.qnorm", "qa.qnorm"
         )
     else:
         cos_pair = D.cosine(d, "qp.embedding", "qa.embedding")
