@@ -37,6 +37,7 @@ HEADLINE = [
     # LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_banded",
     "dedup_embedding_lsh",
     "decontaminate_ngram_overlap",
     "text_quality_score",

@@ -422,6 +422,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pigeonhole banding for SimHash: with SIMHASH_MAX_HAMMING + 1 bands, any
+# pair within the hamming radius must agree EXACTLY on at least one band
+# (<= 4 differing bits cannot touch all 5 bands), so the banded candidate
+# set provably contains every qualifying pair — the banded query returns
+# the IDENTICAL result set to the all-pairs formulation, it is not an
+# approximation. 48 bits / 5 bands -> widths 10,10,10,9,9.
+SIMHASH_N_BANDS = SIMHASH_MAX_HAMMING + 1
+_SIMHASH_BAND_BOUNDS = [
+    (i * MH.SIMHASH_BITS) // SIMHASH_N_BANDS for i in range(SIMHASH_N_BANDS + 1)
+]
+
+
+def _simhash_band_exprs(sig: str) -> list[str]:
+    out = []
+    for i in range(SIMHASH_N_BANDS):
+        lo, hi = _SIMHASH_BAND_BOUNDS[i], _SIMHASH_BAND_BOUNDS[i + 1]
+        mask = (1 << (hi - lo)) - 1
+        out.append(f"(shiftright({sig}, {lo}) & {mask}L)")
+    return out
+
+
+@register(
+    "dedup_simhash_banded",
+    # Deliberately the SAME all-pairs oracle as dedup_simhash: the banded
+    # Spark plan and the quadratic DuckDB formulation must produce the
+    # identical pair set — an independently-formulated cross-check of the
+    # pigeonhole argument, not a shared-text echo.
+    oracle=f"""
+    WITH {_simhash_cte(DUCK)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {MH.hamming(DUCK, "a.sh48", "b.sh48")} AS hamming
+    FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {MH.hamming(DUCK, "a.sh48", "b.sh48")} <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash near-dup, the 100 TB path: the 48-bit signature splits "
+    "into SIMHASH_MAX_HAMMING+1 = 5 bit-bands; by pigeonhole, any pair at "
+    "hamming <= 4 agrees exactly on >= 1 band, so candidates come from an "
+    "equi-join on (lang, band_idx, band_value) — the shuffle keys on the "
+    "band value, the pairwise step is per-bucket, and the result set is "
+    "PROVABLY identical to the all-pairs dedup_simhash (the oracle runs "
+    "the quadratic formulation; the hash gate is the pigeonhole proof "
+    "check). Signatures collapse map-side before the one band exchange.",
+    tags=("dedup", "lsh"),
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = simhash_signatures(_docs(spark, sf_dir))
+    bands = sh.select(
+        "doc_id",
+        "lang",
+        "sh48",
+        F.posexplode(
+            F.expr("array(" + ", ".join(_simhash_band_exprs("sh48")) + ")")
+        ).alias("band", "bval"),
+    )
+    a = bands.select(
+        "band", "bval", "lang",
+        F.col("doc_id").alias("doc_a"), F.col("sh48").alias("sh_a"),
+    )
+    b = bands.select(
+        "band", "bval",
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("doc_b"), F.col("sh48").alias("sh_b"),
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .where((F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .selectExpr(
+            "doc_a", "doc_b", f"{MH.hamming(SPARK, 'sh_a', 'sh_b')} as hamming"
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""

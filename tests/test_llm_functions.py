@@ -179,3 +179,37 @@ def test_minhash_lsh_hot_bucket_capped(spark):
     )
     # the small bucket still pairs: C(4,2) = 6 identical-text candidates
     assert len(pairs) == 6
+
+
+def test_simhash_banding_pigeonhole():
+    """The exactness proof behind dedup_simhash_banded: ANY two 48-bit
+    signatures at hamming <= SIMHASH_MAX_HAMMING must agree exactly on at
+    least one of the SIMHASH_MAX_HAMMING+1 bands (<= 4 flipped bits cannot
+    touch all 5 bands). Randomized over signatures and flip sets; also
+    checks band completeness (widths tile the 48 bits exactly)."""
+    import random
+
+    from streamprocessors_spark.plans.llm_ops import (
+        _SIMHASH_BAND_BOUNDS,
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_N_BANDS,
+    )
+
+    assert _SIMHASH_BAND_BOUNDS[0] == 0 and _SIMHASH_BAND_BOUNDS[-1] == MH.SIMHASH_BITS
+    assert len(_SIMHASH_BAND_BOUNDS) == SIMHASH_N_BANDS + 1
+
+    def bands(sig):
+        return [
+            (sig >> lo) & ((1 << (hi - lo)) - 1)
+            for lo, hi in zip(_SIMHASH_BAND_BOUNDS, _SIMHASH_BAND_BOUNDS[1:])
+        ]
+
+    rng = random.Random(0xBEEF)
+    for _ in range(2000):
+        a = rng.getrandbits(MH.SIMHASH_BITS)
+        k = rng.randint(0, SIMHASH_MAX_HAMMING)
+        flips = rng.sample(range(MH.SIMHASH_BITS), k)
+        b = a
+        for f in flips:
+            b ^= 1 << f
+        assert any(x == y for x, y in zip(bands(a), bands(b))), (a, flips)

@@ -148,6 +148,16 @@ def test_hof_heavy_text_ops_keep_transforms_out_of_filters(spark, sf_dir):
         _assert_no_hof_in_filters(_plan(spark, sf_dir, name), name)
 
 
+def test_simhash_banded_is_equijoin(spark, sf_dir):
+    """The banded SimHash candidate stage must key the self-join on the
+    (band, band_value) columns — a nested loop means it degenerated to
+    the all-pairs shape the banding exists to avoid. Pure JVM."""
+    p = _plan(spark, sf_dir, "dedup_simhash_banded")
+    assert "NestedLoop" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
 def test_dedup_embedding_lsh_is_bucket_equijoin(spark, sf_dir):
     """The scale path for embedding dedup: the self-join must key on the
     sign-LSH bucket (hash-partitioned equi-join). NestedLoop would mean
