@@ -38,10 +38,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
+    "dedup_keep_list",
     "dedup_embedding_lsh",
     "decontaminate_ngram_overlap",
     "text_quality_score",
     "quality_filter_verdict",
+    "text_pii_redact",
     "ann_bruteforce_topk",
     "mm_image_features",
     # round-3 training path

@@ -206,3 +206,18 @@ def regexp_all_count(d: str, col: str, pattern: str) -> str:
     if d == SPARK:
         return f"size(regexp_extract_all({col}, '{pattern}', 0))"
     return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def sql_regex_lit(d: str, pattern: str) -> str:
+    """A raw regex as a SQL string literal: Spark's parser eats one level
+    of backslash escaping inside string literals, DuckDB's does not."""
+    return pattern.replace("\\", "\\\\") if d == SPARK else pattern
+
+
+def regexp_replace_all(d: str, col: str, pattern: str, replacement: str) -> str:
+    """Global regex replacement (Spark replaces all matches by default;
+    DuckDB needs the 'g' flag). ``pattern`` is the RAW regex."""
+    lit = sql_regex_lit(d, pattern)
+    if d == SPARK:
+        return f"regexp_replace({col}, '{lit}', '{replacement}')"
+    return f"regexp_replace({col}, '{lit}', '{replacement}', 'g')"

@@ -68,6 +68,42 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, canonical) labels for the undirected pair graph via
+    min-label propagation. The pair graph is tiny relative to the corpus
+    (only near-dups), so each round's frontier is pinned with
+    localCheckpoint and iterations never replay the upstream pipeline."""
+    edges = (
+        pairs.selectExpr("doc_a as u", "doc_b as v")
+        .unionByName(pairs.selectExpr("doc_b as u", "doc_a as v"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint()
+    labels = edges.select(F.col("u").alias("node"), F.col("u").alias("label")).distinct()
+    labels = labels.groupBy("node").agg(F.min("label").alias("label"))
+    for _ in range(_CC_MAX_ITERS):
+        # candidate label for each node: min over neighbors' labels
+        prop = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            prop.alias("p")
+            .join(labels.alias("l"), "node")
+            .where(F.col("p.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = prop.localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical"))
+
+
+
 # Iteration cap: min-label propagation halves the effective diameter each
 # round; 10 rounds covers components with diameter up to 2^10.
 _CC_MAX_ITERS = 10
@@ -131,37 +167,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.plans.llm_ops import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.selectExpr("doc_a as u", "doc_b as v")
-        .unionByName(pairs.selectExpr("doc_b as u", "doc_a as v"))
-        .distinct()
+    return _min_label_components(pairs)
+
+
+def _keep_list_oracle() -> str:
+    from streamprocessors_spark.plans.llm_ops import (
+        _MINHASH_ORACLE_CTES,
+        _MINHASH_VERIFY_SELECT,
     )
-    # The pair graph is tiny relative to the corpus (only near-dups); pin it
-    # on the driver side of the loop via localCheckpoint so each iteration
-    # doesn't replay the full shingle pipeline.
-    edges = edges.localCheckpoint()
-    labels = edges.select(F.col("u").alias("node"), F.col("u").alias("label")).distinct()
-    labels = labels.groupBy("node").agg(F.min("label").alias("label"))
-    for _ in range(_CC_MAX_ITERS):
-        # candidate label for each node: min over neighbors' labels
-        prop = (
-            edges.join(labels, edges.v == labels.node)
-            .select(F.col("u").alias("node"), "label")
-            .unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_ORACLE_CTES},
+    pairs AS ({_MINHASH_VERIFY_SELECT}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS doc_id, least(u, min(v)) AS canonical
+            FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(l.canonical, d.doc_id) AS canonical,
+           CAST(COALESCE(l.canonical, d.doc_id) = d.doc_id AS INT) AS kept
+    FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+    """
+
+
+@register(
+    "dedup_keep_list",
+    oracle=_keep_list_oracle(),
+    doc="The dedup pipeline's actual deliverable, end to end: MinHash-LSH "
+    "candidate pairs (capped buckets, exact-Jaccard verified) -> "
+    "connected components over the near-dup graph -> one row PER CORPUS "
+    "DOCUMENT with its cluster canonical and the keep/drop verdict "
+    "(kept = doc is its cluster's min id; singletons keep themselves). "
+    "This is what a user joins against the corpus to materialize the "
+    "deduplicated training set. Scale shape: the LSH stage is the only "
+    "corpus-sized work; the label loop runs on the tiny pair graph "
+    "(near-dups only), and the final verdict is one broadcast-ready "
+    "left join of labels back onto the corpus. Oracle: the same capped "
+    "LSH pair SQL + WITH RECURSIVE transitive closure.",
+    tags=("dedup", "lsh", "iterative"),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(F.broadcast(labels.withColumnRenamed("doc_id", "ldoc")),
+                  docs.doc_id == F.col("ldoc"), "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(canonical, doc_id) as canonical",
+            "cast(coalesce(canonical, doc_id) = doc_id as int) as kept",
         )
-        changed = (
-            prop.alias("p")
-            .join(labels.alias("l"), "node")
-            .where(F.col("p.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = prop.localCheckpoint()
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical"))
+    )
 
 
 # Binned interval join: bucket width == window length (10 min), so every

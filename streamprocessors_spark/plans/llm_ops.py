@@ -271,10 +271,9 @@ def _band_exprs(d: str) -> list[str]:
     return [MH.band_hash(d, "sig", i) for i in range(MH.BANDS)]
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_shingle_cte(DUCK)},
+# DuckDB CTE chain producing the LSH candidate set (shared between the
+# dedup_minhash_lsh oracle and the dedup_keep_list closure oracle).
+_MINHASH_ORACLE_CTES = f"""{_shingle_cte(DUCK)},
     g AS (SELECT doc_id, sh, {MH.hashes_mod_p(DUCK, "sh")} AS hs FROM s),
     sig_t AS (SELECT doc_id, sh, {MH.minhash_signature(DUCK, "hs")} AS sig FROM g),
     bands AS (
@@ -289,15 +288,23 @@ def _band_exprs(d: str) -> list[str]:
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM eb x JOIN eb y ON x.band = y.band AND x.bh = y.bh
                           AND x.doc_id < y.doc_id
-    )
-    SELECT doc_a, doc_b, n_inter, n_union FROM (
+    )"""
+
+_MINHASH_VERIFY_SELECT = f"""SELECT doc_a, doc_b, n_inter, n_union FROM (
       SELECT c.doc_a, c.doc_b,
              {D.intersect_size(DUCK, "sa.sh", "sb.sh")} AS n_inter,
              {D.union_size(DUCK, "sa.sh", "sb.sh")}     AS n_union
       FROM cand c
       JOIN s sa ON sa.doc_id = c.doc_a
       JOIN s sb ON sb.doc_id = c.doc_b
-    ) WHERE {_PAIR_FILTER}
+    ) WHERE {_PAIR_FILTER}"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_ORACLE_CTES}
+    {_MINHASH_VERIFY_SELECT}
     """,
     doc="MinHash(16 perms) + LSH(4 bands x 4 rows) near-dup: shingle -> "
     "minhash -> band -> capped bucket equi-join -> exact-Jaccard verify. "
@@ -1458,6 +1465,69 @@ def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
         .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
         .selectExpr(*[c.replace(" AS ", " as ") for c in _verdict_select(SPARK)])
+    )
+
+
+# PII scrubbing patterns (RE2-safe so DuckDB and Java regex agree; no
+# backreferences, no lookaround). Raw regexes — dialect.sql_regex_lit
+# handles the per-engine literal escaping.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_select(d: str) -> list[str]:
+    # The fixture corpus is synthetic word-soup with no PII, so the query
+    # plants deterministic PII spans first (same construction on both
+    # engines — doc_id-derived email/phone/IP appended to the text); what
+    # the gate verifies is the REDACTION battery: per-class counts and
+    # the byte-exact redacted output.
+    ds = "cast(doc_id as string)" if d == SPARK else "CAST(doc_id AS VARCHAR)"
+    aug = (
+        "(lower(text) || CASE CAST(doc_id % 3 AS INT)"
+        f" WHEN 0 THEN ' contact user' || {ds} || '@mail.example.com for details'"
+        f" WHEN 1 THEN ' call 555-867-' || lpad(cast(doc_id % 10000 as {'string' if d == SPARK else 'VARCHAR'}), 4, '0') || ' now'"
+        f" ELSE ' origin host 10.2.' || cast(doc_id % 250 as {'string' if d == SPARK else 'VARCHAR'}) || '.7 logged'"
+        " END)"
+    )
+    red = D.regexp_replace_all(d, aug, _PII_EMAIL, "<EMAIL>")
+    red = D.regexp_replace_all(d, red, _PII_PHONE, "<PHONE>")
+    red = D.regexp_replace_all(d, red, _PII_IP, "<IP>")
+    n_email = D.regexp_all_count(d, aug, D.sql_regex_lit(d, _PII_EMAIL))
+    n_phone = D.regexp_all_count(d, aug, D.sql_regex_lit(d, _PII_PHONE))
+    n_ip = D.regexp_all_count(d, aug, D.sql_regex_lit(d, _PII_IP))
+    return [
+        "doc_id",
+        f"CAST({n_email} AS INT) AS n_emails",
+        f"CAST({n_phone} AS INT) AS n_phones",
+        f"CAST({n_ip} AS INT) AS n_ips",
+        f"CAST({n_email} + {n_phone} + {n_ip} AS INT) AS n_pii",
+        f"CAST(length({red}) AS BIGINT) AS red_len",
+        f"md5({red}) AS redacted_md5",
+    ]
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT {", ".join(_pii_select(DUCK))}
+    FROM documents
+    """,
+    doc="PII scrubbing — the redaction pass a training-data pipeline runs "
+    "before anything ships: email / phone / IPv4 spans replaced by typed "
+    "placeholder tokens, per-class counts surfaced for audit. RE2-safe "
+    "patterns (no backreferences/lookaround) so the Java and RE2 engines "
+    "match identically; the redacted text is hash-gated byte-exact via "
+    "md5. The fixture corpus carries no real PII, so deterministic "
+    "doc_id-derived spans are planted in-query (identical construction "
+    "on both engines) — the battery itself is what's verified. Pure JVM "
+    "projection, no shuffle: at 100 TB this streams through the scan "
+    "like the quality filters.",
+    tags=("text", "llm", "quality"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).selectExpr(
+        *[c.replace(" AS ", " as ") for c in _pii_select(SPARK)]
     )
 
 
