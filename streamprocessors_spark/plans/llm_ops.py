@@ -1603,6 +1603,79 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A winnowing fingerprint shared by more than this many documents is
+# boilerplate (same rationale as LSH_MAX_BUCKET): it is excluded from the
+# containment join BEFORE pairing, bounding every fingerprint bucket.
+FP_MAX_DOCS = 50
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    k AS (SELECT doc_id, {TP.kgram_hashes(DUCK, "ws")} AS kh FROM w),
+    f AS (SELECT doc_id, {TP.winnow_fingerprints(DUCK, "kh")} AS fps FROM k),
+    n AS (SELECT doc_id, len(fps) AS n_fps FROM f),
+    x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    gate AS (SELECT fp FROM x GROUP BY fp
+             HAVING count(*) BETWEEN 2 AND {FP_MAX_DOCS}),
+    xg AS (SELECT x.* FROM x JOIN gate USING (fp))
+    SELECT doc_a, doc_b, n_shared, n_min FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared,
+             least(max(na.n_fps), max(nb.n_fps)) AS n_min
+      FROM xg a JOIN xg b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN n na ON na.doc_id = a.doc_id
+      JOIN n nb ON nb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) WHERE 2 * n_shared >= n_min AND n_min > 0
+    """,
+    doc="Containment detection over winnowing fingerprints (the join "
+    "doc_fingerprint_winnow exists to feed; Schleimer et al. '03 §5, the "
+    "MOSS use case): pairs sharing >= 50% of the smaller document's "
+    "fingerprint set — catches a document EMBEDDED in a larger one, which "
+    "symmetric Jaccard misses by design. Integer-only arithmetic "
+    "(n_shared, min set size). Scale shape mirrors dedup_minhash_lsh: "
+    "fingerprints explode to rows, a count gate drops boilerplate "
+    "fingerprints shared by > FP_MAX_DOCS docs BEFORE pairing (bounding "
+    "every bucket), and candidates come from the (fp) equi-join — the "
+    "pairwise step is per-fingerprint, never all-pairs.",
+    tags=("text", "dedup"),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = TP.winnow_fingerprints(SPARK, "kh")
+    f = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
+        .selectExpr("doc_id", f"{fps} as fps")
+    )
+    x = f.selectExpr("doc_id", "size(fps) as n_fps").join(
+        f.select("doc_id", F.explode_outer("fps").alias("fp")), "doc_id"
+    )
+    # same single-exchange gate shape as minhash_candidate_pairs: the
+    # count(*) window and both join sides share one Exchange on fp
+    w = Window.partitionBy("fp")
+    xg = (
+        x.repartition(x.sparkSession.sparkContext.defaultParallelism, "fp")
+        .withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .where(F.col("n_docs").between(2, FP_MAX_DOCS))
+        .select("fp", "doc_id", "n_fps")
+    )
+    a = xg.select("fp", F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na"))
+    b = xg.select("fp", F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb"))
+    return (
+        a.join(b, ["fp"])
+        .where("doc_a < doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.expr("least(max(na), max(nb))").alias("n_min"),
+        )
+        .where("2 * n_shared >= n_min AND n_min > 0")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns
 # ---------------------------------------------------------------------------
