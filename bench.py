@@ -98,6 +98,21 @@ def main() -> None:
             del n
 
     total = round(sum(timings.values()), 3)
+    # The headline set GROWS each round as new operator families land, so
+    # the all-query total is not comparable across rounds; value_r1_set is
+    # the stable round-1 21-query subtotal (the forward-baseline cohort).
+    r1_set = [
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "window_1min_event_rate",
+        "peak_rate_per_user", "latest_version_per_key",
+        "cc_continuity_check", "topk_orders_by_value",
+        "json_settings_extract", "ts_demux_pid_stats", "ts_programs_summary",
+        "ts_section_reassembly", "dedup_exact", "dedup_minhash_lsh",
+        "text_quality_score", "ann_bruteforce_topk",
+        "range_join_error_windows", "sessionize_events",
+        "hypertable_rollup_1h", "packed_context_bins",
+        "corpus_prep_pipeline",
+    ]
     print(
         json.dumps(
             {
@@ -107,6 +122,9 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "value_cold": round(sum(cold.values()), 3),
+                "value_r1_set": round(
+                    sum(timings[n] for n in r1_set if n in timings), 3
+                ),
                 "sf": sf,
             }
         )
