@@ -446,17 +446,42 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink
 
 
-def _wire_stream_quality_filter_oracle() -> None:
-    """Share the batch oracle text (same rules, same fixture, so the
-    streaming result hash-matches the batch SQL). Imports llm_ops for its
+@register(
+    "stream_pii_redact",
+    oracle=None,  # replaced below: shares text_pii_redact's oracle
+    doc="Streaming twin of text_pii_redact: the PII scrubbing pass as a "
+    "continuous projection over the document stream — new crawl shards "
+    "redacted as they land, availableNow, append mode. Hash-matches the "
+    "identical batch oracle (the redacted md5 is byte-exact, so parity "
+    "proves the streaming path applies the exact same regex battery).",
+    tags=("streaming", "text", "llm", "quality"),
+)
+def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.llm_ops import _pii_select
+
+    docs = stream_documents(spark, sf_dir)
+    scored = docs.selectExpr(
+        *[c.replace(" AS ", " as ") for c in _pii_select(SPARK)]
+    )
+    return run_available_now(scored, output_mode="append")
+
+
+def _wire_shared_stream_oracles() -> None:
+    """Share the batch oracle texts (same rules, same fixture, so the
+    streaming results hash-match the batch SQL). Imports llm_ops for its
     registration side effect first — this module must stay importable
     standalone, not only via load_all()'s happens-to-be-right ordering."""
     import streamprocessors_spark.plans.llm_ops  # noqa: F401
     from streamprocessors_spark.plans.registry import REGISTRY
 
-    batch = REGISTRY.get("quality_filter_verdict")
-    if batch is not None:
-        REGISTRY["stream_quality_filter"].oracle = batch.oracle
+    for stream_name, batch_name in [
+        ("stream_quality_filter", "quality_filter_verdict"),
+        ("stream_pii_redact", "text_pii_redact"),
+    ]:
+        batch = REGISTRY.get(batch_name)
+        if batch is not None:
+            REGISTRY[stream_name].oracle = batch.oracle
 
 
-_wire_stream_quality_filter_oracle()
+_wire_shared_stream_oracles()
