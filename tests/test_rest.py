@@ -1,0 +1,167 @@
+"""S7 REST facade: the reference's HTTP surface over Spark state.
+
+Pins the envelope format and the method-aware status translation table
+(stream_procs_api_http.c:52,236-274), the URL_HAS-style stats routing
+(:304-330), and the /procs | /stream_procs settings tree (:134-231)
+wired onto a live ConfigStore — GET list/by-id, PUT dual-format settings
+upsert, DELETE, each verified through a real HTTP round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from streamprocessors_spark.streaming.rest import (
+    NOT_FOUND,
+    NOT_MODIFIED,
+    OK,
+    StateRestServer,
+    config_store_routes,
+    envelope,
+)
+
+
+def test_envelope_matches_reference_format():
+    assert (
+        envelope(200, "OK", None, '{"x":1}')
+        == '{"code":200,"status":"OK","message":null,"data":{"x":1}}'
+    )
+    assert (
+        envelope(404, "Not Found", "missing", None)
+        == '{"code":404,"status":"Not Found","message":"missing","data":null}'
+    )
+
+
+def test_status_translation_table():
+    s = StateRestServer()
+    s.route("GET", "x", lambda i, q, b: (OK, "1"))
+    s.route("POST", "x", lambda i, q, b: (OK, "1"))
+    s.route("PUT", "x", lambda i, q, b: (NOT_MODIFIED, None))
+    s.route("DELETE", "x", lambda i, q, b: (NOT_FOUND, None))
+    assert s.dispatch("GET", "/x")[0] == 200
+    assert s.dispatch("POST", "/x")[0] == 201
+    assert s.dispatch("PUT", "/x")[0] == 204
+    assert s.dispatch("DELETE", "/x")[0] == 404
+    # unknown collection / method -> 404 envelope
+    code, payload = s.dispatch("GET", "/nope")
+    assert code == 404
+    assert json.loads(payload) == {
+        "code": 404,
+        "status": "Not Found",
+        "message": None,
+        "data": None,
+    }
+
+
+def test_stats_needle_routing():
+    s = StateRestServer()
+    s.stats_route("cpu_stats.json", lambda: '{"cpu":[1,2]}')
+    s.stats_route("rss_stats.json", lambda: None)  # supplier outage
+    code, payload = s.dispatch("GET", "/stats/v1/cpu_stats.json?x=1")
+    assert code == 200
+    assert json.loads(payload)["data"] == {"cpu": [1, 2]}
+    assert s.dispatch("GET", "/stats/v1/rss_stats.json")[0] == 404
+    assert s.dispatch("GET", "/stats/v1/net_stats.json")[0] == 404
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+def _send(method, url, body=b""):
+    req = urllib.request.Request(url, data=body, method=method)
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_live_server_programs_summary_and_config(spark, sf_dir, tmp_path):
+    from streamprocessors_spark import plans
+    from streamprocessors_spark.streaming.control import ConfigStore
+
+    plans.load_all()
+    # the engine's envelope query output IS the data payload (the server
+    # serves the latest materialized snapshot, like the reference's
+    # handler reading the PSI registers)
+    summary_row = (
+        plans.REGISTRY["ts_programs_summary_json"].fn(spark, sf_dir).collect()
+    )
+    assert len(summary_row) == 1
+    snapshot = summary_row[0][0]
+
+    server = StateRestServer()
+    # full envelope queries already carry code/status; serve their data
+    server.stats_route(
+        "programs_summary.json",
+        lambda: json.dumps(json.loads(snapshot)["data"]),
+    )
+    store = ConfigStore(spark, path=str(tmp_path / "cfg"))
+    (tmp_path / "cfg").mkdir()
+    config_store_routes(server, store)
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # GET programs summary through a real socket
+        code, env = _get(f"{base}/api/v1/programs_summary.json")
+        assert code == 200 and env["status"] == "OK"
+        assert env["data"] == json.loads(snapshot)["data"]
+
+        # settings lifecycle: PUT (query-string doc) -> GET -> PUT (JSON
+        # doc, seq bumps) -> DELETE -> 404
+        code, env = _send("PUT", f"{base}/procs/7?tag=alpha&cbr=900")
+        assert code == 200 and env["data"]["seq"] == 1
+        code, env = _get(f"{base}/procs/7")
+        assert code == 200 and env["data"]["doc"] == "tag=alpha&cbr=900"
+        code, env = _send(
+            "PUT", f"{base}/procs/7", body=b'{"tag":"beta","cbr":"1100"}'
+        )
+        assert code == 200 and env["data"]["seq"] == 2
+        code, env = _get(f"{base}/stream_procs/7")  # same tree, other root
+        assert json.loads(env["data"]["doc"])["tag"] == "beta"
+        code, env = _get(f"{base}/procs")
+        assert code == 200 and [d["sys_id"] for d in env["data"]] == [7]
+        code, env = _send("DELETE", f"{base}/procs/7")
+        assert code == 200
+        code, env = _get(f"{base}/procs")
+        assert env["data"] == []
+        code, env = _send("DELETE", f"{base}/procs/7")
+        assert code == 404
+    finally:
+        server.close()
+
+
+def test_live_settings_flow_feeds_engine_parser(spark, tmp_path):
+    """The PUT doc round-trips into the engine's dual-format settings
+    parser (P9) — the REST layer stores bytes, normalize_settings decodes
+    them, closing the S7 -> S5 -> P9 loop."""
+    from streamprocessors_spark.streaming.control import (
+        ConfigStore,
+        normalize_settings,
+    )
+
+    server = StateRestServer()
+    store = ConfigStore(spark, path=str(tmp_path / "cfg2"))
+    (tmp_path / "cfg2").mkdir()
+    config_store_routes(server, store)
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _send("PUT", f"{base}/procs/1?cbr=900&tag=x")
+        _send("PUT", f"{base}/procs/2", body=b'{"cbr":"1100","tag":"y"}')
+        parsed = {
+            int(r.sys_id): r
+            for r in normalize_settings(store.read()).collect()
+        }
+        assert parsed[1].is_json is False
+        assert parsed[1].cbr == "900" and parsed[1].tag == "x"
+        assert parsed[2].is_json is True
+        assert parsed[2].cbr == "1100" and parsed[2].tag == "y"
+    finally:
+        server.close()
