@@ -165,3 +165,54 @@ def test_live_settings_flow_feeds_engine_parser(spark, tmp_path):
         assert parsed[2].cbr == "1100" and parsed[2].tag == "y"
     finally:
         server.close()
+
+
+def test_latency_profile_collector_and_rest(spark, sf_dir):
+    """A6 end-to-end: a StreamingQueryListener captures per-micro-batch
+    progress (the Spark analog of the reference's rolling fan-out-latency
+    profile, mpeg2_sp.c:1409-1418), materializes it as a DataFrame, and
+    the rolling summary serves through the S7 stats route."""
+    import time
+
+    from streamprocessors_spark.streaming.metrics import ProgressCollector
+    from streamprocessors_spark.streaming.runner import (
+        run_available_now,
+        stream_documents,
+    )
+
+    col = ProgressCollector()
+    spark.streams.addListener(col)
+    try:
+        docs = stream_documents(spark, sf_dir)
+        out = run_available_now(
+            docs.selectExpr("doc_id", "length(text) as n"), "append"
+        )
+        assert out.count() > 0
+        # progress events arrive on the listener bus asynchronously
+        deadline = time.time() + 30
+        while not col.snapshot() and time.time() < deadline:
+            time.sleep(0.2)
+        rows = col.snapshot()
+        assert rows, "no progress events captured"
+        df = col.to_df(spark)
+        got = df.selectExpr("sum(input_rows) as n").collect()[0].n
+        assert got == out.count()
+
+        stats = json.loads(col.latency_stats_json())
+        assert stats["n_batches"] == len(rows)
+        assert stats["total_rows"] == got
+        assert stats["avg_trigger_ms"] is not None
+
+        server = StateRestServer()
+        server.stats_route("latency_stats.json", col.latency_stats_json)
+        port = server.start()
+        try:
+            code, env = _get(
+                f"http://127.0.0.1:{port}/stats/latency_stats.json"
+            )
+            assert code == 200
+            assert env["data"]["total_rows"] == got
+        finally:
+            server.close()
+    finally:
+        spark.streams.removeListener(col)
