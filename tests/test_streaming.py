@@ -196,3 +196,70 @@ def test_section_state_idle_timeout_abandons_partial(spark, split_section_dir):
         assert rows == [], f"abandoned section must not complete, got {rows}"
     finally:
         q.stop()
+
+
+def test_section_state_survives_query_restart(spark):
+    """T7 teardown/recovery: the partial-section buffer must survive a
+    FULL query stop + restart through the checkpoint (state-store
+    recovery), not just a micro-batch boundary within one run — the
+    reference's stop/start lifecycle, Spark-style. Run 1 sees only the
+    section's first packet (emits nothing, holds state); the query is
+    torn down; run 2 starts from the same checkpoint, reads the second
+    packet, and must emit the byte-exact completed section."""
+    from streamprocessors_spark.codec.psi import encode_section, sectionize
+    from streamprocessors_spark.sources import packets_from_binary_column
+    from streamprocessors_spark.streaming.stateful import (
+        section_reassembly_stream,
+    )
+
+    payload = bytes(range(256)) + b"y" * 44
+    sec = encode_section(
+        table_id=0x42,
+        table_id_ext=9,
+        version=5,
+        section_number=0,
+        last_section_number=0,
+        payload=payload,
+    )
+    pkts = sectionize(sec, pid=200, start_cc=0)
+    assert len(pkts) >= 2
+
+    src = tempfile.mkdtemp(prefix=f"spgraft_restart_{uuid.uuid4().hex[:6]}_")
+    ckpt = tempfile.mkdtemp(prefix=f"spgraft_rst_ckpt_{uuid.uuid4().hex[:6]}_")
+    out = tempfile.mkdtemp(prefix=f"spgraft_rst_out_{uuid.uuid4().hex[:6]}_")
+
+    def run_once():
+        # memory sinks cannot recover from a checkpoint; a parquet sink is
+        # the durable-restart path (and what production uses)
+        raw = (
+            spark.readStream.schema(STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            section_reassembly_stream(packets_from_binary_column(raw))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)  # SAME checkpoint both runs
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    _write_segment(os.path.join(src, "part0.parquet"), "s", bytes(pkts[0]))
+    out1 = run_once()
+    assert out1.count() == 0  # incomplete section held in state, not lost
+
+    _write_segment(
+        os.path.join(src, "part1.parquet"),
+        "s",
+        b"".join(bytes(p) for p in pkts[1:]),
+    )
+    out2 = run_once()
+    rows = out2.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert bytes(r.section_bytes) == sec  # byte-exact across the RESTART
+    assert r.crc_ok and r.table_id_ext == 9 and r.version == 5
