@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
     "dedup_keep_list",
+    "doc_containment_pairs",
     "dedup_embedding_lsh",
     "decontaminate_ngram_overlap",
     "text_quality_score",

@@ -118,6 +118,44 @@ def main() -> None:
         .count(),
     )
 
+    # Fingerprint-containment pairing over the multiplied corpus — tracks
+    # the (fp) bucket equi-join + count gate at 10x (every copy shares
+    # all fingerprints, so bucket sizes sit at ~mult like the LSH smoke)
+    from streamprocessors_spark.functions import textprep as TP
+    from streamprocessors_spark.plans.llm_ops import FP_MAX_DOCS
+
+    def _containment_count():
+        from pyspark.sql.window import Window
+
+        fps = TP.winnow_fingerprints(SPARK, "kh")
+        f = (
+            docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+            .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
+            .selectExpr("doc_id", f"{fps} as fps")
+        )
+        x = f.selectExpr("doc_id", "size(fps) as n_fps").join(
+            f.select("doc_id", F.explode_outer("fps").alias("fp")), "doc_id"
+        )
+        w = Window.partitionBy("fp")
+        xg = (
+            x.repartition(spark.sparkContext.defaultParallelism, "fp")
+            .withColumn("n_docs", F.count(F.lit(1)).over(w))
+            .where(F.col("n_docs").between(2, FP_MAX_DOCS))
+            .select("fp", "doc_id", "n_fps")
+        )
+        a = xg.select("fp", F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na"))
+        b = xg.select("fp", F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb"))
+        return (
+            a.join(b, ["fp"]).where("doc_a < doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"),
+                 F.expr("least(max(na), max(nb))").alias("n_min"))
+            .where("2 * n_shared >= n_min AND n_min > 0")
+            .count()
+        )
+
+    timed("containment_pairs", _containment_count)
+
     # IVF k-means training (2 Lloyd iterations) over the multiplied
     # embedding corpus — guards the r4 max_by argmin restructure: the
     # per-iteration exchange must carry N rows, not N x k, so 10x vectors
