@@ -406,8 +406,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """,
     doc="SimHash(48-bit, tf-weighted majority vote over token hashes) near-dup: "
     "pairs within language at hamming <= 4. Charikar '02; popcount(xor) "
-    "distance stays a 2-instruction JVM expression. Scale path: prefix-band "
-    "the signature exactly like MinHash bands.",
+    "distance stays a 2-instruction JVM expression. This lang-blocked "
+    "all-pairs form is the EXACTNESS BASELINE; the 100 TB path is "
+    "dedup_simhash_banded (pigeonhole bit-bands, provably identical "
+    "result set, equi-join candidates).",
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
