@@ -81,6 +81,11 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     edges = edges.localCheckpoint()
     labels = edges.select(F.col("u").alias("node"), F.col("u").alias("label")).distinct()
     labels = labels.groupBy("node").agg(F.min("label").alias("label"))
+    # Convergence detection: per-node labels are monotone NON-INCREASING
+    # under min-propagation, so the label sum strictly decreases iff any
+    # node changed — one tiny scalar aggregate per iteration instead of a
+    # prop-vs-labels join + count.
+    prev_total = None
     for _ in range(_CC_MAX_ITERS):
         # candidate label for each node: min over neighbors' labels
         prop = (
@@ -90,16 +95,15 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        changed = (
-            prop.alias("p")
-            .join(labels.alias("l"), "node")
-            .where(F.col("p.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
         labels = prop.localCheckpoint()
-        if changed == 0:
+        # decimal(38,0): a billion-node graph of large doc_ids can push
+        # the sum past int64; a wrapped sum could fake convergence
+        total = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if total == prev_total:
             break
+        prev_total = total
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical"))
 
 
