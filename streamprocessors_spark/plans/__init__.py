@@ -99,6 +99,9 @@ _FORCE_RECHECK = {
     "ann_bruteforce_topk": 4,
     "ann_lsh_bucketed": 4,
     "ann_lsh_recall": 4,
+    # round 4: CC loop convergence check moved to a scalar-sum probe
+    # (identical labels, fewer driver round-trips)
+    "dedup_connected_components": 4,
 }
 
 
