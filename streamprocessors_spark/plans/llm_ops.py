@@ -1605,6 +1605,73 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_rarity_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    x AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    vocab AS (
+      SELECT word, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rank
+      FROM x GROUP BY word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)      AS n_words,
+           CAST(sum(v.rank) AS BIGINT)   AS rank_sum,
+           CAST(max(v.rank) AS BIGINT)   AS max_rank,
+           CAST((sum(v.rank) * 1000) // count(*) AS BIGINT) AS mean_rank_x1000
+    FROM x JOIN vocab v USING (word)
+    GROUP BY doc_id
+    """,
+    doc="Corpus-frequency rarity scoring — the cheap perplexity proxy a "
+    "quality-filter pass uses when a real LM is too expensive (CCNet-"
+    "style: documents whose words are corpus-rare score high/suspicious, "
+    "boilerplate scores low). Two-pass shape: ONE groupBy builds the "
+    "corpus vocabulary with frequency ranks (vocabulary-sized, tiny vs "
+    "the corpus), which then BROADCASTS back onto the exploded word "
+    "stream — the corpus itself never shuffles. Deliberately rank-based "
+    "and integer-only (BIGINT rank sums, scaled integer division): a "
+    "log-prob formulation would hinge on libm log() agreeing to the last "
+    "ulp across engines, which floor-quantization cannot guarantee at "
+    "bucket boundaries. The global rank window runs over the VOCABULARY "
+    "only (Heaps' law keeps it orders of magnitude under the corpus; a "
+    "1e8-term vocab is a single spillable sort task) — if the vocabulary "
+    "itself outgrows one task, rank two-level: range-partition by count "
+    "then offset by per-range totals.",
+    tags=("text", "llm", "quality"),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .select("doc_id", F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
+    )
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    vocab = (
+        x.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(wv))
+        .select("word", "rank")
+    )
+    return (
+        x.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("rank").alias("rank_sum"),
+            F.max("rank").alias("max_rank"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "rank_sum",
+            "max_rank",
+            "(rank_sum * 1000) div n_words as mean_rank_x1000",
+        )
+    )
+
+
 # A winnowing fingerprint shared by more than this many documents is
 # boilerplate (same rationale as LSH_MAX_BUCKET): it is excluded from the
 # containment join BEFORE pairing, bounding every fingerprint bucket.
