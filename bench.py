@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality_score",
     "quality_filter_verdict",
     "text_pii_redact",
+    "text_rarity_score",
     "ann_bruteforce_topk",
     "mm_image_features",
     # round-3 training path

@@ -174,6 +174,77 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_label_components(pairs)
 
 
+# SemDeDup-style acceptance threshold for embedding keep-list edges:
+# fixture-scaled (the synthetic embeddings are near-orthogonal, max
+# nearest-pair cosine ~0.43; production text embeddings use ~0.99 for
+# true semantic duplicates). Applied to the 6-dp-quantized cosine, which
+# is bit-identical across engines, so thresholding is deterministic.
+EMB_DUP_MIN_COS = 0.3
+
+
+def _emb_keep_list_oracle() -> str:
+    from streamprocessors_spark.plans.llm_ops import (
+        _EMB_LSH_CTE,
+        _EMB_LSH_SELECT,
+    )
+
+    return f"""
+    WITH RECURSIVE {_EMB_LSH_CTE},
+    pairs AS (
+      SELECT va, vb FROM ({_EMB_LSH_SELECT}) WHERE cos >= {EMB_DUP_MIN_COS}
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM pairs
+      UNION SELECT vb, va FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ),
+    lab AS (SELECT u AS vec_id, least(u, min(v)) AS canonical
+            FROM reach GROUP BY u)
+    SELECT emb.vec_id,
+           COALESCE(l.canonical, emb.vec_id) AS canonical,
+           CAST(COALESCE(l.canonical, emb.vec_id) = emb.vec_id AS INT) AS kept
+    FROM embeddings emb LEFT JOIN lab l ON l.vec_id = emb.vec_id
+    """
+
+
+@register(
+    "dedup_embedding_keep_list",
+    oracle=_emb_keep_list_oracle(),
+    doc="SemDeDup-shaped embedding dedup deliverable: sign-LSH bucketed "
+    "nearest-neighbor pairs thresholded at cosine >= EMB_DUP_MIN_COS "
+    "become edges, connected components canonicalize the semantic-dup "
+    "clusters, and every corpus vector gets its keep/drop verdict "
+    "(kept = min vec_id of its cluster; isolated vectors keep "
+    "themselves). The embedding twin of dedup_keep_list: the bucketed "
+    "LSH stage is the only corpus-sized work, the label loop runs on the "
+    "thresholded pair graph, the verdict is one broadcast left join. "
+    "Oracle: same pair SQL + WITH RECURSIVE closure.",
+    tags=("dedup", "vector", "lsh", "iterative"),
+)
+def dedup_embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import dedup_embedding_lsh
+
+    pairs = (
+        dedup_embedding_lsh(spark, sf_dir)
+        .where(F.col("cos") >= EMB_DUP_MIN_COS)
+        .selectExpr("va as doc_a", "vb as doc_b")
+    )
+    labels = _min_label_components(pairs).withColumnRenamed("doc_id", "lvec")
+    vecs = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        vecs.join(F.broadcast(labels), vecs.vec_id == F.col("lvec"), "left")
+        .selectExpr(
+            "vec_id",
+            "coalesce(canonical, vec_id) as canonical",
+            "cast(coalesce(canonical, vec_id) = vec_id as int) as kept",
+        )
+    )
+
+
 def _keep_list_oracle() -> str:
     from streamprocessors_spark.plans.llm_ops import (
         _MINHASH_ORACLE_CTES,

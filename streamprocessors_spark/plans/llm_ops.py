@@ -615,14 +615,14 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_lsh",
-    oracle=f"""
-    WITH e AS (
+# DuckDB CTE + select for the bucketed nearest-neighbor pairs (shared by
+# the dedup_embedding_lsh oracle and the embedding keep-list closure).
+_EMB_LSH_CTE = f"""e AS (
       SELECT vec_id, embedding, {V.sign_bucket(DUCK, "embedding")} AS bucket
       FROM embeddings
-    )
-    SELECT va, vb, bucket, cos FROM (
+    )"""
+
+_EMB_LSH_SELECT = f"""SELECT va, vb, bucket, cos FROM (
       SELECT va, vb, bucket, cos,
              row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
       FROM (
@@ -631,7 +631,14 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e a JOIN e b
           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
       )
-    ) WHERE rn = 1
+    ) WHERE rn = 1"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH {_EMB_LSH_CTE}
+    {_EMB_LSH_SELECT}
     """,
     doc="Embedding near-dup candidates, the 100 TB shape: same semantics "
     "as dedup_embedding_cosine but blocked on the sign-LSH bucket (8 fixed "
