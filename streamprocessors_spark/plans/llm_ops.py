@@ -1726,8 +1726,12 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
         .selectExpr("doc_id", f"{fps} as fps")
     )
-    x = f.selectExpr("doc_id", "size(fps) as n_fps").join(
-        f.select("doc_id", F.explode_outer("fps").alias("fp")), "doc_id"
+    # one generator pass: explode carries n_fps along, so the winnowing
+    # arrays are computed once and no doc_id self-join is needed
+    x = f.select(
+        "doc_id",
+        F.expr("size(fps)").alias("n_fps"),
+        F.explode_outer("fps").alias("fp"),
     )
     # same single-exchange gate shape as minhash_candidate_pairs: the
     # count(*) window and both join sides share one Exchange on fp

@@ -115,7 +115,13 @@ class StateRestServer:
             obj_id = parts[1] if len(parts) > 1 else None
             fn = self.routes.get((method, collection))
             if fn is not None:
-                outcome, data = fn(obj_id, query, body)
+                try:
+                    outcome, data = fn(obj_id, query, body)
+                except Exception:  # noqa: BLE001 — bad id, malformed doc...
+                    # the reference's rule: any unhandled combination is
+                    # 404 (stream_procs_api_http.c:270-273), never a
+                    # dropped connection
+                    outcome, data = NOT_FOUND, None
                 return self._respond(method, outcome, data)
         return self._respond(method, NOT_FOUND, None)
 

@@ -216,3 +216,18 @@ def test_latency_profile_collector_and_rest(spark, sf_dir):
             server.close()
     finally:
         spark.streams.removeListener(col)
+
+
+def test_malformed_id_is_404_not_crash():
+    """A non-numeric object id (or any handler exception) must produce a
+    404 envelope, never a dropped connection — the reference's 'any other
+    combination is 404' rule (stream_procs_api_http.c:270-273)."""
+    s = StateRestServer()
+
+    def boom(obj_id, q, b):
+        raise ValueError(int(obj_id))  # int('abc') -> ValueError
+
+    s.route("GET", "procs", boom)
+    code, payload = s.dispatch("GET", "/procs/abc")
+    assert code == 404
+    assert json.loads(payload)["status"] == "Not Found"

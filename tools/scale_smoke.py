@@ -133,8 +133,10 @@ def main() -> None:
             .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
             .selectExpr("doc_id", f"{fps} as fps")
         )
-        x = f.selectExpr("doc_id", "size(fps) as n_fps").join(
-            f.select("doc_id", F.explode_outer("fps").alias("fp")), "doc_id"
+        x = f.select(
+            "doc_id",
+            F.expr("size(fps)").alias("n_fps"),
+            F.explode_outer("fps").alias("fp"),
         )
         w = Window.partitionBy("fp")
         xg = (
