@@ -1679,6 +1679,132 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "bpe_first_merge_pairs",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({D.words(DUCK)}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, cnt
+      FROM vocab, unnest(range(1, length(word))) AS t(i)
+      WHERE length(word) >= 2
+    ),
+    agg AS (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences, rank FROM (
+      SELECT pair, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+      FROM agg
+    ) WHERE rank <= {BPE_TOP_PAIRS}
+    """,
+    doc="Tokenizer training at corpus scale, step one: the first BPE merge "
+    "is argmax over frequency-weighted adjacent-symbol-pair counts "
+    "(Sennrich '16 §3.2). The scale trick is that the pair statistics "
+    "live on the VOCABULARY, not the corpus: one corpus-sized groupBy "
+    "builds (word, count), then pairs explode per DISTINCT word weighted "
+    "by its count — a few hundred thousand rows regardless of corpus "
+    "size — and one tiny aggregate ranks the merge candidates. Every "
+    "subsequent merge round is the same computation over the re-segmented "
+    "vocab. Integer-only.",
+    tags=("text", "llm", "tokenizer"),
+)
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        _docs(spark, sf_dir)
+        .selectExpr(f"{D.words(SPARK)} as ws")
+        .select(F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        vocab.where(F.length("word") >= 2)
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substr(word, i, 2))"
+                )
+            ).alias("_p", "pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("pair", "n_occurrences", "rank")
+    )
+
+
+# Sliding context windows: W tokens per chunk, stride S (W - S overlap) —
+# the long-document chunking a pretraining pipeline applies before packing.
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+@register(
+    "sliding_window_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    c AS (
+      SELECT doc_id, len(ws) AS n_words,
+             CAST(t.s AS BIGINT) AS start_idx,
+             ws[t.s : least(t.s + {CHUNK_W} - 1, len(ws))] AS chunk
+      FROM w, unnest(range(1, greatest(len(ws) - {CHUNK_W} + {CHUNK_S}, 1) + 1, {CHUNK_S})) AS t(s)
+      WHERE len(ws) >= 1
+    )
+    SELECT doc_id, start_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c WHERE len(chunk) > 0
+    """,
+    doc="Strided context-window chunking (W=64 tokens, stride 48 -> 16-"
+    "token overlap): how long documents become training windows before "
+    "packing; overlap preserves cross-boundary context. Pure array-slice "
+    "expressions per document — no shuffle, the chunk set streams out of "
+    "the scan; each chunk is hash-gated byte-exact via the md5 of its "
+    "joined tokens.",
+    tags=("text", "llm", "prep"),
+)
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    starts = (
+        f"sequence(1, greatest(size(ws) - {CHUNK_W} + {CHUNK_S}, 1), {CHUNK_S})"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .where(F.expr("size(ws) >= 1"))
+        .select(
+            "doc_id",
+            F.col("ws"),
+            F.explode_outer(F.expr(starts)).alias("start_idx"),
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(start_idx as bigint) as start_idx",
+            f"slice(ws, start_idx, {CHUNK_W}) as chunk",
+        )
+        .where("size(chunk) > 0")
+        .selectExpr(
+            "doc_id",
+            "start_idx",
+            "cast(size(chunk) as int) as n_tokens",
+            "md5(array_join(chunk, ' ')) as chunk_md5",
+        )
+    )
+
+
 # A winnowing fingerprint shared by more than this many documents is
 # boilerplate (same rationale as LSH_MAX_BUCKET): it is excluded from the
 # containment join BEFORE pairing, bounding every fingerprint bucket.
