@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
     "dedup_keep_list",
+    "dedup_embedding_keep_list",
     "doc_containment_pairs",
     "dedup_embedding_lsh",
     "decontaminate_ngram_overlap",
@@ -46,6 +47,8 @@ HEADLINE = [
     "quality_filter_verdict",
     "text_pii_redact",
     "text_rarity_score",
+    "bpe_first_merge_pairs",
+    "sliding_window_chunks",
     "ann_bruteforce_topk",
     "mm_image_features",
     # round-3 training path
