@@ -271,3 +271,31 @@ def test_hypertable_rollup_single_exchange(spark, sf_dir):
     hour agg re-keys the tiny minute rows (AQE-coalesced)."""
     p = _plan(spark, sf_dir, "hypertable_rollup_1h")
     assert p.count("hashpartitioning(") <= 2
+
+
+def test_rarity_score_broadcasts_vocab(spark, sf_dir):
+    """The corpus-frequency rarity join must broadcast the vocabulary —
+    shuffling the exploded corpus word stream against the vocab would
+    move corpus-sized data for a vocab-sized side."""
+    p = _plan(spark, sf_dir, "text_rarity_score")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
+
+
+def test_containment_is_gated_equijoin(spark, sf_dir):
+    """Fingerprint containment mirrors the LSH candidate contract: pairs
+    from an (fp) equi-join, no per-bucket arrays, no nested loop, pure
+    JVM."""
+    p = _plan(spark, sf_dir, "doc_containment_pairs")
+    assert "NestedLoop" not in p
+    assert "collect_list" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_stateless_text_passes_have_no_exchange(spark, sf_dir):
+    """text_pii_redact and sliding_window_chunks are pure projections —
+    at 100 TB they must stream through the scan with ZERO shuffles."""
+    for name in ["text_pii_redact", "sliding_window_chunks"]:
+        p = _plan(spark, sf_dir, name)
+        assert p.count("hashpartitioning(") == 0, f"{name} gained a shuffle"
+        assert "Python" not in p and "ArrowEval" not in p
