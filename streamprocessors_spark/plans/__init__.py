@@ -102,6 +102,17 @@ _FORCE_RECHECK = {
     # round 4: CC loop convergence check moved to a scalar-sum probe
     # (identical labels, fewer driver round-trips)
     "dedup_connected_components": 4,
+    # round 5: simhash bands self-join gained the 2..SIMHASH_MAX_BUCKET
+    # count-window gate (oracle mirrors the cap — VERDICT r4 #1)
+    "dedup_simhash_banded": 5,
+    # round 5: connected components moved to pointer-jumping (O(log d)
+    # convergence; identical labels) and the keep-list verdict joins
+    # dropped their forced label broadcasts (VERDICT r4 #2/#3)
+    "dedup_keep_list": 5,
+    "dedup_embedding_keep_list": 5,
+    # round 5: vocabulary rank became two-level (range-partitioned rank +
+    # per-range offsets; identical ranks — VERDICT r4 #3)
+    "text_rarity_score": 5,
 }
 
 

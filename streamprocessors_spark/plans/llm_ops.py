@@ -434,10 +434,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pigeonhole banding for SimHash: with SIMHASH_MAX_HAMMING + 1 bands, any
 # pair within the hamming radius must agree EXACTLY on at least one band
 # (<= 4 differing bits cannot touch all 5 bands), so the banded candidate
-# set provably contains every qualifying pair — the banded query returns
-# the IDENTICAL result set to the all-pairs formulation, it is not an
-# approximation. 48 bits / 5 bands -> widths 10,10,10,9,9.
+# set provably contains every qualifying pair. 48 bits / 5 bands ->
+# widths 10,10,10,9,9. With the bucket-size gate below, the result set is
+# the all-pairs set MINUS pairs whose every agreeing band lands in an
+# over-full bucket — the oracle mirrors the gate exactly, so the hash
+# check still proves the pigeonhole routing.
 SIMHASH_N_BANDS = SIMHASH_MAX_HAMMING + 1
+# Bucket-size cap for the (band, bval) self-join — same rationale as
+# LSH_MAX_BUCKET: a band is only 9-10 bits wide (512-1024 distinct values
+# by construction), so short/boilerplate docs collapsing to one band value
+# put a corpus-scale fraction of rows into ONE join bucket and expand
+# quadratically inside it. Buckets over the cap are boilerplate: exact
+# dups were collapsed upstream by dedup_exact, and a genuine near-dup
+# pair inside one over-full bucket is still caught whenever ANY of its
+# other agreeing bands stays small.
+SIMHASH_MAX_BUCKET = 50
 _SIMHASH_BAND_BOUNDS = [
     (i * MH.SIMHASH_BITS) // SIMHASH_N_BANDS for i in range(SIMHASH_N_BANDS + 1)
 ]
@@ -452,31 +463,31 @@ def _simhash_band_exprs(sig: str) -> list[str]:
     return out
 
 
-@register(
-    "dedup_simhash_banded",
-    # Deliberately the SAME all-pairs oracle as dedup_simhash: the banded
-    # Spark plan and the quadratic DuckDB formulation must produce the
-    # identical pair set — an independently-formulated cross-check of the
-    # pigeonhole argument, not a shared-text echo.
-    oracle=f"""
-    WITH {_simhash_cte(DUCK)}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {MH.hamming(DUCK, "a.sh48", "b.sh48")} AS hamming
-    FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE {MH.hamming(DUCK, "a.sh48", "b.sh48")} <= {SIMHASH_MAX_HAMMING}
-    """,
-    doc="SimHash near-dup, the 100 TB path: the 48-bit signature splits "
-    "into SIMHASH_MAX_HAMMING+1 = 5 bit-bands; by pigeonhole, any pair at "
-    "hamming <= 4 agrees exactly on >= 1 band, so candidates come from an "
-    "equi-join on (lang, band_idx, band_value) — the shuffle keys on the "
-    "band value, the pairwise step is per-bucket, and the result set is "
-    "PROVABLY identical to the all-pairs dedup_simhash (the oracle runs "
-    "the quadratic formulation; the hash gate is the pigeonhole proof "
-    "check). Signatures collapse map-side before the one band exchange.",
-    tags=("dedup", "lsh"),
-)
-def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = simhash_signatures(_docs(spark, sf_dir))
+def _simhash_bands_cte() -> str:
+    """DuckDB bands CTE: one UNION ALL arm per band (no posexplode)."""
+    arms = []
+    for i in range(SIMHASH_N_BANDS):
+        lo, hi = _SIMHASH_BAND_BOUNDS[i], _SIMHASH_BAND_BOUNDS[i + 1]
+        mask = (1 << (hi - lo)) - 1
+        arms.append(
+            f"SELECT doc_id, lang, sh48, {i} AS band,"
+            f" (sh48 >> {lo}) & {mask} AS bval FROM sh_t"
+        )
+    return " UNION ALL ".join(arms)
+
+
+def simhash_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs from a (doc_id, lang, sh48)
+    signature frame via gated pigeonhole banding.
+
+    Scale shape (mirrors minhash_candidate_pairs): the 5 bit-bands
+    posexplode per signature, buckets are gated to 2..SIMHASH_MAX_BUCKET
+    members by a count(*) window over the ONE (band, bval) exchange (no
+    arrays anywhere; both self-join sides project from the same gated
+    frame, so the corpus is signature-hashed once at runtime —
+    ReusedExchange, pinned by tests/test_plan_shapes.py), so no bucket
+    ever expands more than SIMHASH_MAX_BUCKET^2 pairs inside one task.
+    """
     bands = sh.select(
         "doc_id",
         "lang",
@@ -485,11 +496,20 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array(" + ", ".join(_simhash_band_exprs("sh48")) + ")")
         ).alias("band", "bval"),
     )
-    a = bands.select(
+    w = Window.partitionBy("band", "bval")
+    eligible = (
+        bands.repartition(
+            bands.sparkSession.sparkContext.defaultParallelism, "band", "bval"
+        )
+        .withColumn("n_ids", F.count(F.lit(1)).over(w))
+        .where(F.col("n_ids").between(2, SIMHASH_MAX_BUCKET))
+        .select("band", "bval", "lang", "doc_id", "sh48")
+    )
+    a = eligible.select(
         "band", "bval", "lang",
         F.col("doc_id").alias("doc_a"), F.col("sh48").alias("sh_a"),
     )
-    b = bands.select(
+    b = eligible.select(
         "band", "bval",
         F.col("lang").alias("lang_b"),
         F.col("doc_id").alias("doc_b"), F.col("sh48").alias("sh_b"),
@@ -503,6 +523,51 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+@register(
+    "dedup_simhash_banded",
+    # The oracle re-derives the banding + bucket gate in DuckDB dialect
+    # (UNION ALL band arms, HAVING-gated bsz CTE, candidate semi-join on
+    # the gated buckets) — an independent formulation of the gated
+    # pigeonhole routing, not a shared-text echo of the Spark builder.
+    oracle=f"""
+    WITH {_simhash_cte(DUCK)},
+    bands AS ({_simhash_bands_cte()}),
+    bsz AS (
+      SELECT band, bval FROM bands GROUP BY band, bval
+      HAVING count(*) BETWEEN 2 AND {SIMHASH_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz s ON s.band = a.band AND s.bval = a.bval
+      JOIN bands b ON b.band = a.band AND b.bval = a.bval
+       AND a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           {MH.hamming(DUCK, "a.sh48", "b.sh48")} AS hamming
+    FROM cand c
+    JOIN sh_t a ON a.doc_id = c.doc_a
+    JOIN sh_t b ON b.doc_id = c.doc_b
+    WHERE {MH.hamming(DUCK, "a.sh48", "b.sh48")} <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash near-dup, the 100 TB path: the 48-bit signature splits "
+    "into SIMHASH_MAX_HAMMING+1 = 5 bit-bands; by pigeonhole, any pair at "
+    "hamming <= 4 agrees exactly on >= 1 band, so candidates come from an "
+    "equi-join on (band_idx, band_value), bucket-gated to "
+    "2..SIMHASH_MAX_BUCKET members (a band is only 9-10 bits wide, so "
+    "boilerplate collapses corpus-scale row counts onto one value; the "
+    "count-window gate bounds the per-bucket quadratic blow-up exactly "
+    "like dedup_minhash_lsh's). Result set = all-pairs dedup_simhash "
+    "minus pairs whose EVERY agreeing band bucket is over-full "
+    "(boilerplate by construction); the DuckDB oracle mirrors the gate, "
+    "so the hash check proves the routing. Signatures collapse map-side "
+    "before the one band exchange.",
+    tags=("dedup", "lsh"),
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_candidate_pairs(simhash_signatures(_docs(spark, sf_dir)))
 
 
 @register(

@@ -181,6 +181,41 @@ def test_minhash_lsh_hot_bucket_capped(spark):
     assert len(pairs) == 6
 
 
+def test_simhash_banded_hot_bucket_capped(spark):
+    """Adversarial skew fixture (VERDICT r4 #1), SimHash twin of the
+    MinHash hot-bucket test: 1,000 identical boilerplate docs share one
+    signature, so all five (band, bval) buckets hold 1,000 members. The
+    gated candidate stage must emit ZERO pairs from the over-full buckets
+    (bounding the per-bucket blow-up at SIMHASH_MAX_BUCKET^2) while the
+    small bucket still pairs its C(4,2) = 6 identical-text docs."""
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans.llm_ops import (
+        SIMHASH_MAX_BUCKET,
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 5
+    other = "completely different text about spark shuffles and lsh caps " * 5
+    rows = [(i, "en", boiler) for i in range(1000)]
+    rows += [(10_000 + i, "en", other) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    cand = simhash_candidate_pairs(simhash_signatures(docs))
+    p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" not in p
+
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert 1000 > SIMHASH_MAX_BUCKET
+    assert all(a >= 10_000 and b >= 10_000 for a, b in pairs), (
+        f"hot band bucket leaked pairs: {sorted(pairs)[:5]}"
+    )
+    assert len(pairs) == 6
+
+
 def test_simhash_banding_pigeonhole():
     """The exactness proof behind dedup_simhash_banded: ANY two 48-bit
     signatures at hamming <= SIMHASH_MAX_HAMMING must agree exactly on at

@@ -151,11 +151,29 @@ def test_hof_heavy_text_ops_keep_transforms_out_of_filters(spark, sf_dir):
 def test_simhash_banded_is_equijoin(spark, sf_dir):
     """The banded SimHash candidate stage must key the self-join on the
     (band, band_value) columns — a nested loop means it degenerated to
-    the all-pairs shape the banding exists to avoid. Pure JVM."""
+    the all-pairs shape the banding exists to avoid — and must carry the
+    r5 count-window bucket gate (no collect_list arrays). Pure JVM."""
     p = _plan(spark, sf_dir, "dedup_simhash_banded")
     assert "NestedLoop" not in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
     assert "Python" not in p and "ArrowEval" not in p
+    assert "collect_list" not in p
+
+
+def test_simhash_banded_runtime_reuses_band_exchange(spark, sf_dir):
+    """Both self-join sides of the gated band frame must share the ONE
+    (band, bval) exchange at runtime (same contract as
+    dedup_minhash_lsh): AQE collapses the identical subtrees into
+    ReusedExchange so the corpus is signature-hashed once."""
+    from streamprocessors_spark import plans as P
+
+    df = P.REGISTRY["dedup_simhash_banded"].fn(spark, sf_dir)
+    df.collect()
+    p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p
 
 
 def test_dedup_embedding_lsh_is_bucket_equijoin(spark, sf_dir):
