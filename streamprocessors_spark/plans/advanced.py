@@ -70,9 +70,30 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
     """(doc_id, canonical) labels for the undirected pair graph via
-    min-label propagation. The pair graph is tiny relative to the corpus
-    (only near-dups), so each round's frontier is pinned with
-    localCheckpoint and iterations never replay the upstream pipeline."""
+    min-label propagation WITH pointer jumping. The pair graph is tiny
+    relative to the corpus (only near-dups), so each round's frontier is
+    pinned with localCheckpoint and iterations never replay the upstream
+    pipeline.
+
+    Each round does two hops of work: (1) neighbor-min — every node takes
+    the min over its direct neighbors' labels (one edge join) — then
+    (2) pointer jumping — every node also takes its LABEL's label
+    (labels are node ids, so the label frame joins to itself:
+    label := min(label, label_of(label))). The jump shortcuts through
+    already-discovered chains, so the distance a min label travels per
+    round grows multiplicatively, not by one hop — the standard
+    O(log diameter) trick (pointer jumping / hash-to-min, Kiveris et al.
+    '14 "Connected components in MapReduce and beyond"). Without the
+    jump, plain neighbor-min moves labels ONE hop per round and an
+    iteration cap silently mislabels any component deeper than the cap —
+    exactly the path-shaped clusters chained near-dup crawl docs produce
+    (pinned by tests/test_algo_invariants.py's 50-node path fixture).
+
+    Convergence is detected with a scalar probe (per-node labels are
+    monotone non-increasing, so the label sum strictly decreases iff any
+    node changed); falling out of the iteration cap un-converged RAISES —
+    a partially-propagated keep-list must never ship silently.
+    """
     edges = (
         pairs.selectExpr("doc_a as u", "doc_b as v")
         .unionByName(pairs.selectExpr("doc_b as u", "doc_a as v"))
@@ -81,35 +102,56 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     edges = edges.localCheckpoint()
     labels = edges.select(F.col("u").alias("node"), F.col("u").alias("label")).distinct()
     labels = labels.groupBy("node").agg(F.min("label").alias("label"))
-    # Convergence detection: per-node labels are monotone NON-INCREASING
-    # under min-propagation, so the label sum strictly decreases iff any
-    # node changed — one tiny scalar aggregate per iteration instead of a
-    # prop-vs-labels join + count.
     prev_total = None
+    converged = False
     for _ in range(_CC_MAX_ITERS):
-        # candidate label for each node: min over neighbors' labels
-        prop = (
+        # (1) candidate label for each node: min over neighbors' labels
+        nbr = (
             edges.join(labels, edges.v == labels.node)
             .select(F.col("u").alias("node"), "label")
             .unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        labels = prop.localCheckpoint()
+        # (2) pointer jump: follow the label (a node id) to ITS label.
+        # Left join: a label always IS a node in the frame (labels start
+        # as own ids and only ever take mins of existing ids), but the
+        # coalesce keeps the step total-function-shaped regardless.
+        ptr = nbr.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            nbr.join(ptr, nbr.label == ptr.pnode, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        labels = jumped.localCheckpoint()
         # decimal(38,0): a billion-node graph of large doc_ids can push
         # the sum past int64; a wrapped sum could fake convergence
         total = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
         if total == prev_total:
+            converged = True
             break
         prev_total = total
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge within {_CC_MAX_ITERS} "
+            "pointer-jumping rounds (component diameter > ~2^"
+            f"{_CC_MAX_ITERS}); refusing to emit partial labels"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical"))
 
 
 
-# Iteration cap: min-label propagation halves the effective diameter each
-# round; 10 rounds covers components with diameter up to 2^10.
+# Iteration cap: with pointer jumping the reachable chain length grows
+# multiplicatively per round, so 10 rounds covers diameters far beyond
+# any real near-dup cluster; hitting the cap un-converged raises.
 _CC_MAX_ITERS = 10
 
 
@@ -221,7 +263,8 @@ def _emb_keep_list_oracle() -> str:
     "(kept = min vec_id of its cluster; isolated vectors keep "
     "themselves). The embedding twin of dedup_keep_list: the bucketed "
     "LSH stage is the only corpus-sized work, the label loop runs on the "
-    "thresholded pair graph, the verdict is one broadcast left join. "
+    "thresholded pair graph, the verdict is one left join (unhinted — "
+    "AQE broadcasts when labels are genuinely small). "
     "Oracle: same pair SQL + WITH RECURSIVE closure.",
     tags=("dedup", "vector", "lsh", "iterative"),
 )
@@ -235,8 +278,11 @@ def dedup_embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = _min_label_components(pairs).withColumnRenamed("doc_id", "lvec")
     vecs = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    # No broadcast hint: on a real crawl, near-dup cluster membership is
+    # routinely 30-50% of the corpus, so labels are corpus-fraction-sized.
+    # AQE broadcasts at runtime when the frame is genuinely small.
     return (
-        vecs.join(F.broadcast(labels), vecs.vec_id == F.col("lvec"), "left")
+        vecs.join(labels, vecs.vec_id == F.col("lvec"), "left")
         .selectExpr(
             "vec_id",
             "coalesce(canonical, vec_id) as canonical",
@@ -283,9 +329,10 @@ def _keep_list_oracle() -> str:
     "This is what a user joins against the corpus to materialize the "
     "deduplicated training set. Scale shape: the LSH stage is the only "
     "corpus-sized work; the label loop runs on the tiny pair graph "
-    "(near-dups only), and the final verdict is one broadcast-ready "
-    "left join of labels back onto the corpus. Oracle: the same capped "
-    "LSH pair SQL + WITH RECURSIVE transitive closure.",
+    "(near-dups only), and the final verdict is one left join of labels "
+    "back onto the corpus (unhinted — label cardinality is data-"
+    "dependent, so AQE picks the strategy at runtime). Oracle: the same "
+    "capped LSH pair SQL + WITH RECURSIVE transitive closure.",
     tags=("dedup", "lsh", "iterative"),
 )
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,8 +341,10 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = _min_label_components(pairs)
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # No broadcast hint: label cardinality is data-dependent (a crawl's
+    # near-dup set can be a large corpus fraction); AQE decides at runtime.
     return (
-        docs.join(F.broadcast(labels.withColumnRenamed("doc_id", "ldoc")),
+        docs.join(labels.withColumnRenamed("doc_id", "ldoc"),
                   docs.doc_id == F.col("ldoc"), "left")
         .selectExpr(
             "doc_id",

@@ -1700,16 +1700,20 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "style: documents whose words are corpus-rare score high/suspicious, "
     "boilerplate scores low). Two-pass shape: ONE groupBy builds the "
     "corpus vocabulary with frequency ranks (vocabulary-sized, tiny vs "
-    "the corpus), which then BROADCASTS back onto the exploded word "
-    "stream — the corpus itself never shuffles. Deliberately rank-based "
-    "and integer-only (BIGINT rank sums, scaled integer division): a "
-    "log-prob formulation would hinge on libm log() agreeing to the last "
-    "ulp across engines, which floor-quantization cannot guarantee at "
-    "bucket boundaries. The global rank window runs over the VOCABULARY "
-    "only (Heaps' law keeps it orders of magnitude under the corpus; a "
-    "1e8-term vocab is a single spillable sort task) — if the vocabulary "
-    "itself outgrows one task, rank two-level: range-partition by count "
-    "then offset by per-range totals.",
+    "the corpus), which joins back onto the exploded word stream "
+    "(unhinted — a 100 TB corpus vocabulary is 1e8-1e9 terms, past any "
+    "broadcast budget; AQE broadcasts at runtime when it IS small). "
+    "Deliberately rank-based and integer-only (BIGINT rank sums, scaled "
+    "integer division): a log-prob formulation would hinge on libm "
+    "log() agreeing to the last ulp across engines, which floor-"
+    "quantization cannot guarantee at bucket boundaries. Ranks are "
+    "TWO-LEVEL so no single task ever sorts the whole vocabulary: "
+    "repartitionByRange on (cnt DESC, word) makes contiguous sorted "
+    "ranges, row_number ranks within each range, and per-range totals "
+    "cumulate into offsets (the offset window runs over #partitions "
+    "rows, not the vocab) — offset + local rank equals the global rank "
+    "for ANY contiguous split, so sampled range boundaries cannot "
+    "change the result.",
     tags=("text", "llm", "quality"),
 )
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,15 +1723,37 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("ws").alias("word"))
         .where(F.col("word").isNotNull())
     )
-    wv = Window.orderBy(F.col("cnt").desc(), F.col("word"))
-    vocab = (
+    nparts = spark.sparkContext.defaultParallelism
+    ranged = (
         x.groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rank", F.row_number().over(wv))
-        .select("word", "rank")
+        .repartitionByRange(nparts, F.col("cnt").desc(), F.col("word"))
+        .withColumn("part", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("part").orderBy(
+        F.col("cnt").desc(), F.col("word")
+    )
+    ranked = ranged.withColumn("lrank", F.row_number().over(w_local))
+    # Per-range offsets: cumulative sizes of the preceding ranges. The
+    # global window here runs over #partitions rows (bounded by the
+    # cluster's parallelism, not the data), as is the broadcast.
+    w_off = (
+        Window.orderBy("part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("psz"))
+        .withColumn("off", F.coalesce(F.sum("psz").over(w_off), F.lit(0)))
+        .select("part", "off")
+    )
+    # bounded: offsets has exactly defaultParallelism rows
+    vocab = (
+        ranked.join(F.broadcast(offsets), "part")
+        .select("word", (F.col("off") + F.col("lrank")).alias("rank"))
     )
     return (
-        x.join(F.broadcast(vocab), "word")
+        x.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -216,3 +216,47 @@ def test_quality_filter_verdict_hand_labeled(spark):
     }
     for doc_id, _text, labels in _QF_FIXTURE:
         assert got[doc_id] == labels, (doc_id, got[doc_id], labels)
+
+
+# ---------------------------------------------------------------------------
+# connected components: deep path-graph closure (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_deep_path_converges(spark):
+    """A 50-node path graph (docs 0-1-2-...-49, diameter 49 — the shape
+    chained near-dup boilerplate produces in crawl dedup) must fully
+    converge to a single canonical inside the iteration cap: pointer
+    jumping moves labels multiplicatively per round, where plain
+    neighbor-min propagation would cover only _CC_MAX_ITERS hops and
+    silently split the cluster. A second disjoint component pins that
+    labels don't bleed across components."""
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans import advanced as A
+
+    chain = [(i, i + 1) for i in range(49)]  # component {0..49}, min 0
+    ring = [(100 + i, 100 + (i + 1) % 5) for i in range(5)]  # {100..104}
+    pairs = spark.createDataFrame(chain + ring, "doc_a long, doc_b long")
+
+    labels = {
+        r.doc_id: r.canonical for r in A._min_label_components(pairs).collect()
+    }
+    assert all(labels[i] == 0 for i in range(50)), {
+        k: v for k, v in labels.items() if k < 100 and v != 0
+    }
+    assert all(labels[100 + i] == 100 for i in range(5))
+
+
+def test_connected_components_raises_on_non_convergence(spark, monkeypatch):
+    """Falling out of the iteration cap un-converged must raise, never
+    silently emit partial labels (the pre-r5 failure mode)."""
+    import pytest as _pytest
+
+    from streamprocessors_spark.plans import advanced as A
+
+    monkeypatch.setattr(A, "_CC_MAX_ITERS", 1)
+    chain = [(i, i + 1) for i in range(49)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        A._min_label_components(pairs).collect()

@@ -317,3 +317,24 @@ def test_stateless_text_passes_have_no_exchange(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("hashpartitioning(") == 0, f"{name} gained a shuffle"
         assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_rarity_rank_is_two_level_no_vocab_broadcast_hint(spark, sf_dir):
+    """text_rarity_score's r5 contract (VERDICT r4 #3): the vocabulary
+    rank must be two-level — the row_number window that touches the
+    count column is PARTITIONED (by the range-partition id), never a
+    global single-task sort of the vocabulary — and the only broadcast
+    HINT in the plan is the bounded #partitions-row offsets frame (the
+    corpus-sized vocab join is unhinted; AQE/stats decide at runtime)."""
+    from streamprocessors_spark import plans as P
+
+    df = P.REGISTRY["text_rarity_score"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        low = line.lower()
+        if "hint" in low and "strategy=broadcast" in low:
+            assert "part#" in line, f"unexpected broadcast hint: {line.strip()}"
+        if "windowspecdefinition" in low and "cnt#" in line:
+            assert "part#" in line, (
+                f"global vocab-rank window (single-task sort): {line.strip()}"
+            )
