@@ -48,7 +48,9 @@ HEADLINE = [
     "text_pii_redact",
     "text_rarity_score",
     "bpe_first_merge_pairs",
+    "bpe_merge_sequence",
     "sliding_window_chunks",
+    "stream_dedup_minhash",
     "ann_bruteforce_topk",
     "mm_image_features",
     # round-3 training path
@@ -69,7 +71,13 @@ def main() -> None:
     from streamprocessors_spark.session import get_spark
 
     plans.load_all()
-    spark = get_spark(app_name="bench")
+    # No console progress bars: the driver parses this process's output
+    # tail, and \r-repainted [Stage ...] bars flooded it past the JSON
+    # line in round 4 (BENCH_r04.json parsed: null).
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
     # Cold pass: first execution of every query in a fresh session — pays
@@ -118,23 +126,29 @@ def main() -> None:
         "hypertable_rollup_1h", "packed_context_bins",
         "corpus_prep_pipeline",
     ]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "value_cold": round(sum(cold.values()), 3),
-                "value_r1_set": round(
-                    sum(timings[n] for n in r1_set if n in timings), 3
-                ),
-                "sf": sf,
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_cold": round(sum(cold.values()), 3),
+        "value_r1_set": round(
+            sum(timings[n] for n in r1_set if n in timings), 3
+        ),
+        "sf": sf,
+    }
+    # Full record (incl. per-query cold timings) goes to a file the
+    # driver's output-tail capture can't truncate; the printed line stays
+    # compact (no queries_cold, no spaces) and is emitted LAST — after
+    # spark.stop(), so no executor/AQE log lines can follow it.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+        "w",
+    ) as f:
+        json.dump({**headline, "queries_cold": cold}, f, indent=1)
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -205,3 +205,84 @@ def section_reassembly_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH dedup (the production "new shard arrives ->
+# dedup against the existing corpus signature store" shape — the streaming
+# analog of the reference's continuous stateful PSI registers,
+# psi_proc.c:329-397, applied to the LLM-pipeline dedup deliverable).
+# ---------------------------------------------------------------------------
+
+LSH_PAIR_SCHEMA = StructType(
+    [
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+    ]
+)
+
+# Bucket membership: csv doc-id list (bounded: <= max_bucket entries, then
+# freed) + lifetime member count. A saturated bucket keeps ONLY the
+# counter — state for boilerplate buckets is O(1), not O(members).
+LSH_BUCKET_STATE_SCHEMA = StructType(
+    [
+        StructField("members", StringType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+
+def lsh_bucket_pairs_stream(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Keyed-state LSH candidate generation over a (doc_id, band, bh)
+    stream: each (band, bh) bucket's membership lives in the state store,
+    and a micro-batch emits only the pairs its NEW documents form against
+    the existing members (plus among themselves) — no recomputation over
+    the already-ingested corpus.
+
+    Cap semantics vs the batch gate: a new member is paired only while
+    the bucket's lifetime size stays <= max_bucket; past that the bucket
+    saturates — its member list is FREED (state collapses to a counter)
+    and it emits nothing more. On a corpus whose buckets never exceed the
+    cap this is pair-for-pair identical to the batch count-window gate
+    (sum over n of (n-1) = C(n,2)); for a bucket that does saturate, the
+    pairs emitted before saturation STAND — append-mode streams cannot
+    retract, which is the honest production contract for online dedup
+    (you cannot un-ship an earlier keep/drop decision).
+
+    Singleton buckets emit nothing (matching the batch gate's lower
+    bound of 2) and hold one tiny state row.
+    """
+
+    def f(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        members: list[int] = []
+        n = 0
+        if state.exists:
+            m_csv, n = state.get
+            n = int(n)
+            if m_csv:
+                members = [int(x) for x in m_csv.split(",")]
+        new_ids: set[int] = set()
+        for pdf in pdfs:
+            new_ids.update(int(x) for x in pdf["doc_id"])
+        rows: list[tuple[int, int]] = []
+        for d in sorted(new_ids - set(members)):
+            n += 1
+            if n <= max_bucket:
+                rows.extend(
+                    (d, m) if d < m else (m, d) for m in members
+                )
+                members.append(d)
+            else:
+                members = []  # saturated: free the list, keep the counter
+        state.update((",".join(map(str, members)), n))
+        yield pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+
+    return bands.groupBy("band", "bh").applyInPandasWithState(
+        f,
+        outputStructType=LSH_PAIR_SCHEMA,
+        stateStructType=LSH_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -260,3 +260,66 @@ def test_connected_components_raises_on_non_convergence(spark, monkeypatch):
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         A._min_label_components(pairs).collect()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge loop: independent pure-Python reference (Sennrich '16, Fig. 1)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(word_counts: dict[str, int], n_rounds: int):
+    """Sennrich '16's own ~10-line algorithm, verbatim shape: symbol
+    sequences as tuples, pair counts re-derived per round, argmax with
+    (count desc, pair asc) tie-break, left-to-right non-overlapping merge.
+    Shares zero code with the SQL builders."""
+    from collections import Counter
+
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rnd in range(1, n_rounds + 1):
+        pairs: Counter = Counter()
+        for sym, cnt in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        merges.append((rnd, a, b, n))
+        new_vocab = {}
+        for sym, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merge_sequence_matches_independent_reference(spark, sf_dir):
+    from collections import Counter
+
+    import duckdb as _duck
+
+    from streamprocessors_spark.plans.llm_ops import BPE_MERGE_ROUNDS
+    from streamprocessors_spark.plans import REGISTRY
+
+    texts = _duck.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wc: Counter = Counter()
+    for (t,) in texts:
+        for w in t.lower().split():
+            wc[w] += 1
+
+    expected = _bpe_reference(dict(wc), BPE_MERGE_ROUNDS)
+    got = sorted(
+        (r.round, r.sym_a, r.sym_b, r.n_occurrences)
+        for r in REGISTRY["bpe_merge_sequence"].fn(spark, sf_dir).collect()
+    )
+    assert got == expected, (got, expected)

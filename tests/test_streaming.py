@@ -263,3 +263,121 @@ def test_section_state_survives_query_restart(spark):
     r = rows[0]
     assert bytes(r.section_bytes) == sec  # byte-exact across the RESTART
     assert r.crc_ok and r.table_id_ext == 9 and r.version == 5
+
+
+def test_stream_dedup_minhash_cross_batch_state_parity(spark):
+    """Incremental LSH dedup: documents ingested across FOUR micro-batches
+    (one file per trigger) must emit exactly the batch candidate pair set
+    — bucket membership crosses batch boundaries through the state store,
+    and a pair whose two docs arrive in different batches is only
+    findable if the earlier doc's membership survived."""
+    import uuid as _uuid
+
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        minhash_candidate_pairs,
+        shingle_docs,
+    )
+    from streamprocessors_spark.plans.streaming_queries import (
+        minhash_band_stream,
+    )
+    from streamprocessors_spark.streaming.stateful import (
+        lsh_bucket_pairs_stream,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    src = tempfile.mkdtemp(prefix=f"spgraft_lsh_{_uuid.uuid4().hex[:6]}_")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"lshsink_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spgraft_lsh_ckpt_")
+    q = (
+        lsh_bucket_pairs_stream(minhash_band_stream(stream), LSH_MAX_BUCKET)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "ingest collapsed into one micro-batch"
+
+    streamed = {
+        (r.doc_a, r.doc_b) for r in spark.table(name).distinct().collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(
+            shingle_docs(docs, 8)
+        ).collect()
+    }
+    assert streamed == batch, (
+        len(streamed), len(batch),
+        sorted(streamed ^ batch)[:5],
+    )
+
+
+def test_stream_dedup_minhash_bucket_saturation(spark):
+    """Streaming twin of the batch hot-bucket fixture: 300 identical
+    boilerplate docs saturate their buckets (state collapses to a
+    counter, no member list), so pairs stop at the cap — the emitted
+    count is bounded by C(cap, 2) per bucket, never C(300, 2) — while a
+    small 4-doc bucket still pairs fully across batches."""
+    import uuid as _uuid
+
+    from streamprocessors_spark.plans.llm_ops import LSH_MAX_BUCKET
+    from streamprocessors_spark.plans.streaming_queries import (
+        minhash_band_stream,
+    )
+    from streamprocessors_spark.streaming.stateful import (
+        lsh_bucket_pairs_stream,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 5
+    other = "completely different text about spark shuffles and lsh caps " * 5
+    rows = [(i, "en", boiler) for i in range(300)]
+    rows += [(10_000 + i, "en", other) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    src = tempfile.mkdtemp(prefix=f"spgraft_sat_{_uuid.uuid4().hex[:6]}_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"satsink_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spgraft_sat_ckpt_")
+    q = (
+        lsh_bucket_pairs_stream(minhash_band_stream(stream), LSH_MAX_BUCKET)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = {
+        (r.doc_a, r.doc_b) for r in spark.table(name).distinct().collect()
+    }
+    hot = {p for p in pairs if p[0] < 10_000}
+    # pre-saturation pairs stand (documented append-mode contract), but
+    # saturation caps them at C(cap, 2) instead of C(300, 2) = 44,850
+    assert len(hot) <= LSH_MAX_BUCKET * (LSH_MAX_BUCKET - 1) // 2, len(hot)
+    small = {p for p in pairs if p[0] >= 10_000}
+    assert small == {
+        (10_000 + a, 10_000 + b) for a in range(4) for b in range(4) if a < b
+    }
