@@ -288,14 +288,16 @@ def programs_summary(
     return (
         pat.where(F.col("program_number") != 0)
         .join(
-            F.broadcast(sdt.select("stream_id", "service_id", "service_name")),
+            # PSI-table cardinality scales with the number of muxed
+            # streams — unhinted, AQE broadcasts when genuinely small
+            sdt.select("stream_id", "service_id", "service_name"),
             (pat.stream_id == sdt.stream_id)
             & (pat.program_number == sdt.service_id),
             "left",
         )
         .drop(sdt.stream_id)
         .join(
-            F.broadcast(es_counts),
+            es_counts,
             ["stream_id", "program_number"],
             "left",
         )
@@ -394,7 +396,7 @@ def es_lookup(pat: DataFrame, pmt: DataFrame, es_pid: int) -> DataFrame:
         "pcr_pid",
     )
     return p.join(
-        F.broadcast(m),
+        m,
         (p.stream_id == m.stream_id) & (p.program_number == m.pmt_program),
     ).select(
         p.stream_id,

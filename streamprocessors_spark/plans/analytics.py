@@ -187,6 +187,8 @@ def resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c_n"),
         F.expr(M.money_sum("value")).alias("c_sv"),
     )
+    # bounded: calendar-hours x distinct event types (a gap-fill grid,
+    # thousands of rows for any window the rollup serves)
     spine = F.broadcast(hours.crossJoin(types))
     return spine.join(
         counts,

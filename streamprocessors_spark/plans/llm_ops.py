@@ -670,6 +670,8 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), F.explode_outer("sh").alias("g")
     )
     return (
+        # bounded: the eval-suite gram list (fixture-synthesized from a
+        # corpus slice here; a fixed kB-MB benchmark set in production)
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(
@@ -790,6 +792,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     j = (
+        # bounded: the ANN probe batch is user-query-sized
         F.broadcast(q)
         .join(b, F.col("va") != F.col("vb"))
         .selectExpr(
@@ -850,6 +853,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     j = (
+        # bounded: the ANN probe batch is user-query-sized
         F.broadcast(q)
         .join(b, (q.bucket == b.bucket_b) & (F.col("va") != F.col("vb")))
         .selectExpr(
@@ -941,6 +945,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-n cells per vector. Only the query side (tiny) may call
         this with n > 1 — the corpus-sized n=1 case goes through the
         map-side max_by aggregate below instead of a window."""
+        # bounded: cents is the k-row centroid table
         scored = side.crossJoin(F.broadcast(cents)).selectExpr(
             "vec_id",
             "embedding",
@@ -964,6 +969,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * {KM_CELL_SPAN} - cell"
     )
     assign = (
+        # bounded: cents is the k-row centroid table
         e.crossJoin(F.broadcast(cents))
         .selectExpr("vec_id", "embedding", "qnorm", "cell", f"{akey} as akey")
         .groupBy("vec_id")
@@ -982,6 +988,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pcos6 = D.cosine_pre(SPARK, "ea", "eb", "anorm", "bnorm")
     j = (
+        # bounded: the IVF probe batch is user-query-sized
         F.broadcast(probe)
         .join(assign, "cell")
         .where(F.col("va") != F.col("vb"))
@@ -2043,6 +2050,47 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 FP_MAX_DOCS = 50
 
 
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_min) containment pairs from a documents
+    frame — the docs-parameterized core shared by the registered query and
+    tools/scale_smoke.py, so the smoke keeps exercising the production
+    plan shape if it ever changes."""
+    fps = TP.winnow_fingerprints(SPARK, "kh")
+    f = (
+        docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
+        .selectExpr("doc_id", f"{fps} as fps")
+    )
+    # one generator pass: explode carries n_fps along, so the winnowing
+    # arrays are computed once and no doc_id self-join is needed
+    x = f.select(
+        "doc_id",
+        F.expr("size(fps)").alias("n_fps"),
+        F.explode_outer("fps").alias("fp"),
+    )
+    # same single-exchange gate shape as minhash_candidate_pairs: the
+    # count(*) window and both join sides share one Exchange on fp
+    w = Window.partitionBy("fp")
+    xg = (
+        x.repartition(x.sparkSession.sparkContext.defaultParallelism, "fp")
+        .withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .where(F.col("n_docs").between(2, FP_MAX_DOCS))
+        .select("fp", "doc_id", "n_fps")
+    )
+    a = xg.select("fp", F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na"))
+    b = xg.select("fp", F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb"))
+    return (
+        a.join(b, ["fp"])
+        .where("doc_a < doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.expr("least(max(na), max(nb))").alias("n_min"),
+        )
+        .where("2 * n_shared >= n_min AND n_min > 0")
+    )
+
+
 @register(
     "doc_containment_pairs",
     oracle=f"""
@@ -2077,41 +2125,7 @@ FP_MAX_DOCS = 50
     tags=("text", "dedup"),
 )
 def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fps = TP.winnow_fingerprints(SPARK, "kh")
-    f = (
-        _docs(spark, sf_dir)
-        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
-        .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
-        .selectExpr("doc_id", f"{fps} as fps")
-    )
-    # one generator pass: explode carries n_fps along, so the winnowing
-    # arrays are computed once and no doc_id self-join is needed
-    x = f.select(
-        "doc_id",
-        F.expr("size(fps)").alias("n_fps"),
-        F.explode_outer("fps").alias("fp"),
-    )
-    # same single-exchange gate shape as minhash_candidate_pairs: the
-    # count(*) window and both join sides share one Exchange on fp
-    w = Window.partitionBy("fp")
-    xg = (
-        x.repartition(x.sparkSession.sparkContext.defaultParallelism, "fp")
-        .withColumn("n_docs", F.count(F.lit(1)).over(w))
-        .where(F.col("n_docs").between(2, FP_MAX_DOCS))
-        .select("fp", "doc_id", "n_fps")
-    )
-    a = xg.select("fp", F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na"))
-    b = xg.select("fp", F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb"))
-    return (
-        a.join(b, ["fp"])
-        .where("doc_a < doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.expr("least(max(na), max(nb))").alias("n_min"),
-        )
-        .where("2 * n_shared >= n_min AND n_min > 0")
-    )
+    return containment_pairs(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -167,6 +167,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # bounded: nation/region are fixed 25/5-row dims at any SF
     joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
         F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
@@ -246,6 +247,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        # bounded: nation (25 rows) and the 1-row region slice
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -274,6 +276,7 @@ def left_join_programs_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         c.join(
+            # bounded: nation is a fixed 25-row dim at any SF
             F.broadcast(n),
             (c.c_nationkey == n.n_nationkey) & (n.n_regionkey == 0),
             "left",

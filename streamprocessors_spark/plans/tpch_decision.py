@@ -119,7 +119,9 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF — unhinted, AQE picks at runtime
+        .join(c, o.o_custkey == c.c_custkey)
+        # bounded: nation is a fixed 25-row dim at any SF
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(_REV).alias("revenue"))
@@ -193,7 +195,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales with SF — unhinted, AQE picks at runtime
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(F.expr(_Q14_PCT).alias("promo_revenue_pct"))
     )
 
@@ -224,14 +227,16 @@ _Q17_AVG_YEARLY = (
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    # the brand slice of part still scales with SF — unhinted
     li = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
+    # per_part is one row per brand part — scales with SF, unhinted
     small = li.join(
-        F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey")
+        per_part, F.col("l_partkey") == F.col("a_partkey")
     ).where(F.col("l_quantity") < F.col("qty_threshold"))
     return small.agg(F.expr(_Q17_AVG_YEARLY).alias("avg_yearly"))
 
@@ -266,7 +271,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        # customer scales with SF — unhinted
+        .join(c, c.c_custkey == o.o_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
 
@@ -309,6 +315,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
     thresh = c.where(F.col("c_acctbal") > 0).agg(F.expr(_Q22_T).alias("t"))
+    # bounded: thresh is a single-row global aggregate
     rich = c.join(F.broadcast(thresh)).where(F.col("c_acctbal") > F.col("t"))
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
@@ -353,11 +360,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_9", "NATION_6"))
     s = (
         _t(spark, sf_dir, "supplier")
+        # bounded: nation filtered to the 2 named rows
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     c = (
         _t(spark, sf_dir, "customer")
+        # bounded: nation filtered to the 2 named rows
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
@@ -367,9 +376,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders")
     joined = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier/customer slices scale with SF — unhinted
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .where(
             ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6"))
             | ((F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9"))
@@ -432,6 +442,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         _t(spark, sf_dir, "customer")
         .join(
+            # bounded: nation x (1-row region) <= 25 rows
             F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
@@ -439,6 +450,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = (
         _t(spark, sf_dir, "supplier")
+        # bounded: nation is a fixed 25-row dim at any SF
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
@@ -449,10 +461,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part/supplier/customer slices scale with SF — unhinted
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.alias("volume"),
@@ -544,9 +557,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("rc").alias("mx"))
     s = _t(spark, sf_dir, "supplier")
     return (
+        # bounded: mx is a single-row global max
         revenue.join(F.broadcast(mx))
         .where(F.col("rc") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        # supplier scales with SF — unhinted
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -588,7 +603,8 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#17") & qty.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF — unhinted
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .where(brackets)
         .agg(F.expr(_REV).alias("revenue"))
     )
@@ -651,10 +667,12 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
     s = _t(spark, sf_dir, "supplier").join(
+        # bounded: nation filtered to 1 named row
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        cand.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # the nation slice of supplier still scales with SF — unhinted
+        cand.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

@@ -36,6 +36,10 @@ from urllib.parse import urlparse
 OK = "ok"
 NOT_FOUND = "not_found"
 NOT_MODIFIED = "not_modified"
+# STAT_ERROR: deliberately absent from the table -> default 404 for EVERY
+# method (stream_procs_api_http.c:270-273) — unlike NOT_FOUND, which PUT
+# maps to 204.
+ERROR = "error"
 
 _STATUS_TABLE: dict[tuple[str, str], tuple[int, str]] = {
     ("GET", OK): (200, "OK"),
@@ -45,7 +49,9 @@ _STATUS_TABLE: dict[tuple[str, str], tuple[int, str]] = {
     ("POST", NOT_FOUND): (404, "Not Found"),
     ("POST", NOT_MODIFIED): (409, "Conflict"),
     ("PUT", OK): (200, "OK"),
-    ("PUT", NOT_FOUND): (404, "Not Found"),
+    # STAT_ENOTFOUND on PUT is 204 in the reference (stream_procs_api_http
+    # .c:252-256) — 404 on PUT only arises from STAT_ERROR/default.
+    ("PUT", NOT_FOUND): (204, "No Content"),
     ("PUT", NOT_MODIFIED): (204, "No Content"),
     ("DELETE", OK): (200, "OK"),
     ("DELETE", NOT_FOUND): (404, "Not Found"),
@@ -105,7 +111,12 @@ class StateRestServer:
         if method == "GET":
             for needle, supplier in self.stats.items():
                 if needle in path:
-                    data = supplier()
+                    # same rule as route handlers: a raising supplier is
+                    # 404, never a dropped connection
+                    try:
+                        data = supplier()
+                    except Exception:  # noqa: BLE001
+                        data = None
                     outcome = OK if data is not None else NOT_FOUND
                     return self._respond(method, outcome, data)
 
@@ -118,10 +129,11 @@ class StateRestServer:
                 try:
                     outcome, data = fn(obj_id, query, body)
                 except Exception:  # noqa: BLE001 — bad id, malformed doc...
-                    # the reference's rule: any unhandled combination is
-                    # 404 (stream_procs_api_http.c:270-273), never a
-                    # dropped connection
-                    outcome, data = NOT_FOUND, None
+                    # the reference's rule: a handler error is STAT_ERROR
+                    # -> default 404 for any method
+                    # (stream_procs_api_http.c:270-273), never a dropped
+                    # connection
+                    outcome, data = ERROR, None
                 return self._respond(method, outcome, data)
         return self._respond(method, NOT_FOUND, None)
 
@@ -173,11 +185,29 @@ def config_store_routes(server: StateRestServer, store) -> None:
     the proc-by-id routing of stream_procs_api_http.c:134-231."""
     from pyspark.sql import functions as F
 
+    # ThreadingHTTPServer serves concurrently; all mutations (the
+    # seq read-modify-write AND the tmp/old rename swap) serialize behind
+    # one per-store lock — two concurrent PUTs would otherwise mint the
+    # same seq, and two swaps would collide on the shared .tmp/.old paths.
+    mutate_lock = threading.Lock()
+
     def _rows() -> dict[int, tuple[int, str]]:
-        return {
-            int(r.sys_id): (int(r.seq), r.doc)
-            for r in store.read().collect()
-        }
+        # Readers run unlocked: the swap has a window where store.path
+        # does not exist (rename-out before rename-in), so a transient
+        # read failure is retried, not reported as an empty store/404.
+        import time as _time
+
+        last: Exception | None = None
+        for _ in range(20):
+            try:
+                return {
+                    int(r.sys_id): (int(r.seq), r.doc)
+                    for r in store.read().collect()
+                }
+            except Exception as e:  # noqa: BLE001 — missing-path window
+                last = e
+                _time.sleep(0.05)
+        raise last  # type: ignore[misc]
 
     def get(obj_id: str | None, query: str, body: str) -> tuple[str, str | None]:
         rows = _rows()
@@ -199,23 +229,26 @@ def config_store_routes(server: StateRestServer, store) -> None:
         if obj_id is None:
             return NOT_FOUND, None
         doc = body or query
-        rows = _rows()
-        seq = rows.get(int(obj_id), (0, ""))[0] + 1
-        batch = store.spark.createDataFrame(
-            [(int(obj_id), seq, doc)], "sys_id BIGINT, seq BIGINT, doc STRING"
-        )
-        store.upsert(batch)
+        with mutate_lock:
+            rows = _rows()
+            seq = rows.get(int(obj_id), (0, ""))[0] + 1
+            batch = store.spark.createDataFrame(
+                [(int(obj_id), seq, doc)],
+                "sys_id BIGINT, seq BIGINT, doc STRING",
+            )
+            store.upsert(batch)
         return OK, json.dumps({"sys_id": int(obj_id), "seq": seq})
 
     def delete(obj_id: str | None, query: str, body: str) -> tuple[str, str | None]:
         if obj_id is None:
             return NOT_FOUND, None
         k = int(obj_id)
-        if k not in _rows():
-            return NOT_FOUND, None
-        remaining = store.read().where(F.col("sys_id") != k)
-        # rewrite-without: same atomic tmp-dir + rename swap as upsert
-        _replace(store, remaining)
+        with mutate_lock:
+            if k not in _rows():
+                return NOT_FOUND, None
+            remaining = store.read().where(F.col("sys_id") != k)
+            # rewrite-without: same atomic tmp-dir + rename swap as upsert
+            _replace(store, remaining)
         return OK, json.dumps({"deleted": k})
 
     server.route("GET", "procs", get)

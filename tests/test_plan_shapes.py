@@ -291,12 +291,14 @@ def test_hypertable_rollup_single_exchange(spark, sf_dir):
     assert p.count("hashpartitioning(") <= 2
 
 
-def test_rarity_score_broadcasts_vocab(spark, sf_dir):
-    """The corpus-frequency rarity join must broadcast the vocabulary —
-    shuffling the exploded corpus word stream against the vocab would
-    move corpus-sized data for a vocab-sized side."""
+def test_rarity_score_vocab_join_hash_based(spark, sf_dir):
+    """The corpus-words x vocab join must stay hash-based (at fixture
+    scale Catalyst's stats pick a broadcast on its own; the r5 contract
+    is only that there is NO FORCED hint — see
+    test_rarity_rank_is_two_level_no_vocab_broadcast_hint — and no
+    nested loop)."""
     p = _plan(spark, sf_dir, "text_rarity_score")
-    assert "BroadcastHashJoin" in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "NestedLoop" not in p
 
 

@@ -46,6 +46,16 @@ def test_status_translation_table():
     assert s.dispatch("POST", "/x")[0] == 201
     assert s.dispatch("PUT", "/x")[0] == 204
     assert s.dispatch("DELETE", "/x")[0] == 404
+    # STAT_ENOTFOUND on PUT is 204 in the reference (:252-256); only
+    # STAT_ERROR/default gives PUT a 404 (:270-273)
+    s.route("PUT", "y", lambda i, q, b: (NOT_FOUND, None))
+    assert s.dispatch("PUT", "/y")[0] == 204
+
+    def boom(i, q, b):
+        raise ValueError("handler error -> STAT_ERROR")
+
+    s.route("PUT", "z", boom)
+    assert s.dispatch("PUT", "/z")[0] == 404
     # unknown collection / method -> 404 envelope
     code, payload = s.dispatch("GET", "/nope")
     assert code == 404
@@ -231,3 +241,68 @@ def test_malformed_id_is_404_not_crash():
     code, payload = s.dispatch("GET", "/procs/abc")
     assert code == 404
     assert json.loads(payload)["status"] == "Not Found"
+
+
+def test_stats_supplier_exception_is_404():
+    """A raising stats supplier must produce the 404 envelope (the module's
+    'never a dropped connection' rule), same as route handlers."""
+    s = StateRestServer()
+
+    def boom():
+        raise RuntimeError("listener gone")
+
+    s.stats_route("cpu_stats.json", boom)
+    code, payload = s.dispatch("GET", "/stats/v1/cpu_stats.json")
+    assert code == 404
+    assert json.loads(payload)["status"] == "Not Found"
+
+
+def test_concurrent_puts_and_gets_are_serialized(spark, tmp_path):
+    """ThreadingHTTPServer races (ADVICE r4): N concurrent PUTs to one
+    sys_id must mint N DISTINCT seqs (the read-modify-write serializes
+    behind the store lock), and GETs racing the directory swap must never
+    see a transient 404/empty store."""
+    import threading as _th
+
+    from streamprocessors_spark.streaming.control import ConfigStore
+
+    server = StateRestServer()
+    store = ConfigStore(spark, path=str(tmp_path / "cfg"))
+    (tmp_path / "cfg").mkdir()
+    config_store_routes(server, store)
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _send("PUT", f"{base}/procs/1?cbr=1")  # seed so GETs see data
+        results: list[tuple[int, dict]] = []
+        errors: list[tuple[int, dict]] = []
+        lock = _th.Lock()
+
+        def put_one(i):
+            code, env = _send("PUT", f"{base}/procs/1?cbr={i}")
+            with lock:
+                results.append((code, env))
+
+        def get_loop():
+            for _ in range(10):
+                code, env = _get(f"{base}/procs/1")
+                with lock:
+                    if code != 200:
+                        errors.append((code, env))
+
+        threads = [_th.Thread(target=put_one, args=(i,)) for i in range(6)]
+        threads += [_th.Thread(target=get_loop) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        assert all(code == 200 for code, _ in results), results
+        seqs = [env["data"]["seq"] for _, env in results]
+        assert len(set(seqs)) == len(seqs), f"duplicate seq minted: {seqs}"
+        assert not errors, f"GET saw transient failure: {errors[:3]}"
+        # final state reflects every PUT: seed + 6 -> seq 7
+        code, env = _get(f"{base}/procs/1")
+        assert env["data"]["seq"] == 7
+    finally:
+        server.close()

@@ -69,9 +69,23 @@ def _float_agg_hazards(oracle: str) -> list[str]:
 _COLLECT_RE = re.compile(r"collect_(list|set)\s*\(")
 
 
-def _unbounded_collects(root: str) -> list[str]:
+# A forced F.broadcast() on a data-dependent-sized frame is the r4 hazard
+# class (labels/vocab): at 100 TB the frame outgrows the driver/broadcast
+# budget and the hint becomes an OOM, where an unhinted join lets AQE
+# broadcast only when the runtime size is genuinely small. Every hint must
+# carry a '# bounded:' rationale within the 6 preceding lines stating WHY
+# the frame size is independent of corpus scale (fixed dim, single-row
+# aggregate, k-row centroid table, user-sized probe batch...).
+_BROADCAST_RE = re.compile(r"\bF\.broadcast\s*\(")
+
+
+def _annotation_hazards(root: str) -> list[str]:
     out = []
     pkg = os.path.join(root, "streamprocessors_spark")
+    rules = [
+        (_COLLECT_RE, "collect_list/set", "hot-key skew hazard"),
+        (_BROADCAST_RE, "F.broadcast hint", "data-dependent-size hazard"),
+    ]
     for dirpath, _dirs, files in os.walk(pkg):
         for fn in files:
             if not fn.endswith(".py"):
@@ -80,16 +94,21 @@ def _unbounded_collects(root: str) -> list[str]:
             with open(path) as fh:
                 lines = fh.readlines()
             for i, line in enumerate(lines):
-                if not _COLLECT_RE.search(line.split("#")[0]):
-                    continue
-                window = "".join(lines[max(0, i - 6) : i + 1])
-                if "# bounded:" not in window:
-                    rel = os.path.relpath(path, root)
-                    out.append(
-                        f"{rel}:{i + 1}: collect_list/set without a"
-                        " '# bounded:' size rationale (hot-key skew hazard)"
-                    )
+                code = line.split("#")[0]
+                for rx, what, why in rules:
+                    if not rx.search(code):
+                        continue
+                    window = "".join(lines[max(0, i - 6) : i + 1])
+                    if "# bounded:" not in window:
+                        rel = os.path.relpath(path, root)
+                        out.append(
+                            f"{rel}:{i + 1}: {what} without a"
+                            f" '# bounded:' size rationale ({why})"
+                        )
     return out
+
+
+_unbounded_collects = _annotation_hazards  # back-compat alias
 
 
 def main() -> int:

@@ -102,6 +102,54 @@ def main() -> None:
 
     timed("simhash_signatures", lambda: simhash_signatures(docs).count())
 
+    # ... and the r5 gated banded pairing END-TO-END (same helper as the
+    # registered query): every multiplied doc has `mult` identical copies
+    # sharing all five band values, so bucket sizes sit at ~mult — under
+    # SIMHASH_MAX_BUCKET — and pair volume scales with real duplicates.
+    from streamprocessors_spark.plans.llm_ops import simhash_candidate_pairs
+
+    timed(
+        "simhash_banded_pairs",
+        lambda: simhash_candidate_pairs(simhash_signatures(docs)).count(),
+    )
+
+    # keep-list END-TO-END: capped LSH pairs -> pointer-jumping connected
+    # components -> per-document verdict (the r5 CC restructure) — guards
+    # the whole dedup deliverable at 10x, including the label loop on the
+    # (large: every doc near-dups its mult-1 copies) pair graph.
+    from streamprocessors_spark.plans.advanced import _min_label_components
+
+    def _keep_list_count():
+        pairs = (
+            minhash_candidate_pairs(shingled)
+            .join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .selectExpr(
+                "doc_a",
+                "doc_b",
+                f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+                f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+            )
+            .where(_PAIR_FILTER)
+            .select("doc_a", "doc_b")
+        )
+        labels = _min_label_components(pairs)
+        return (
+            docs.select("doc_id")
+            .join(
+                labels.withColumnRenamed("doc_id", "ldoc"),
+                F.col("doc_id") == F.col("ldoc"),
+                "left",
+            )
+            .selectExpr(
+                "doc_id",
+                "cast(coalesce(canonical, doc_id) = doc_id as int) as kept",
+            )
+            .count()
+        )
+
+    timed("dedup_keep_list_end_to_end", _keep_list_count)
+
     # sign-LSH bucketed ANN
     bucketed = embs.selectExpr(
         "vec_id", "embedding", f"{V.sign_bucket(SPARK, 'embedding')} as bucket"
@@ -118,45 +166,13 @@ def main() -> None:
         .count(),
     )
 
-    # Fingerprint-containment pairing over the multiplied corpus — tracks
-    # the (fp) bucket equi-join + count gate at 10x (every copy shares
-    # all fingerprints, so bucket sizes sit at ~mult like the LSH smoke)
-    from streamprocessors_spark.functions import textprep as TP
-    from streamprocessors_spark.plans.llm_ops import FP_MAX_DOCS
+    # Fingerprint-containment pairing over the multiplied corpus — the
+    # SAME docs-parameterized helper as the registered query (tracks the
+    # (fp) bucket equi-join + count gate at 10x; every copy shares all
+    # fingerprints, so bucket sizes sit at ~mult like the LSH smoke)
+    from streamprocessors_spark.plans.llm_ops import containment_pairs
 
-    def _containment_count():
-        from pyspark.sql.window import Window
-
-        fps = TP.winnow_fingerprints(SPARK, "kh")
-        f = (
-            docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
-            .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
-            .selectExpr("doc_id", f"{fps} as fps")
-        )
-        x = f.select(
-            "doc_id",
-            F.expr("size(fps)").alias("n_fps"),
-            F.explode_outer("fps").alias("fp"),
-        )
-        w = Window.partitionBy("fp")
-        xg = (
-            x.repartition(spark.sparkContext.defaultParallelism, "fp")
-            .withColumn("n_docs", F.count(F.lit(1)).over(w))
-            .where(F.col("n_docs").between(2, FP_MAX_DOCS))
-            .select("fp", "doc_id", "n_fps")
-        )
-        a = xg.select("fp", F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na"))
-        b = xg.select("fp", F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb"))
-        return (
-            a.join(b, ["fp"]).where("doc_a < doc_b")
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_shared"),
-                 F.expr("least(max(na), max(nb))").alias("n_min"))
-            .where("2 * n_shared >= n_min AND n_min > 0")
-            .count()
-        )
-
-    timed("containment_pairs", _containment_count)
+    timed("containment_pairs", lambda: containment_pairs(docs).count())
 
     # IVF k-means training (2 Lloyd iterations) over the multiplied
     # embedding corpus — guards the r4 max_by argmin restructure: the
