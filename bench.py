@@ -49,6 +49,8 @@ HEADLINE = [
     "text_rarity_score",
     "bpe_first_merge_pairs",
     "bpe_merge_sequence",
+    "bpe_encode_tokens",
+    "repeated_ngram_spans",
     "sliding_window_chunks",
     "stream_dedup_minhash",
     "ann_bruteforce_topk",

@@ -1860,11 +1860,14 @@ _US = "chr(31)"
 
 
 def _bpe_seq_round_ctes() -> str:
-    """DuckDB CTE chain: seq0 + (sy_i, agg_i, best_i, seq_i) per round."""
+    """DuckDB CTE chain: seq0 + (sy_i, agg_i, best_i, seq_i) per round.
+    `word` rides along so the final seq CTE doubles as the word->symbol
+    encoding table for bpe_encode_tokens."""
     US = _US
     parts = [
         f"""seq0 AS (
-      SELECT regexp_replace(word, '(.)', {US} || '\\1' || {US}, 'g') AS seq,
+      SELECT word,
+             regexp_replace(word, '(.)', {US} || '\\1' || {US}, 'g') AS seq,
              cnt
       FROM vocab
     )"""
@@ -1872,7 +1875,8 @@ def _bpe_seq_round_ctes() -> str:
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         prev = f"seq{r - 1}"
         parts.append(f"""sy{r} AS (
-      SELECT string_split(substr(seq, 2, length(seq) - 2), {US} || {US}) AS sy,
+      SELECT word,
+             string_split(substr(seq, 2, length(seq) - 2), {US} || {US}) AS sy,
              seq, cnt
       FROM {prev}
     )""")
@@ -1885,11 +1889,81 @@ def _bpe_seq_round_ctes() -> str:
             f"best{r} AS (SELECT a, b, n FROM agg{r} ORDER BY n DESC, a, b LIMIT 1)"
         )
         parts.append(f"""seq{r} AS (
-      SELECT replace(seq, {US}||a||{US}||{US}||b||{US}, {US}||a||b||{US}) AS seq,
+      SELECT word,
+             replace(seq, {US}||a||{US}||{US}||b||{US}, {US}||a||b||{US}) AS seq,
              cnt
       FROM sy{r}, best{r}
     )""")
     return ",\n    ".join(parts)
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge loop; return (merge table rows, final (word, seq, cnt)
+    frame — the word->symbol-sequence encoding table).
+
+    localCheckpoint: the corpus collapses to the vocabulary exactly ONCE;
+    without the pin every round's argmax re-tokenizes the corpus through
+    the lineage (measured 10 s -> ~1.5 s at sf0.1). Driver-side per round:
+    one argmax ROW (the merge decision — a control-plane scalar like the
+    CC convergence probe), never the vocabulary.
+    """
+    US = _US
+    vocab = (
+        _docs(spark, sf_dir)
+        .selectExpr(f"{D.words(SPARK)} as ws")
+        .select(F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    seq = vocab.selectExpr(
+        "word",
+        f"regexp_replace(word, '(.)', concat({US}, '$1', {US})) as seq",
+        "cnt",
+    )
+    us = chr(31)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        sy = seq.selectExpr(
+            "word",
+            f"split(substr(seq, 2, length(seq) - 2), concat({US}, {US})) as sy",
+            "seq",
+            "cnt",
+        )
+        # size >= 2 guard: Spark sequence(1, 0) yields a DESCENDING [1, 0]
+        # (then element_at(sy, 0) throws), unlike DuckDB's empty range.
+        agg = (
+            sy.where(F.expr("size(sy) >= 2"))
+            .selectExpr(
+                "explode(transform(sequence(1, size(sy) - 1),"
+                " i -> struct(element_at(sy, i) as a,"
+                " element_at(sy, i + 1) as b))) as p",
+                "cnt",
+            )
+            .selectExpr("p.a as a", "p.b as b", "cnt")
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = agg.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, top[0].n
+        merges.append((rnd, a, b, n))
+        # F.replace with lit patterns (not a SQL-string splice): symbols
+        # can contain quotes/backslashes from real tokens.
+        seq = sy.select(
+            "word",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"{us}{a}{us}{us}{b}{us}"),
+                F.lit(f"{us}{a}{b}{us}"),
+            ).alias("seq"),
+            "cnt",
+        )
+    return merges, seq
 
 
 @register(
@@ -1926,63 +2000,65 @@ def _bpe_seq_round_ctes() -> str:
     tags=("text", "llm", "tokenizer"),
 )
 def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    US = _US
-    # localCheckpoint: the corpus collapses to the vocabulary exactly ONCE;
-    # without the pin every round's argmax re-tokenizes the corpus through
-    # the lineage (measured 10 s -> ~1.5 s at sf0.1). Driver-side per round:
-    # one argmax ROW (the merge decision — a control-plane scalar like the
-    # CC convergence probe), never the vocabulary.
-    vocab = (
-        _docs(spark, sf_dir)
-        .selectExpr(f"{D.words(SPARK)} as ws")
-        .select(F.explode_outer("ws").alias("word"))
-        .where(F.col("word").isNotNull())
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
-    )
-    seq = vocab.selectExpr(
-        f"regexp_replace(word, '(.)', concat({US}, '$1', {US})) as seq", "cnt"
-    )
-    us = chr(31)
-    merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
-        sy = seq.selectExpr(
-            f"split(substr(seq, 2, length(seq) - 2), concat({US}, {US})) as sy",
-            "seq",
-            "cnt",
-        )
-        # size >= 2 guard: Spark sequence(1, 0) yields a DESCENDING [1, 0]
-        # (then element_at(sy, 0) throws), unlike DuckDB's empty range.
-        agg = (
-            sy.where(F.expr("size(sy) >= 2"))
-            .selectExpr(
-                "explode(transform(sequence(1, size(sy) - 1),"
-                " i -> struct(element_at(sy, i) as a,"
-                " element_at(sy, i + 1) as b))) as p",
-                "cnt",
-            )
-            .selectExpr("p.a as a", "p.b as b", "cnt")
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("n"))
-        )
-        top = agg.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
-        if not top:
-            break
-        a, b, n = top[0].a, top[0].b, top[0].n
-        merges.append((rnd, a, b, n))
-        # F.replace with lit patterns (not a SQL-string splice): symbols
-        # can contain quotes/backslashes from real tokens.
-        seq = sy.select(
-            F.replace(
-                F.col("seq"),
-                F.lit(f"{us}{a}{us}{us}{b}{us}"),
-                F.lit(f"{us}{a}{b}{us}"),
-            ).alias("seq"),
-            "cnt",
-        )
+    merges, _seq = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "round int, sym_a string, sym_b string, n_occurrences long"
+    )
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({D.words(DUCK)}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    {_bpe_seq_round_ctes()},
+    tok AS (
+      SELECT word,
+             len(string_split(substr(seq, 2, length(seq) - 2),
+                              {_US} || {_US})) AS n_sym
+      FROM seq{BPE_MERGE_ROUNDS}
+    ),
+    x AS (SELECT doc_id, unnest({D.words(DUCK)}) AS word FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)   AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM x JOIN tok USING (word)
+    GROUP BY doc_id
+    """,
+    doc="Tokenizer APPLY — the other half of the train/apply loop "
+    "bpe_merge_sequence opened: the learned merge table re-segments the "
+    "VOCABULARY (each distinct word encoded once, corpus-size-"
+    "independent), and the corpus joins the word->token-count table to "
+    "get per-document BPE token counts — the number a packing/budgeting "
+    "pipeline actually bills by. Scale shape: encode work is vocab-sized, "
+    "the corpus-sized side is one exploded-words equi-join on word "
+    "(the same shuffle text_rarity_score keys), map-side re-collapsed "
+    "per document. Oracle: the identical unrolled merge CTEs + join.",
+    tags=("text", "llm", "tokenizer"),
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, seq = _bpe_train(spark, sf_dir)
+    tok = seq.selectExpr(
+        "word",
+        f"size(split(substr(seq, 2, length(seq) - 2),"
+        f" concat({_US}, {_US}))) as n_sym",
+    )
+    x = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .select("doc_id", F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
+    )
+    return (
+        x.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
     )
 
 
@@ -2126,6 +2202,73 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
 )
 def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "repeated_ngram_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    k AS (SELECT doc_id, {TP.kgram_hashes(DUCK, "ws")} AS kh FROM w),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, kh[i] AS gh
+          FROM k, unnest(range(1, len(kh) + 1)) AS t(i)),
+    c AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    f AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gh)),
+    r AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+          FROM f)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT)                        AS span_start,
+           CAST(max(pos) + {TP.WINNOW_K - 1} AS BIGINT)    AS span_end,
+           CAST(count(*) AS BIGINT)                        AS n_grams
+    FROM r GROUP BY doc_id, grp
+    """,
+    doc="Repeated-substring span detection (the ExactSubstr dedup shape, "
+    "Lee et al. '21 'Deduplicating Training Data Makes Language Models "
+    "Better' §3.1, approximated at word-gram granularity): every "
+    "position whose word-5-gram occurs more than once in the corpus "
+    "(cross-doc OR self-repetition) is flagged, and flagged positions "
+    "merge into maximal spans via gaps-and-islands (pos - row_number) — "
+    "the spans a substring-cut pass would remove, complementing the "
+    "whole-document verdicts of dedup_keep_list. Scale shape: NO "
+    "pairing anywhere (gram -> count, never gram -> gram), so there is "
+    "no quadratic bucket risk to gate: one exchange on the gram hash "
+    "reused by the count aggregate and the flag join "
+    "(hashpartitioning(gh) satisfies both), then one bounded per-doc "
+    "window for span merging.",
+    tags=("text", "dedup"),
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
+        .select(
+            "doc_id",
+            F.posexplode_outer("kh").alias("pos0", "gh"),
+        )
+        .where(F.col("gh").isNotNull())
+        .selectExpr("doc_id", "cast(pos0 + 1 as bigint) as pos", "gh")
+    )
+    g = g.repartition(g.sparkSession.sparkContext.defaultParallelism, "gh")
+    counts = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("gh")
+    )
+    flagged = g.join(counts, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        spans.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(TP.WINNOW_K - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
 
 
 # ---------------------------------------------------------------------------

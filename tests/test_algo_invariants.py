@@ -323,3 +323,36 @@ def test_bpe_merge_sequence_matches_independent_reference(spark, sf_dir):
         for r in REGISTRY["bpe_merge_sequence"].fn(spark, sf_dir).collect()
     )
     assert got == expected, (got, expected)
+
+    # ... and the APPLY side: per-word encode with the reference merges,
+    # summed per document, must equal bpe_encode_tokens
+    def encode_len(word: str) -> int:
+        sym = list(word)
+        for _rnd, a, b, _n in expected:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    elen = {w: encode_len(w) for w in wc}
+    doc_counts: dict[int, tuple[int, int]] = {}
+    docs = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    for doc_id, t in docs:
+        words = t.lower().split()
+        if words:
+            doc_counts[doc_id] = (
+                len(words), sum(elen[w] for w in words)
+            )
+    got_counts = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in REGISTRY["bpe_encode_tokens"].fn(spark, sf_dir).collect()
+    }
+    assert got_counts == doc_counts

@@ -248,3 +248,39 @@ def test_simhash_banding_pigeonhole():
         for f in flips:
             b ^= 1 << f
         assert any(x == y for x, y in zip(bands(a), bands(b))), (a, flips)
+
+
+def test_repeated_ngram_spans_hand_fixture(spark, monkeypatch):
+    """Hand-derived spans: doc 1 and doc 2 share one 7-word run (three
+    overlapping 5-grams -> ONE merged island per doc), doc 3 repeats a
+    5-gram inside itself (self-repetition counts, per ExactSubstr), and
+    doc 4 is unique (no rows)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans import llm_ops as L
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    rows = [
+        (1, "en", f"one two {shared} three four"),
+        (2, "en", f"{shared} nine ten eleven twelve"),
+        # same 5-gram twice in one doc: positions 1 and 6
+        (3, "en", "p q r s t p q r s t"),
+        (4, "en", "completely unrelated filler text with unique words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    monkeypatch.setattr(
+        L, "_docs", lambda spark_, sf_dir_: docs
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in L.repeated_ngram_spans(spark, "ignored").collect()
+    }
+    # doc 1: shared run at word 3..9 -> grams at pos 3,4,5 -> span 3..9
+    # doc 2: shared run at word 1..7 -> grams at pos 1,2,3 -> span 1..7
+    # doc 3: gram "p q r s t" at pos 1 and 6 -> islands {1} and {6}
+    assert got == {
+        (1, 3, 9, 3),
+        (2, 1, 7, 3),
+        (3, 1, 5, 1),
+        (3, 6, 10, 1),
+    }, got
