@@ -65,6 +65,7 @@ HEADLINE = [
     "corpus_prep_pipeline",
     # ES processor path (PES restamp + DVB page patch, pure JVM expressions)
     "es_subtitle_restamp",
+    "dvb_subt_display_set",
 ]
 
 
