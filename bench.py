@@ -54,6 +54,7 @@ HEADLINE = [
     "sliding_window_chunks",
     "stream_dedup_minhash",
     "ann_bruteforce_topk",
+    "ann_pq_topk",
     "mm_image_features",
     # round-3 training path
     "ivf_kmeans_centroids",

@@ -356,3 +356,21 @@ def test_bpe_merge_sequence_matches_independent_reference(spark, sf_dir):
         for r in REGISTRY["bpe_encode_tokens"].fn(spark, sf_dir).collect()
     }
     assert got_counts == doc_counts
+
+
+# ---------------------------------------------------------------------------
+# PQ: recall floor (the quality gate behind ann_pq_recall's measurement)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    """Mean recall@5 of the PQ ADC ranking vs exact integer-L2 must stay
+    above the floor measured at parameter-selection time (0.56 at
+    16x64 on the synthetic embeddings; floor 0.35 allows fixture
+    drift but catches a broken codebook/encode, which scored 0.08)."""
+    from streamprocessors_spark.plans import REGISTRY
+
+    rows = REGISTRY["ann_pq_recall"].fn(spark, sf_dir).collect()
+    rec = [r.recall for r in rows]
+    assert rec, "no recall rows"
+    assert sum(rec) / len(rec) >= 0.35, sorted(rec)

@@ -340,3 +340,16 @@ def test_rarity_rank_is_two_level_no_vocab_broadcast_hint(spark, sf_dir):
             assert "part#" in line, (
                 f"global vocab-rank window (single-task sort): {line.strip()}"
             )
+
+
+def test_pq_codes_argmin_is_mapside_no_corpus_window(spark, sf_dir):
+    """PQ encode must follow the IVF argmin contract: the per-(vector,
+    sub-space) codeword selection is a map-side max_by aggregate — the
+    only windows in the plan are the probe-side rankings (partitioned by
+    va, never corpus-keyed) — and the codebook joins by broadcast."""
+    p = _plan(spark, sf_dir, "ann_pq_topk")
+    assert "max_by" in p
+    assert "BroadcastHashJoin" in p
+    for line in p.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "va#" in line, f"corpus-keyed window: {line.strip()[:120]}"
