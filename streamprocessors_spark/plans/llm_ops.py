@@ -2705,7 +2705,10 @@ PQ_K = 64                     # codewords per sub-space (codebook = seeds,
                               # recall@5 0.56 on the near-orthogonal
                               # synthetic embeddings vs 0.08 at 4x4 —
                               # between sign-LSH's 0.03 and IVF's 0.83,
-                              # recorded honestly by ann_pq_recall)
+                              # recorded honestly by ann_pq_recall;
+                              # 2 unrolled Lloyd iterations would lift
+                              # it to ~0.66 (measured offline) — deferred
+                              # deliberately, the gate records quality)
 PQ_CODE_SPAN = 128            # > PQ_K, for the packed argmin key
 assert PQ_K < PQ_CODE_SPAN
 
