@@ -53,6 +53,7 @@ HEADLINE = [
     "repeated_ngram_spans",
     "sliding_window_chunks",
     "stream_dedup_minhash",
+    "stream_repeated_ngram_spans",
     "ann_bruteforce_topk",
     "ann_pq_topk",
     "mm_image_features",

@@ -581,6 +581,57 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_repeated_ngram_spans",
+    oracle=None,  # replaced below: shares repeated_ngram_spans's oracle
+    doc="Incremental repeated-substring detection — the streaming twin "
+    "of repeated_ngram_spans and the second stateful dedup operator "
+    "(after stream_dedup_minhash): per-gram state (bucketed by "
+    "pmod(gh, B) so group-call overhead amortizes — see "
+    "gram_repeat_positions_stream) holds the FIRST "
+    "occurrence back until the gram repeats, then releases both, so the "
+    "emitted position set is EXACTLY the batch operator's flagged set "
+    "(no cap divergence — emission is monotone in arrivals). "
+    "Gram positions stay a stateless JVM projection; span merging "
+    "(gaps-and-islands) runs batch-side on the sink. Hash-matches the "
+    "batch oracle end to end.",
+    tags=("streaming", "text", "dedup"),
+)
+def stream_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions import textprep as TP
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.streaming.stateful import (
+        gram_repeat_positions_stream,
+    )
+
+    docs = stream_documents(spark, sf_dir)
+    grams = (
+        docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
+        .select("doc_id", F.posexplode_outer("kh").alias("pos0", "gh"))
+        .where(F.col("gh").isNotNull())
+        .selectExpr("doc_id", "cast(pos0 + 1 as bigint) as pos", "gh")
+    )
+    sink = run_available_now(
+        gram_repeat_positions_stream(grams), output_mode="append"
+    )
+    flagged = sink.distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        spans.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(TP.WINNOW_K - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
 def _wire_shared_stream_oracles() -> None:
     """Share the batch oracle texts (same rules, same fixture, so the
     streaming results hash-match the batch SQL). Imports llm_ops for its
@@ -593,6 +644,7 @@ def _wire_shared_stream_oracles() -> None:
         ("stream_quality_filter", "quality_filter_verdict"),
         ("stream_pii_redact", "text_pii_redact"),
         ("stream_dedup_minhash", "dedup_minhash_lsh"),
+        ("stream_repeated_ngram_spans", "repeated_ngram_spans"),
     ]:
         batch = REGISTRY.get(batch_name)
         if batch is not None:

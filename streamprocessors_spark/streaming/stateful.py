@@ -286,3 +286,93 @@ def lsh_bucket_pairs_stream(bands: DataFrame, max_bucket: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental repeated-n-gram detection (the streaming twin of
+# repeated_ngram_spans): per-gram state remembers the FIRST occurrence
+# until a second arrives, then both emit — so the emitted position set is
+# EXACTLY the batch operator's flagged set (unlike the LSH twin there is
+# no cap divergence: emission is monotone in arrivals).
+#
+# The state KEY is a gram-hash bucket, not the gram itself: grouping on
+# the raw gram makes one applyInPandasWithState group (= one Python
+# call + one Arrow round-trip + one state-store row) per DISTINCT gram —
+# ~240k groups at sf0.1, measured ~20 s of pure per-group overhead.
+# Bucketing to pmod(gh, B) keeps the identical per-gram state machine
+# (all occurrences of a gram still meet in one group) while amortizing
+# the overhead B-fold; the per-bucket dict rides in one BinaryType state
+# row. B scales with the corpus (a 100 TB run raises it so per-bucket
+# state stays KB-sized — same knob as state-store shard count).
+# ---------------------------------------------------------------------------
+
+GRAM_POS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pos", LongType()),
+    ]
+)
+
+# One pickled dict per bucket: gh -> (first_doc, first_pos, n).
+# first_doc = -1 once the held-back position has been emitted.
+GRAM_BUCKET_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+GRAM_STATE_BUCKETS = 1024
+
+
+def gram_repeat_positions_stream(
+    grams: DataFrame, n_buckets: int = GRAM_STATE_BUCKETS
+) -> DataFrame:
+    """(doc_id, pos) of every gram position whose gram occurs >= 2 times
+    across the whole stream, emitted incrementally: the first occurrence
+    is held in state and released when the second arrives; third and
+    later occurrences emit immediately. State is one dict entry per
+    DISTINCT gram — inherent to online repeated-substring detection (the
+    batch operator's gram-count shuffle carries the same cardinality);
+    singleton grams hold their entry forever, which at production scale
+    is where a TTL/state-store compaction policy would attach.
+    """
+    import pickle
+
+    from pyspark.sql import functions as F
+
+    def f(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        held: dict[int, tuple[int, int, int]] = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+        arrivals: set[tuple[int, int, int]] = set()
+        for pdf in pdfs:
+            arrivals.update(
+                (int(g), int(d), int(p))
+                for g, d, p in zip(pdf["gh"], pdf["doc_id"], pdf["pos"])
+            )
+        out: list[tuple[int, int]] = []
+        for g, d, p in sorted(arrivals):
+            ent = held.get(g)
+            if ent is None:
+                held[g] = (d, p, 1)
+            else:
+                fd, fp, n = ent
+                n += 1
+                if n == 2:
+                    out.append((fd, fp))
+                    out.append((d, p))
+                    held[g] = (-1, -1, n)
+                else:
+                    out.append((d, p))
+                    held[g] = (fd, fp, n)
+        state.update((pickle.dumps(held, protocol=4),))
+        yield pd.DataFrame(out, columns=["doc_id", "pos"])
+
+    bucketed = grams.withColumn(
+        "gb", F.pmod(F.col("gh"), F.lit(n_buckets)).cast("int")
+    )
+    return bucketed.groupBy("gb").applyInPandasWithState(
+        f,
+        outputStructType=GRAM_POS_SCHEMA,
+        stateStructType=GRAM_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -381,3 +381,71 @@ def test_stream_dedup_minhash_bucket_saturation(spark):
     assert small == {
         (10_000 + a, 10_000 + b) for a in range(4) for b in range(4) if a < b
     }
+
+
+def test_stream_repeated_ngram_cross_batch_first_occurrence_released(spark):
+    """The held-back-first-occurrence contract across micro-batches: doc A
+    (batch 1) and doc B (batch 3) share a 5-gram; A's position must be
+    HELD in state through batch 2 and released only when B arrives — the
+    final flagged set equals the batch operator's exactly."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions import textprep as TP
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.streaming.stateful import (
+        gram_repeat_positions_stream,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    batches = [
+        [(1, f"intro words {shared} outro")],
+        [(2, "totally different filler content here now")],
+        [(3, f"{shared} trailing text of doc three")],
+    ]
+    schema = "doc_id long, text string"
+    src = tempfile.mkdtemp(prefix=f"spgraft_rgs_{_uuid.uuid4().hex[:6]}_")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}.parquet"))
+    # flatten: file source reads a directory of directories? stage files flat
+    import glob, shutil
+    flat = tempfile.mkdtemp(prefix=f"spgraft_rgsf_{_uuid.uuid4().hex[:6]}_")
+    for i in range(3):
+        part = glob.glob(os.path.join(src, f"b{i}.parquet", "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(flat, f"{i:02d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    grams = (
+        stream.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
+        .select("doc_id", F.posexplode_outer("kh").alias("pos0", "gh"))
+        .where(F.col("gh").isNotNull())
+        .selectExpr("doc_id", "cast(pos0 + 1 as bigint) as pos", "gh")
+    )
+    name = f"rgsink_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spgraft_rgs_ckpt_")
+    q = (
+        gram_repeat_positions_stream(grams)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+
+    got = {(r.doc_id, r.pos) for r in spark.table(name).collect()}
+    # doc 1: "intro words alpha beta gamma delta epsilon outro" -> the
+    # shared 5-gram starts at word 3; doc 3: at word 1. Only that one
+    # gram repeats.
+    assert got == {(1, 3), (3, 1)}, got
