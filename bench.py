@@ -54,6 +54,10 @@ HEADLINE = [
     "sliding_window_chunks",
     "stream_dedup_minhash",
     "stream_repeated_ngram_spans",
+    "stream_decontaminate",
+    "bm25_topk",
+    "dsir_importance_score",
+    "embedding_covariance",
     "ann_bruteforce_topk",
     "ann_pq_topk",
     "mm_image_features",

@@ -2272,6 +2272,114 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sparse retrieval (BM25) — the keyword-search complement to the dense
+# ANN family (brute-force / LSH / IVF / PQ): rank documents for a term
+# query by Okapi BM25 (Robertson & Walker '94; k1 = 1.2, b = 0.75).
+#
+# Integer-exact across engines: the standard formulation's ln() and
+# float division would hinge on libm agreeing to the last ulp, so this
+# variant (a) replaces ln-idf with its RATIONAL argument
+# (N - df + 0.5)/(df + 0.5) = (2N - 2df + 1)/(2df + 1) — a strictly
+# monotone transform of the classic idf, so per-term ordering is
+# preserved — and (b) evaluates every fraction as a scaled BIGINT floor
+# division (both engines floor for positive operands: Spark `div`,
+# DuckDB `//`). avgdl is pre-quantized to a x1000 scalar so every
+# intermediate is corpus-size-INDEPENDENT in magnitude (22*tf*A*1e6 ~
+# 1e13 regardless of N); only idf's 2N term grows with the corpus,
+# overflowing BIGINT around N ~ 1e9 docs — past that a production
+# deployment moves the (ranking-only) score to double.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY_TERMS = ("hash", "join", "merge", "vector")
+_BM25_TOPK = 20
+_BM25_S = 1_000_000  # score scale
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST({D.size(DUCK, "ws")} AS BIGINT) AS dl, ws FROM d),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS avgdl_x1000
+              FROM dl),
+    t AS (SELECT doc_id, dl, unnest(ws) AS word FROM dl),
+    tf AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf FROM t
+           WHERE word IN {str(tuple(_BM25_QUERY_TERMS))}
+           GROUP BY doc_id, dl, word),
+    dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    per AS (
+      SELECT tf.doc_id,
+             ( (((2*s.n_docs - 2*dfr.df + 1) * {_BM25_S}) // (2*dfr.df + 1))
+               * ((22 * tf.tf * s.avgdl_x1000 * {_BM25_S})
+                  // (10 * tf.tf * s.avgdl_x1000 + 3 * s.avgdl_x1000
+                      + 9000 * tf.dl)) ) // {_BM25_S} AS term_score
+      FROM tf JOIN dfr USING (word) CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(sum(term_score) AS BIGINT) AS bm25_x1e6,
+           CAST(count(*) AS BIGINT)        AS n_matched_terms
+    FROM per GROUP BY doc_id
+    ORDER BY bm25_x1e6 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+    doc="Okapi BM25 top-k keyword retrieval (rational-idf variant, "
+    "integer-exact — see section comment). Scale shape: candidate docs "
+    "are pruned BEFORE the explode with arrays_overlap(ws, query) — on "
+    "a 100 TB corpus only documents containing >= 1 query term produce "
+    "posting rows, so the tf shuffle carries matches, not the corpus. "
+    "df (<= |query| rows) and the (n_docs, avgdl) scalar broadcast; the "
+    "final top-k is orderBy().limit() = TakeOrdered, never a full sort.",
+    tags=("text", "llm", "retrieval"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", "ws", "cast(size(ws) as bigint) as dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("(sum(dl) * 1000) div count(*)").alias("avgdl_x1000"),
+    )
+    qarr = "array(" + ",".join(f"'{t}'" for t in _BM25_QUERY_TERMS) + ")"
+    tf = (
+        docs.where(F.expr(f"arrays_overlap(ws, {qarr})"))
+        .select("doc_id", "dl", F.explode("ws").alias("word"))
+        .where(F.col("word").isin(*_BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per = (
+        # bounded: dfr <= |_BM25_QUERY_TERMS| rows; stats is 1 aggregate row
+        tf.join(F.broadcast(dfr), "word")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_s",
+            F.expr(f"((2*n_docs - 2*df + 1) * {_BM25_S}) div (2*df + 1)"),
+        )
+        .withColumn(
+            "tfc_s",
+            F.expr(
+                f"(22 * tf * avgdl_x1000 * {_BM25_S}) div "
+                "(10 * tf * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl)"
+            ),
+        )
+        .withColumn("term_score", F.expr(f"(idf_s * tfc_s) div {_BM25_S}"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("bm25_x1e6"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.col("bm25_x1e6").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal binary columns
 # ---------------------------------------------------------------------------
 
@@ -2941,4 +3049,190 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SPARK, f"CAST(count(pvb) AS DOUBLE) / {ANN_TOPK}", 6
             )
         ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding statistics — the whitening/centering pass a SemDeDup-style
+# embedding-dedup pipeline runs before cosine comparisons. Integer-exact
+# like the rest of the embedding family: elements quantize once to
+# round(x * COV_SCALE) BIGINTs, and the covariance NUMERATOR
+# n*S_ij - S_i*S_j (= n^2 * cov) is an exact integer in both engines.
+# BIGINT headroom: |q| <= COV_SCALE (unit-range embeddings), so
+# |n*S_ij| <= n^2 * COV_SCALE^2 = n^2 * 1e8 — safe to n ~ 9e5 vectors;
+# a production run keeps the same plan but widens the final subtraction
+# to DECIMAL(38)/double (ranking-only at that point, no oracle).
+# ---------------------------------------------------------------------------
+
+COV_SCALE = 10_000
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+    WITH e AS (SELECT list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS q
+               FROM embeddings),
+    d AS (SELECT unnest(range(0, {EMB_DIM})) AS di),
+    pidx AS (SELECT a.di AS di, b.di AS dj FROM d a, d b WHERE b.di >= a.di),
+    ps AS (SELECT p.di, p.dj, sum(e.q[p.di + 1] * e.q[p.dj + 1]) AS s_ij
+           FROM e, pidx p GROUP BY p.di, p.dj),
+    ds AS (SELECT d.di, sum(e.q[d.di + 1]) AS s_i FROM e, d GROUP BY d.di),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM e)
+    SELECT CAST(p.di AS INT) AS di,
+           CAST(p.dj AS INT) AS dj,
+           n.n_vec AS n_vec,
+           CAST(n.n_vec * p.s_ij - a.s_i * b.s_i AS BIGINT) AS cov_num
+    FROM ps p
+    JOIN ds a ON a.di = p.di
+    JOIN ds b ON b.di = p.dj
+    CROSS JOIN n
+    """,
+    doc="Upper-triangle embedding covariance (numerator n^2*cov as exact "
+    "integers — see section comment): the centering/whitening statistics "
+    "pass of an embedding-dedup pipeline. Scale shape: each vector "
+    "explodes to d(d+1)/2 tiny (di, dj, q_i*q_j) rows fully JVM-side, "
+    "and hash-aggregate PARTIAL collapse reduces every task to <= 2080 "
+    "rows before the single exchange — the shuffle carries "
+    "O(tasks * d^2), never O(n). Dim sums and the count broadcast "
+    "(bounded: 64 rows / 1 row). The constant-factor alternative at "
+    "production scale is a per-partition numpy Gram (X^T X) under "
+    "mapInPandas; the JVM form keeps the plan Python-free.",
+    tags=("llm", "similarity"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {COV_SCALE}) as bigint))"
+        ).alias("q")
+    )
+    pairs = (
+        e.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {EMB_DIM - 1}), i -> "
+                    f"transform(sequence(i, {EMB_DIM - 1}), j -> "
+                    "struct(i as di, j as dj, q[i] * q[j] as p))))"
+                )
+            ).alias("s")
+        )
+        .select("s.di", "s.dj", "s.p")
+    )
+    ps = pairs.groupBy("di", "dj").agg(F.sum("p").alias("s_ij"))
+    ds = (
+        e.select(F.posexplode("q").alias("di", "qi"))
+        .groupBy("di")
+        .agg(F.sum("qi").alias("s_i"))
+    )
+    nrow = e.agg(F.count(F.lit(1)).cast("long").alias("n_vec"))
+    # bounded: ds is EMB_DIM rows, nrow is 1 aggregate row
+    return (
+        ps.join(F.broadcast(ds.select(F.col("di").alias("a_di"), F.col("s_i").alias("s_a"))), F.col("di") == F.col("a_di"))
+        .join(F.broadcast(ds.select(F.col("di").alias("b_di"), F.col("s_i").alias("s_b"))), F.col("dj") == F.col("b_di"))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("di").cast("int").alias("di"),
+            F.col("dj").cast("int").alias("dj"),
+            "n_vec",
+            (F.col("n_vec") * F.col("s_ij") - F.col("s_a") * F.col("s_b")).alias("cov_num"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data selection (DSIR-style importance scoring, Xie et al. '23 "Data
+# Selection for Language Models via Importance Resampling") — scores
+# each corpus document by how target-like its unigram distribution is;
+# the weights feed a resampling pass (mixture_weighted_sample is the
+# consumer here). Integer-exact surrogate: instead of the paper's
+# log-likelihood ratio (libm log is not ulp-stable across engines), the
+# per-word weight is the add-one-smoothed probability RATIO
+# p_target(w)/p_corpus(w) = ((t_w+1)*(C+V)) / ((c_w+1)*(T+V)) as a
+# scaled BIGINT floor division, summed per document — order-preserving
+# per word, and deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+_DSIR_S = 1_000_000
+
+
+@register(
+    "dsir_importance_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    tw AS (SELECT unnest(ws) AS word FROM w WHERE doc_id % 50 = 0),
+    cw AS (SELECT doc_id, unnest(ws) AS word FROM w WHERE doc_id % 50 <> 0),
+    tc AS (SELECT word, CAST(count(*) AS BIGINT) AS t_w FROM tw GROUP BY word),
+    cc AS (SELECT word, CAST(count(*) AS BIGINT) AS c_w FROM cw GROUP BY word),
+    vj AS (SELECT coalesce(tc.word, cc.word) AS word, tc.t_w, cc.c_w
+           FROM tc FULL JOIN cc ON tc.word = cc.word),
+    tot AS (SELECT CAST(sum(coalesce(t_w, 0)) AS BIGINT) AS t_n,
+                   CAST(sum(coalesce(c_w, 0)) AS BIGINT) AS c_n,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM vj),
+    r AS (SELECT vj.word,
+                 ((coalesce(vj.t_w, 0) + 1) * (tot.c_n + tot.v) * {_DSIR_S})
+                 // ((vj.c_w + 1) * (tot.t_n + tot.v)) AS ratio_s
+          FROM vj CROSS JOIN tot WHERE vj.c_w IS NOT NULL)
+    SELECT cw.doc_id,
+           CAST(count(*) AS BIGINT)          AS n_words,
+           CAST(sum(r.ratio_s) AS BIGINT)    AS dsir_sum_x1e6,
+           CAST(sum(r.ratio_s) // count(*) AS BIGINT) AS dsir_mean_x1e6
+    FROM cw JOIN r USING (word)
+    GROUP BY cw.doc_id
+    """,
+    doc="DSIR-style data selection: per-document importance weight toward "
+    "a target distribution (the doc_id%50==0 benchmark slice stands in "
+    "for the target corpus, as in decontaminate_ngram_overlap; "
+    "production points it at a curated target set). Two-pass shape like "
+    "text_rarity_score: ONE groupBy per side builds vocabulary-sized "
+    "count tables (tiny vs the corpus), the per-word ratio table joins "
+    "back onto the exploded corpus word stream UNHINTED (a 100 TB "
+    "vocabulary is past any broadcast budget; AQE broadcasts when it IS "
+    "small), and the totals frame is a bounded 1-row broadcast. No "
+    "corpus-sized window, no all-pairs anywhere.",
+    tags=("llm", "text", "quality"),
+)
+def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _docs(spark, sf_dir).selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+    tw = (
+        w.where("doc_id % 50 = 0")
+        .select(F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
+    )
+    cw = (
+        w.where("doc_id % 50 != 0")
+        .select("doc_id", F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
+    )
+    tc = tw.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("t_w"))
+    cc = cw.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    # Totals derive from the VOCABULARY-sized count tables (never a second
+    # pass over the exploded corpus stream): t_n/c_n are sums of the
+    # per-word counts, v is the full-outer-join row count.
+    vj = tc.join(cc, "word", "full")
+    tot = vj.agg(
+        F.sum(F.coalesce("t_w", F.lit(0))).alias("t_n"),
+        F.sum(F.coalesce("c_w", F.lit(0))).alias("c_n"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    r = (
+        vj.where(F.col("c_w").isNotNull())
+        # bounded: tot is a single aggregate row
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.expr(
+                f"((coalesce(t_w, 0) + 1) * (c_n + v) * {_DSIR_S}) div "
+                "((c_w + 1) * (t_n + v))"
+            ).alias("ratio_s"),
+        )
+    )
+    return (
+        cw.join(r, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ratio_s").alias("dsir_sum_x1e6"),
+            F.expr("sum(ratio_s) div count(*)").alias("dsir_mean_x1e6"),
+        )
     )

@@ -467,6 +467,58 @@ def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(scored, output_mode="append")
 
 
+@register(
+    "stream_decontaminate",
+    oracle=None,  # replaced below: shares decontaminate_ngram_overlap's oracle
+    doc="Streaming twin of decontaminate_ngram_overlap — the production "
+    "ingest shape: the benchmark/eval gram set is STATIC (fixed kB-MB "
+    "suite) while corpus shards arrive as a stream; each micro-batch's "
+    "exploded grams stream-static broadcast-join against the benchmark "
+    "frame (append-safe: no state, no watermark — Structured Streaming "
+    "re-reads the static side per trigger and AQE keeps it broadcast). "
+    "Per-doc hit aggregation runs batch-side on the sink (every doc's "
+    "grams arrive within its row's micro-batch, so no cross-batch "
+    "aggregation state is needed). Hash-matches the identical batch "
+    "oracle.",
+    tags=("streaming", "text", "llm", "dedup"),
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions import textprep as TP
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.llm_ops import _docs
+
+    bench = (
+        _docs(spark, sf_dir)
+        .where("doc_id % 50 = 0")
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id as bench_id", f"{TP.shingles(SPARK, 'ws')} as sh")
+        .select("bench_id", F.explode_outer("sh").alias("g"))
+    )
+    corpus = (
+        stream_documents(spark, sf_dir)
+        .where("doc_id % 50 != 0")
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"{TP.shingles(SPARK, 'ws')} as sh")
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_grams"),
+            F.explode_outer("sh").alias("g"),
+        )
+    )
+    # bounded: the eval-suite gram list (same rationale as the batch twin)
+    hits = corpus.join(F.broadcast(bench), "g")
+    sink = run_available_now(hits, output_mode="append")
+    return (
+        sink.groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("int").alias("n_grams"),
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 def minhash_band_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bh) rows from a document stream.
 
@@ -645,6 +697,7 @@ def _wire_shared_stream_oracles() -> None:
         ("stream_pii_redact", "text_pii_redact"),
         ("stream_dedup_minhash", "dedup_minhash_lsh"),
         ("stream_repeated_ngram_spans", "repeated_ngram_spans"),
+        ("stream_decontaminate", "decontaminate_ngram_overlap"),
     ]:
         batch = REGISTRY.get(batch_name)
         if batch is not None:

@@ -353,3 +353,52 @@ def test_pq_codes_argmin_is_mapside_no_corpus_window(spark, sf_dir):
     for line in p.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "va#" in line, f"corpus-keyed window: {line.strip()[:120]}"
+
+
+def test_bm25_topk_is_takeordered_pruned_posting_scan(spark, sf_dir):
+    """bm25_topk's 100 TB contract: candidate docs prune via
+    arrays_overlap BEFORE the explode (posting rows ~ matches, not the
+    corpus), df/stats join by broadcast, the top-k is TakeOrdered (never
+    a global sort), and the whole plan stays JVM-side."""
+    p = _plan(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "arrays_overlap" in p
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p.replace("BroadcastNestedLoopJoin", "BNLJ1row")
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_embedding_covariance_partial_agg_jvm_only(spark, sf_dir):
+    """embedding_covariance's 100 TB contract: the d^2 pair stream
+    collapses by PARTIAL hash aggregation before its exchange (shuffle
+    carries O(tasks * d^2), never O(n)), dim-sum/count frames join by
+    broadcast, and the plan is Python-free."""
+    p = _plan(spark, sf_dir, "embedding_covariance")
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "partial" in p.lower()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dsir_vocab_join_unhinted_no_corpus_window(spark, sf_dir):
+    """dsir_importance_score's 100 TB contract (same class as
+    text_rarity_score): the corpus-words x ratio-table join is
+    hash-based with NO forced broadcast hint on the vocabulary subtree
+    (only the bounded 1-row totals frame is hinted), there is no window
+    function anywhere, and the plan stays JVM-side."""
+    from streamprocessors_spark import plans as P
+
+    df = P.REGISTRY["dsir_importance_score"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        low = line.lower()
+        if "hint" in low and "strategy=broadcast" in low:
+            # the only hinted join is the CROSS join with the 1-row
+            # totals aggregate; the word-keyed equi-joins are unhinted
+            assert "join cross" in low, (
+                f"unexpected broadcast hint: {line.strip()[:140]}"
+            )
+    p = _plan(spark, sf_dir, "dsir_importance_score")
+    assert "NestedLoop" not in p.replace("BroadcastNestedLoopJoin", "BNLJ1row")
+    assert "windowspecdefinition" not in p.lower()
+    assert "Python" not in p and "ArrowEval" not in p
