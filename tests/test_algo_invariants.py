@@ -374,3 +374,95 @@ def test_pq_recall_floor(spark, sf_dir):
     rec = [r.recall for r in rows]
     assert rec, "no recall rows"
     assert sum(rec) / len(rec) >= 0.35, sorted(rec)
+
+
+# ---------------------------------------------------------------------------
+# BM25 / DSIR: independent pure-Python references (dict arithmetic,
+# sharing zero code with the SQL builders)
+# ---------------------------------------------------------------------------
+
+
+def _fixture_tokens(sf_dir):
+    import duckdb as _duck
+
+    docs = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    # D.words semantics: lower, split on whitespace runs, drop empties —
+    # exactly str.split()
+    return {d: t.lower().split() for d, t in docs}
+
+
+def test_bm25_topk_matches_independent_reference(spark, sf_dir):
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import (
+        _BM25_QUERY_TERMS,
+        _BM25_S,
+        _BM25_TOPK,
+    )
+
+    toks = _fixture_tokens(sf_dir)
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n = len(toks)
+    total = sum(dl.values())
+    avgdl_x1000 = (total * 1000) // n
+    tf: dict = {}
+    for d, ws in toks.items():
+        for w in ws:
+            if w in _BM25_QUERY_TERMS:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict = {}
+    for (_d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    scores: dict = {}
+    nmatch: dict = {}
+    for (d, w), t in tf.items():
+        idf_s = ((2 * n - 2 * df[w] + 1) * _BM25_S) // (2 * df[w] + 1)
+        tfc_s = (22 * t * avgdl_x1000 * _BM25_S) // (
+            10 * t * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl[d]
+        )
+        scores[d] = scores.get(d, 0) + (idf_s * tfc_s) // _BM25_S
+        nmatch[d] = nmatch.get(d, 0) + 1
+    expected = [
+        (d, s, nmatch[d])
+        for d, s in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_BM25_TOPK
+        ]
+    ]
+    got = [
+        (r.doc_id, r.bm25_x1e6, r.n_matched_terms)
+        for r in REGISTRY["bm25_topk"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected, (got[:5], expected[:5])
+
+
+def test_dsir_importance_matches_independent_reference(spark, sf_dir):
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import _DSIR_S
+
+    toks = _fixture_tokens(sf_dir)
+    t_cnt: dict = {}
+    c_cnt: dict = {}
+    for d, ws in toks.items():
+        tgt = t_cnt if d % 50 == 0 else c_cnt
+        for w in ws:
+            tgt[w] = tgt.get(w, 0) + 1
+    t_n = sum(t_cnt.values())
+    c_n = sum(c_cnt.values())
+    v = len(set(t_cnt) | set(c_cnt))
+    ratio = {
+        w: ((t_cnt.get(w, 0) + 1) * (c_n + v) * _DSIR_S)
+        // ((c_cnt[w] + 1) * (t_n + v))
+        for w in c_cnt
+    }
+    expected = {}
+    for d, ws in toks.items():
+        if d % 50 == 0 or not ws:
+            continue
+        s = sum(ratio[w] for w in ws)
+        expected[d] = (len(ws), s, s // len(ws))
+    got = {
+        r.doc_id: (r.n_words, r.dsir_sum_x1e6, r.dsir_mean_x1e6)
+        for r in REGISTRY["dsir_importance_score"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
