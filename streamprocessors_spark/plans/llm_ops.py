@@ -2333,8 +2333,15 @@ _BM25_S = 1_000_000  # score scale
     tags=("text", "llm", "retrieval"),
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(_docs(spark, sf_dir))
+
+
+def bm25_scores(raw_docs: DataFrame) -> DataFrame:
+    """Docs-frame-parameterized core of bm25_topk (shared with
+    tools/scale_smoke.py so the smoke cannot drift from the production
+    plan)."""
     docs = (
-        _docs(spark, sf_dir)
+        raw_docs
         .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
         .selectExpr("doc_id", "ws", "cast(size(ws) as bigint) as dl")
     )
@@ -3101,7 +3108,13 @@ COV_SCALE = 10_000
     tags=("llm", "similarity"),
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir).select(
+    return embedding_cov(_embs(spark, sf_dir))
+
+
+def embedding_cov(raw_embs: DataFrame) -> DataFrame:
+    """Embeddings-frame-parameterized core of embedding_covariance
+    (shared with tools/scale_smoke.py)."""
+    e = raw_embs.select(
         F.expr(
             f"transform(embedding, x -> cast(round(cast(x as double) * {COV_SCALE}) as bigint))"
         ).alias("q")
@@ -3193,7 +3206,13 @@ _DSIR_S = 1_000_000
     tags=("llm", "text", "quality"),
 )
 def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _docs(spark, sf_dir).selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+    return dsir_scores(_docs(spark, sf_dir))
+
+
+def dsir_scores(raw_docs: DataFrame) -> DataFrame:
+    """Docs-frame-parameterized core of dsir_importance_score (shared
+    with tools/scale_smoke.py)."""
+    w = raw_docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
     tw = (
         w.where("doc_id % 50 = 0")
         .select(F.explode_outer("ws").alias("word"))

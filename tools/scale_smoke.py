@@ -174,6 +174,24 @@ def main() -> None:
 
     timed("containment_pairs", lambda: containment_pairs(docs).count())
 
+    # Sparse retrieval + data selection over the multiplied corpus — the
+    # SAME docs-parameterized cores as the registered queries. BM25's
+    # arrays_overlap prune means posting volume scales with matches
+    # (here mult x the base matches); DSIR's vocab stays FIXED under
+    # multiplication (copies add counts, not words), so the ratio-table
+    # pass should cost ~flat and only the corpus join should scale.
+    from streamprocessors_spark.plans.llm_ops import bm25_scores, dsir_scores
+
+    timed("bm25_topk", lambda: bm25_scores(docs).count())
+    timed("dsir_importance_score", lambda: dsir_scores(docs).count())
+
+    # Embedding covariance over the multiplied vectors: the pair-stream
+    # explode is linear in n; partial agg keeps the exchange at
+    # O(tasks * d^2) regardless of corpus size.
+    from streamprocessors_spark.plans.llm_ops import embedding_cov
+
+    timed("embedding_covariance", lambda: embedding_cov(embs).count())
+
     # IVF k-means training (2 Lloyd iterations) over the multiplied
     # embedding corpus — guards the r4 max_by argmin restructure: the
     # per-iteration exchange must carry N rows, not N x k, so 10x vectors
