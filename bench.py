@@ -51,10 +51,13 @@ HEADLINE = [
     "bpe_merge_sequence",
     "bpe_encode_tokens",
     "repeated_ngram_spans",
+    "repeated_phrase_topk",
     "sliding_window_chunks",
     "stream_dedup_minhash",
     "stream_repeated_ngram_spans",
     "stream_decontaminate",
+    "approx_distinct_hll",
+    "stream_approx_distinct_hll",
     "bm25_topk",
     "dsir_importance_score",
     "embedding_covariance",

@@ -1736,6 +1736,14 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .repartitionByRange(nparts, F.col("cnt").desc(), F.col("word"))
         .withColumn("part", F.spark_partition_id())
+        # PIN one sampled partitioning: `ranked` (window) and `offsets`
+        # (agg) below both consume this frame, and an independent
+        # re-evaluation of the range exchange may sample different
+        # boundaries — local ranks from one split offset by counts from
+        # another are garbage. Observed live in _rank_two_level (suffix
+        # array) before the same pin; empirically stable here, pinned on
+        # principle. The materialized frame is vocabulary-sized.
+        .localCheckpoint()
     )
     w_local = Window.partitionBy("part").orderBy(
         F.col("cnt").desc(), F.col("word")
@@ -3254,4 +3262,273 @@ def dsir_scores(raw_docs: DataFrame) -> DataFrame:
             F.sum("ratio_s").alias("dsir_sum_x1e6"),
             F.expr("sum(ratio_s) div count(*)").alias("dsir_mean_x1e6"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed suffix array (prefix doubling / Manber-Myers '90) — the
+# real machinery behind ExactSubstr-class substring dedup (Lee et al.
+# '21 builds suffix arrays for exactly this): rank every (doc, pos)
+# word-suffix in generalized lexicographic order with O(log maxlen)
+# rounds, each round a (doc_id, pos+k) equi-join plus ONE global dense
+# rank — and the dense rank itself is two-level (range partition,
+# local dense_rank, offset by per-partition distinct counts), so no
+# single task ever sorts the corpus. repeated_phrase_topk then reads
+# maximal repeated phrases off adjacent suffix-array entries (the
+# LCP-of-neighbors property), capped at _SA_LCP_CAP words.
+# ---------------------------------------------------------------------------
+
+_SA_LCP_CAP = 30
+_SA_MIN_PHRASE = 2
+_SA_TOPK = 20
+
+
+def _rank_two_level(
+    df: DataFrame, key_cols: list, dense: bool, part_of=None
+) -> DataFrame:
+    """Global rank over key_cols without a single-task window: assign
+    each row a key-ordered partition id, rank locally within partitions,
+    then offset by cumulative per-partition key counts (distinct counts
+    for dense_rank, row counts for row_number; the offset window runs
+    over #partitions rows). Output column: "r".
+
+    ``part_of``: optional Column computing the partition id as a PURE
+    FUNCTION of the key (monotone in key order, equal keys -> equal id).
+    Preferred when the key domain is known (e.g. integer ranks binned as
+    ((r-1)*nparts) div R): both the window subtree and the offsets
+    subtree can then re-evaluate it safely with no exchange pinning.
+    Without it, keys are range-partitioned by sampling, and the sampled
+    split MUST be pinned with localCheckpoint — the two subtrees
+    otherwise each re-sample their own boundaries, and offsets computed
+    under one split applied to local ranks from another are garbage
+    (observed live: ~17k/20k wrong ranks on a 20k-row fixture)."""
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in key_cols]
+    if part_of is not None:
+        ranged = df.withColumn("part", part_of)
+    else:
+        ranged = (
+            df.repartitionByRange(nparts, *cols)
+            .withColumn("part", F.spark_partition_id())
+            .localCheckpoint()
+        )
+    w_local = Window.partitionBy("part").orderBy(*key_cols)
+    rank_fn = F.dense_rank() if dense else F.row_number()
+    local = ranged.withColumn("lr", rank_fn.over(w_local))
+    counts = ranged.groupBy("part").agg(
+        (F.countDistinct(*cols) if dense else F.count(F.lit(1))).alias("nk")
+    )
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("nk").over(
+                Window.orderBy("part").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("part", "off")
+    # bounded: offsets has exactly #partitions rows
+    return (
+        local.join(F.broadcast(offsets), "part")
+        .withColumn("r", (F.col("off") + F.col("lr")).cast("bigint"))
+        .drop("part", "lr", "off")
+    )
+
+
+def suffix_ranks(raw_docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, srank): generalized suffix array over per-doc word
+    sequences by prefix doubling. Round k ranks each suffix by its
+    (rank of first k words, rank of suffix k later) pair; ranks are
+    DENSE so equal suffixes (across docs) share a rank, mirroring the
+    oracle's dense_rank over the raw suffix lists."""
+    docs = raw_docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+    toks = (
+        docs.select("doc_id", F.posexplode_outer("ws").alias("p0", "word"))
+        .where(F.col("word").isNotNull())
+        .selectExpr("doc_id", "cast(p0 + 1 as bigint) as pos", "word")
+    )
+    # control-plane scalar (like the CC convergence probe): the doubling
+    # round count, ceil(log2(longest document))
+    maxlen = int(
+        (docs.agg(F.max(F.size("ws"))).collect()[0][0]) or 0
+    )
+    nparts = raw_docs.sparkSession.sparkContext.defaultParallelism
+    cur = _rank_two_level(toks, ["word"], dense=True).select(
+        "doc_id", "pos", "r"
+    )
+    # Convergence probe (same scalar-sum trick as the CC loop): each
+    # round REFINES the rank partition — sum(r) strictly increases until
+    # the order is final — so corpora without long repeats exit after
+    # ~log2(typical discriminating prefix) rounds, not log2(maxlen).
+    # Equal suffixes (true duplicates) tie forever, which the fixed
+    # point includes. The probe also carries max(r), the key domain for
+    # the next round's deterministic partition binning.
+    row = cur.agg(F.sum("r"), F.max("r")).collect()[0]  # control-plane
+    prev_sum, rmax = int(row[0] or 0), int(row[1] or 1)
+    k = 1
+    while k < maxlen:
+        # QUADRUPLING, not doubling: rank by the 4-tuple of k-block
+        # ranks (r(i), r(i+k), r(i+2k), r(i+3k)) so each round extends
+        # the compared prefix 4x — per-round cost is dominated by the
+        # fixed synchronization (exchanges + the probe barrier), exactly
+        # what a 1000-executor run amortizes by doing fewer, fatter
+        # rounds. Missing continuation = suffix ends inside the window:
+        # rank 0 sorts before every real rank, so shorter < extension,
+        # matching list comparison in the oracle.
+        j = cur.select(
+            "doc_id", "pos", F.col("r").alias("r1")
+        )
+        for step in (1, 2, 3):
+            nxt = cur.select(
+                "doc_id",
+                (F.col("pos") - step * k).alias("pos"),
+                F.col("r").alias(f"rn{step}"),
+            )
+            j = j.join(nxt, ["doc_id", "pos"], "left").withColumn(
+                f"r{step + 1}", F.coalesce(f"rn{step}", F.lit(0))
+            ).drop(f"rn{step}")
+        # rank keys are now integers 1..rmax: bin them deterministically
+        # (monotone, ties share a bin) — no sampling pass, no pinning;
+        # a massive tie run (giant duplicate cluster) lands in one bin,
+        # which is inherent to dense ranking ties anywhere
+        part = F.expr(f"cast(((r1 - 1) * {nparts}) div {rmax} as int)")
+        cur = (
+            _rank_two_level(
+                j, ["r1", "r2", "r3", "r4"], dense=True, part_of=part
+            )
+            .select("doc_id", "pos", "r")
+            .localCheckpoint(eager=False)  # cut the per-round lineage
+        )
+        k *= 4
+        row = cur.agg(F.sum("r"), F.max("r")).collect()[0]
+        new_sum, rmax = int(row[0] or 0), int(row[1] or 1)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return cur.select("doc_id", "pos", F.col("r").alias("srank"))
+
+
+@register(
+    "suffix_array_ranks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    s AS (SELECT doc_id, unnest(range(1, {D.size(DUCK, "ws")} + 1)) AS pos,
+                 ws
+          FROM w)
+    SELECT doc_id,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(dense_rank() OVER (ORDER BY ws[pos:]) AS BIGINT) AS srank
+    FROM s
+    """,
+    doc="Generalized suffix array over the corpus word sequences by "
+    "prefix doubling (see section comment). The oracle is the DIRECT "
+    "formulation — dense_rank over the raw suffix lists — so the "
+    "O(n log n) doubling construction is verified against the O(n^2)-"
+    "comparison definition, two genuinely different algorithms.",
+    tags=("llm", "text", "dedup"),
+)
+def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return suffix_ranks(_docs(spark, sf_dir))
+
+
+@register(
+    "repeated_phrase_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    s AS (SELECT doc_id, unnest(range(1, {D.size(DUCK, "ws")} + 1)) AS pos,
+                 ws
+          FROM w),
+    t AS (SELECT doc_id, pos, ws[pos:] AS suf FROM s),
+    o AS (SELECT doc_id, pos, suf,
+                 lead(doc_id) OVER ord AS doc_b,
+                 lead(pos)    OVER ord AS posb,
+                 lead(suf)    OVER ord AS suf_b
+          FROM t WINDOW ord AS (ORDER BY suf, doc_id, pos)),
+    z AS (SELECT doc_id, pos, doc_b, posb,
+                 list_transform(
+                   list_zip(suf[1:{_SA_LCP_CAP}], suf_b[1:{_SA_LCP_CAP}]),
+                   p -> p[1] IS NOT DISTINCT FROM p[2]) AS eqs
+          FROM o WHERE doc_b IS NOT NULL),
+    l AS (SELECT doc_id AS doc_a, pos AS posa, doc_b, posb,
+                 CAST(coalesce(nullif(list_position(eqs, false), 0) - 1,
+                               len(eqs))
+                      AS BIGINT) AS lcp
+          FROM z)
+    SELECT lcp, doc_a, CAST(posa AS BIGINT) AS pos_a,
+           doc_b, CAST(posb AS BIGINT) AS pos_b
+    FROM l WHERE lcp >= {_SA_MIN_PHRASE}
+    ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+    LIMIT {_SA_TOPK}
+    """,
+    doc="Longest repeated word phrases via the suffix array: the LCP-of-"
+    "adjacent-entries property means every maximal repeat appears as a "
+    "neighbor pair in suffix order, so ONE pass over rank-adjacent "
+    "pairs finds the top phrases — no pairwise document comparison "
+    "anywhere. Adjacency comes from a two-level row_number over "
+    "(srank, doc, pos) and an idx = idx+1 self-join (equi-join, "
+    "shuffle-based); the LCP is the first-mismatch position over the "
+    "zipped capped suffix windows — O(cap) per pair, pure JVM. Capped "
+    "at 30 words, phrases >= 2 words, top 20.",
+    tags=("llm", "text", "dedup"),
+)
+def repeated_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{D.words(SPARK)} as ws"
+    )
+    sa = suffix_ranks(_docs(spark, sf_dir))
+    nparts = spark.sparkContext.defaultParallelism
+    rmax = int(sa.agg(F.max("srank")).collect()[0][0] or 1)  # control-plane
+    idx = _rank_two_level(
+        sa,
+        ["srank", "doc_id", "pos"],
+        dense=False,
+        part_of=F.expr(f"cast(((srank - 1) * {nparts}) div {rmax} as int)"),
+    ).select("doc_id", "pos", F.col("r").alias("idx"))
+    a = idx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "idx",
+    )
+    b = idx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        (F.col("idx") - 1).alias("idx"),
+    )
+    wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wsa"))
+    wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wsb"))
+    pairs = (
+        a.join(b, "idx")
+        .join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            # O(cap) per pair: element-wise null-safe equality of the
+            # capped suffix windows (zip pads the shorter side with
+            # null -> false), lcp = first-false position
+            f"zip_with(slice(wsa, cast(pos_a as int), {_SA_LCP_CAP}), "
+            f"slice(wsb, cast(pos_b as int), {_SA_LCP_CAP}), "
+            "(x, y) -> x <=> y) as eqs",
+        )
+        .selectExpr(
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            "cast(coalesce(nullif(array_position(eqs, false), 0) - 1, "
+            "size(eqs)) as bigint) as lcp",
+        )
+    )
+    return (
+        pairs.where(F.col("lcp") >= _SA_MIN_PHRASE)
+        .select("lcp", "doc_a", "pos_a", "doc_b", "pos_b")
+        .orderBy(
+            F.col("lcp").desc(), "doc_a", "pos_a", "doc_b", "pos_b"
+        )
+        .limit(_SA_TOPK)
     )

@@ -834,6 +834,109 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HyperLogLog (Flajolet et al. '07) with every step INTEGER-exact so the
+# estimate is a deterministic pure function of the data (the classic
+# float formulation is not ulp-stable across engines):
+#  - bucket = top 8 of the 60-bit md5 hash; register word = low 20 bits
+#  - rho = leading zeros in the 20-bit word + 1 = 21 - bit_length(w)
+#    (bit_length via length(bin(w)) — exact in both engines)
+#  - the harmonic sum is scaled by 2^21: every 2^-M_j becomes the exact
+#    BIGINT 2^(21-M_j), so the sum is exact and order-independent
+#  - alpha_256 * m^2 is the exact rational floor
+#    (7213*256000*m^2*1000) // (10000*257079), a compile-time constant
+# Raw estimator only (no ln-based linear-counting branch — ln is the
+# very thing being avoided); valid in the n >> 2.5m regime every fixture
+# SF exercises.
+_HLL_M = 256
+_HLL_W = 20
+_HLL_BUCKET_DIV = 1 << 52
+_HLL_ALPHA_M2_X1000 = (7213 * 256000 * _HLL_M * _HLL_M * 1000) // (
+    10000 * 257079
+)
+_HLL_EST_NUM = _HLL_ALPHA_M2_X1000 << (_HLL_W + 1)
+
+
+@register(
+    "approx_distinct_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    b AS (SELECT hv // {_HLL_BUCKET_DIV} AS bucket,
+                 hv % {1 << _HLL_W} AS w FROM h),
+    r AS (SELECT bucket,
+                 max(CASE WHEN w = 0 THEN {_HLL_W + 1}
+                          ELSE {_HLL_W + 1} - length(bin(w)) END) AS m_reg
+          FROM b GROUP BY bucket),
+    a AS (SELECT unnest(range(0, {_HLL_M})) AS bucket),
+    f AS (SELECT a.bucket, coalesce(r.m_reg, 0) AS m_reg
+          FROM a LEFT JOIN r USING (bucket))
+    SELECT CAST({_HLL_EST_NUM} // sum(1::BIGINT << ({_HLL_W + 1} - m_reg))
+                AS BIGINT) AS est_distinct_x1000,
+           CAST(sum(CASE WHEN m_reg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonempty_buckets
+    FROM f
+    """,
+    doc="Approximate distinct count as an integer-exact HyperLogLog (see "
+    "block comment): KMV's mergeable-sketch sibling with O(m) state "
+    "instead of O(k) but the same determinism guarantee, so it "
+    "hash-matches across engines. Scale shape: the register build is a "
+    "map-side partial max over 256 groups — each task reduces to <= 256 "
+    "rows before a 256-row exchange; registers merge by element-wise "
+    "max, the textbook distributed-sketch combine.",
+    tags=("agg", "approx", "sketch"),
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev.selectExpr(
+            f"{D.md5int(SPARK, 'cast(event_id as string)')} as hv"
+        )
+    )
+    return hll_estimate(regs)
+
+
+def hll_rhos(hashed: DataFrame) -> DataFrame:
+    """(bucket, rho) projection from a 60-bit `hv` hash column — pure
+    JVM, shared by the batch register build and the streaming twin."""
+    return hashed.selectExpr(
+        f"hv div {_HLL_BUCKET_DIV} as bucket",
+        f"hv % {1 << _HLL_W} as w",
+    ).selectExpr(
+        "bucket",
+        f"cast(case when w = 0 then {_HLL_W + 1} "
+        f"else {_HLL_W + 1} - length(bin(w)) end as bigint) as rho",
+    )
+
+
+def hll_registers(hashed: DataFrame) -> DataFrame:
+    """(bucket, m_reg) max-registers from a 60-bit `hv` hash column."""
+    return hll_rhos(hashed).groupBy("bucket").agg(F.max("rho").alias("m_reg"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Fold (bucket, m_reg) registers into the scaled-integer estimate."""
+    spark = regs.sparkSession
+    allb = spark.range(0, _HLL_M).withColumnRenamed("id", "bucket")
+    filled = allb.join(regs, "bucket", "left").selectExpr(
+        "bucket", "coalesce(m_reg, 0) as m_reg"
+    )
+    return filled.agg(
+        F.expr(
+            f"cast({_HLL_EST_NUM} div "
+            f"sum(shiftleft(cast(1 as bigint), {_HLL_W + 1} - m_reg)) "
+            "as bigint)"
+        ).alias("est_distinct_x1000"),
+        F.expr(
+            "cast(sum(case when m_reg > 0 then 1 else 0 end) as bigint)"
+        ).alias("n_nonempty_buckets"),
+    )
+
+
 @register(
     "order_priority_quartiles",
     oracle="""

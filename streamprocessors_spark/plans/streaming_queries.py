@@ -519,6 +519,36 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_approx_distinct_hll",
+    oracle=None,  # replaced below: shares approx_distinct_hll's oracle
+    doc="Streaming twin of approx_distinct_hll — the mergeable-sketch "
+    "streaming pattern: per-bucket keyed state (exactly m=256 tiny rows "
+    "regardless of stream length) holds the max-rho register; each "
+    "micro-batch emits only register INCREASES, so a saturated stream "
+    "goes quiet. max-by-bucket over the emitted deltas reproduces the "
+    "batch registers exactly (max is monotone), and the integer-exact "
+    "estimator then hash-matches the shared batch oracle.",
+    tags=("streaming", "agg", "approx", "sketch"),
+)
+def stream_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.relational import (
+        hll_estimate,
+        hll_rhos,
+    )
+    from streamprocessors_spark.streaming.stateful import hll_register_stream
+
+    ev = stream_events(spark, sf_dir)
+    rhos = hll_rhos(
+        ev.selectExpr(f"{D.md5int(SPARK, 'cast(event_id as string)')} as hv")
+    )
+    sink = run_available_now(hll_register_stream(rhos), output_mode="append")
+    regs = sink.groupBy("bucket").agg(F.max("m_reg").alias("m_reg"))
+    return hll_estimate(regs)
+
+
 def minhash_band_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bh) rows from a document stream.
 
@@ -698,6 +728,7 @@ def _wire_shared_stream_oracles() -> None:
         ("stream_dedup_minhash", "dedup_minhash_lsh"),
         ("stream_repeated_ngram_spans", "repeated_ngram_spans"),
         ("stream_decontaminate", "decontaminate_ngram_overlap"),
+        ("stream_approx_distinct_hll", "approx_distinct_hll"),
     ]:
         batch = REGISTRY.get(batch_name)
         if batch is not None:

@@ -376,3 +376,50 @@ def gram_repeat_positions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog registers — the mergeable-sketch streaming
+# pattern: per-bucket keyed state holds the max rho seen so far and a
+# micro-batch emits a (bucket, m_reg) row ONLY when it raises the
+# register (delta-compressed updates; a saturated stream goes quiet).
+# State is exactly m=256 tiny rows regardless of stream length — the
+# opposite extreme from the per-gram dict, and the reason HLL is the
+# sketch a continuous pipeline keeps per key.
+# ---------------------------------------------------------------------------
+
+HLL_REG_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("m_reg", LongType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = StructType([StructField("m_reg", LongType())])
+
+
+def hll_register_stream(rhos: DataFrame) -> DataFrame:
+    """(bucket, rho) stream -> append stream of register INCREASES.
+    max-by-bucket over the emitted rows reproduces the batch registers
+    exactly (max is monotone, so the last emission per bucket IS the
+    final register)."""
+
+    def f(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur = int(state.get[0]) if state.exists else 0
+        mx = cur
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, int(pdf["rho"].max()))
+        if mx > cur:
+            state.update((mx,))
+            yield pd.DataFrame([(int(key[0]), mx)], columns=["bucket", "m_reg"])
+
+    return rhos.groupBy("bucket").applyInPandasWithState(
+        f,
+        outputStructType=HLL_REG_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

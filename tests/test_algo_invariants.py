@@ -466,3 +466,95 @@ def test_dsir_importance_matches_independent_reference(spark, sf_dir):
         for r in REGISTRY["dsir_importance_score"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# HLL: independent pure-Python reference + accuracy gate
+# ---------------------------------------------------------------------------
+
+
+def test_hll_matches_independent_reference_and_error_bound(spark, sf_dir):
+    import hashlib
+
+    import duckdb as _duck
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.relational import (
+        _HLL_EST_NUM,
+        _HLL_M,
+        _HLL_W,
+    )
+
+    ids = [
+        r[0]
+        for r in _duck.sql(
+            f"SELECT event_id FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    regs = [0] * _HLL_M
+    for e in set(ids):
+        h = int(hashlib.md5(str(e).encode()).hexdigest()[:15], 16)
+        b = h >> 52
+        w = h & ((1 << _HLL_W) - 1)
+        rho = _HLL_W + 1 if w == 0 else _HLL_W + 1 - w.bit_length()
+        regs[b] = max(regs[b], rho)
+    s = sum(1 << (_HLL_W + 1 - m) for m in regs)
+    expected = _HLL_EST_NUM // s
+
+    row = REGISTRY["approx_distinct_hll"].fn(spark, sf_dir).collect()[0]
+    assert row.est_distinct_x1000 == expected
+    # accuracy: within 3 sigma of the 1.04/sqrt(m) HLL bound
+    n_exact = len(set(ids))
+    rel_err = abs(row.est_distinct_x1000 / 1000 - n_exact) / n_exact
+    assert rel_err < 3 * 1.04 / (_HLL_M ** 0.5), rel_err
+
+
+# ---------------------------------------------------------------------------
+# Suffix array: independent pure-Python reference (sorted(suffixes) —
+# the O(n^2 log n) definition vs the distributed prefix-quadrupling)
+# ---------------------------------------------------------------------------
+
+
+def test_suffix_array_matches_independent_reference(spark, sf_dir):
+    from streamprocessors_spark.plans import REGISTRY
+
+    toks = _fixture_tokens(sf_dir)
+    sufs = [
+        (tuple(ws[p:]), d, p + 1)
+        for d, ws in toks.items()
+        for p in range(len(ws))
+    ]
+    sufs.sort()
+    expected: dict = {}
+    rank = 0
+    prev = None
+    for suf, d, p in sufs:
+        if suf != prev:
+            rank += 1
+            prev = suf
+        expected[(d, p)] = rank
+    got = {
+        (r.doc_id, r.pos): r.srank
+        for r in REGISTRY["suffix_array_ranks"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    # ... and the phrase reader: top-20 adjacent-pair LCPs (capped 30)
+    cap, minp, topk = 30, 2, 20
+    pairs = []
+    for i in range(len(sufs) - 1):
+        (sa, da, pa), (sb, db, pb) = sufs[i], sufs[i + 1]
+        wa, wb = sa[:cap], sb[:cap]
+        lcp = 0
+        for x, y in zip(wa, wb):
+            if x != y:
+                break
+            lcp += 1
+        if lcp >= minp:
+            pairs.append((lcp, da, pa, db, pb))
+    pairs.sort(key=lambda t: (-t[0], t[1], t[2], t[3], t[4]))
+    got_p = [
+        (r.lcp, r.doc_a, r.pos_a, r.doc_b, r.pos_b)
+        for r in REGISTRY["repeated_phrase_topk"].fn(spark, sf_dir).collect()
+    ]
+    assert got_p == pairs[:topk], (got_p[:5], pairs[:5])

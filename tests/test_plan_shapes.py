@@ -402,3 +402,16 @@ def test_dsir_vocab_join_unhinted_no_corpus_window(spark, sf_dir):
     assert "NestedLoop" not in p.replace("BroadcastNestedLoopJoin", "BNLJ1row")
     assert "windowspecdefinition" not in p.lower()
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_suffix_array_windows_all_partitioned(spark, sf_dir):
+    """The prefix-quadrupling contract: every window in the plan is
+    partitioned on the two-level `part` id (local ranks) or runs over
+    the #partitions-row offsets frame (also keyed on part#) — there is
+    never a corpus-wide single-task sort; and the plan stays JVM-side."""
+    for name in ["suffix_array_ranks", "repeated_phrase_topk"]:
+        p = _plan(spark, sf_dir, name)
+        assert "Python" not in p and "ArrowEval" not in p, name
+        for line in p.splitlines():
+            if "windowspecdefinition" in line.lower():
+                assert "part#" in line, f"{name}: unpartitioned window: {line.strip()[:140]}"

@@ -449,3 +449,72 @@ def test_stream_repeated_ngram_cross_batch_first_occurrence_released(spark):
     # shared 5-gram starts at word 3; doc 3: at word 1. Only that one
     # gram repeats.
     assert got == {(1, 3), (3, 1)}, got
+
+
+def test_stream_hll_emits_only_register_increases(spark):
+    """The delta-compression contract: across micro-batches a bucket
+    emits only when its register RISES, and max-by-bucket over emissions
+    equals the batch registers over the union of all batches."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans.relational import hll_registers, hll_rhos
+    from streamprocessors_spark.streaming.stateful import hll_register_stream
+
+    # batch 2 repeats batch 1's values exactly -> zero emissions for it
+    batches = [
+        [(i,) for i in range(100)],
+        [(i,) for i in range(100)],
+        [(i,) for i in range(100, 300)],
+    ]
+    import glob, shutil
+    flat = tempfile.mkdtemp(prefix=f"spgraft_hll_{_uuid.uuid4().hex[:6]}_")
+    for bi, rows in enumerate(batches):
+        d = tempfile.mkdtemp(prefix="spgraft_hllb_")
+        spark.createDataFrame(rows, "v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(flat, f"{bi:02d}.parquet"))
+
+    hv = "cast(conv(substr(md5(cast(v as string)),1,15),16,10) as bigint)"
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    name = f"hllsink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        hll_register_stream(hll_rhos(stream.selectExpr(f"{hv} as hv")))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spgraft_hllc_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+
+    emitted = spark.table(name)
+    # per-bucket emissions must be strictly increasing (no duplicates,
+    # no repeats from the no-new-data batch)
+    rows = [(r.bucket, r.m_reg) for r in emitted.collect()]
+    assert len(rows) == len(set(rows))
+
+    batch_regs = {
+        (r.bucket, r.m_reg)
+        for r in hll_registers(
+            spark.createDataFrame(
+                [(v,) for b in batches for (v,) in b], "v long"
+            ).selectExpr(f"{hv} as hv")
+        ).collect()
+    }
+    stream_regs = {
+        (r.bucket, r.m_reg)
+        for r in emitted.groupBy("bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+        .collect()
+    }
+    assert stream_regs == batch_regs
