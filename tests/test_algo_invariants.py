@@ -539,12 +539,17 @@ def test_suffix_array_matches_independent_reference(spark, sf_dir):
     }
     assert got == expected
 
-    # ... and the phrase reader: top-20 adjacent-pair LCPs (capped 30)
+    # ... and the phrase reader: top-20 adjacent-pair LCPs (capped 30).
+    # Adjacency is in CAPPED suffix order (first 30 words, ties by
+    # doc/pos) — matching the capped construction and the oracle's
+    # ORDER BY suf[1:30]; lcp values are order-choice-independent
+    # (min-over-path), see repeated_phrase_topk's doc.
     cap, minp, topk = 30, 2, 20
+    csufs = sorted((s[:cap], d, p) for (s, d, p) in sufs)
     pairs = []
-    for i in range(len(sufs) - 1):
-        (sa, da, pa), (sb, db, pb) = sufs[i], sufs[i + 1]
-        wa, wb = sa[:cap], sb[:cap]
+    for i in range(len(csufs) - 1):
+        (sa, da, pa), (sb, db, pb) = csufs[i], csufs[i + 1]
+        wa, wb = sa, sb
         lcp = 0
         for x, y in zip(wa, wb):
             if x != y:

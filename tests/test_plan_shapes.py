@@ -322,21 +322,29 @@ def test_stateless_text_passes_have_no_exchange(spark, sf_dir):
 
 
 def test_rarity_rank_is_two_level_no_vocab_broadcast_hint(spark, sf_dir):
-    """text_rarity_score's r5 contract (VERDICT r4 #3): the vocabulary
-    rank must be two-level — the row_number window that touches the
-    count column is PARTITIONED (by the range-partition id), never a
-    global single-task sort of the vocabulary — and the only broadcast
-    HINT in the plan is the bounded #partitions-row offsets frame (the
-    corpus-sized vocab join is unhinted; AQE/stats decide at runtime)."""
+    """text_rarity_score's r6 contract (VERDICT r4 #3, r5 #2): the
+    vocabulary rank must be two-level — the row_number window over the
+    (-cnt, word) key is PARTITIONED (by the pure boundary-comparison
+    bin), never a global single-task sort of the vocabulary — with NO
+    broadcast hint anywhere (the offsets are driver literals now, the
+    corpus-sized vocab join is unhinted; AQE/stats decide at runtime)
+    and NO pinned/checkpointed frame (the r5 localCheckpoint showed up
+    as an ExistingRDD scan and blocked the vocab pipeline)."""
     from streamprocessors_spark import plans as P
 
     df = P.REGISTRY["text_rarity_score"].fn(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" not in opt and "LogicalRDD" not in opt, (
+        "vocab rank pins a materialized frame again"
+    )
     for line in opt.splitlines():
         low = line.lower()
-        if "hint" in low and "strategy=broadcast" in low:
-            assert "part#" in line, f"unexpected broadcast hint: {line.strip()}"
-        if "windowspecdefinition" in low and "cnt#" in line:
+        assert not ("hint" in low and "strategy=broadcast" in low), (
+            f"unexpected broadcast hint: {line.strip()}"
+        )
+        if "windowspecdefinition" in low and (
+            "neg#" in line or "cnt#" in line
+        ):
             assert "part#" in line, (
                 f"global vocab-rank window (single-task sort): {line.strip()}"
             )
