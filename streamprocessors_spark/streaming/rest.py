@@ -194,20 +194,29 @@ def config_store_routes(server: StateRestServer, store) -> None:
     def _rows() -> dict[int, tuple[int, str]]:
         # Readers run unlocked: the swap has a window where store.path
         # does not exist (rename-out before rename-in), so a transient
-        # read failure is retried, not reported as an empty store/404.
+        # MISSING-PATH failure is retried, not reported as an empty
+        # store/404. Only that failure class retries — a persistent
+        # reader error (schema corruption, permissions) surfaces
+        # immediately instead of blocking ~1 s behind 20 futile sleeps.
         import time as _time
 
-        last: Exception | None = None
-        for _ in range(20):
+        for attempt in range(20):
             try:
                 return {
                     int(r.sys_id): (int(r.seq), r.doc)
                     for r in store.read().collect()
                 }
-            except Exception as e:  # noqa: BLE001 — missing-path window
-                last = e
+            except Exception as e:  # noqa: BLE001 — classify below
+                msg = f"{type(e).__name__}: {e}"
+                missing = isinstance(e, FileNotFoundError) or (
+                    "PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                    or "FileNotFoundException" in msg
+                )
+                if not missing or attempt == 19:
+                    raise
                 _time.sleep(0.05)
-        raise last  # type: ignore[misc]
+        raise AssertionError("unreachable")
 
     def get(obj_id: str | None, query: str, body: str) -> tuple[str, str | None]:
         rows = _rows()

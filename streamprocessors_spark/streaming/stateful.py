@@ -251,6 +251,19 @@ def lsh_bucket_pairs_stream(bands: DataFrame, max_bucket: int) -> DataFrame:
 
     Singleton buckets emit nothing (matching the batch gate's lower
     bound of 2) and hold one tiny state row.
+
+    Delivery-semantics caveat: freeing a saturated bucket's member list
+    also frees the dedup memory for it, so a LATER re-delivery of an
+    already-counted doc_id (at-least-once replay, or the same doc split
+    across micro-batches after saturation) is treated as new and
+    inflates the lifetime counter n — harmless for emission (a
+    saturated bucket never emits again) but it drifts the counter, and
+    the pair-for-pair batch parity stated above therefore assumes
+    exactly-once delivery of the band stream (which Spark's Kafka/file
+    sources + checkpointing provide). A deployment on an at-least-once
+    bus would keep a compact membership digest (e.g. a fixed-size Bloom
+    filter) in place of the freed list to make re-deliveries
+    idempotent.
     """
 
     def f(
