@@ -58,11 +58,15 @@ HEADLINE = [
     "stream_decontaminate",
     "approx_distinct_hll",
     "stream_approx_distinct_hll",
+    "stream_bm25_topk",
     "bm25_topk",
     "dsir_importance_score",
     "embedding_covariance",
     "ann_bruteforce_topk",
     "ann_pq_topk",
+    # round-6 additions
+    "repeated_ngram_cut_corpus",
+    "ann_ivfpq_topk",
     "mm_image_features",
     # round-3 training path
     "ivf_kmeans_centroids",

@@ -31,7 +31,13 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    tbl = spark.table(name)
+    # No-op projection: the raw memory-sink relation (MemoryPlan) does
+    # not dedup attribute ids across plan instances, so a self-join of
+    # the sink (e.g. postings JOIN agg-of-postings in stream_bm25_topk)
+    # dies with INTERNAL_ERROR "conflicting references in Join"; the
+    # projection restores normal multi-instance resolution.
+    return tbl.toDF(*tbl.columns)
 
 
 def _stage_dir(path: str) -> str:

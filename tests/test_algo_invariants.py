@@ -376,6 +376,57 @@ def test_pq_recall_floor(spark, sf_dir):
     assert sum(rec) / len(rec) >= 0.35, sorted(rec)
 
 
+def test_ivfpq_beats_plain_pq(spark, sf_dir):
+    """The IVF+PQ composition's acceptance bar (VERDICT r5 #6): mean
+    recall@5 vs exact integer-L2 must BEAT plain PQ's while scanning
+    nprobe/cells = 1/4 of the candidates — plus the same 0.35 absolute
+    floor every approximate path carries. Measured 0.64 vs 0.42 at
+    sf0.1, 0.66 vs 0.56 at sf0.01."""
+    from streamprocessors_spark.plans import REGISTRY
+
+    def mean_recall(name):
+        rows = REGISTRY[name].fn(spark, sf_dir).collect()
+        rec = [r.recall for r in rows]
+        assert rec, f"{name}: no recall rows"
+        return sum(rec) / len(rec)
+
+    ivfpq = mean_recall("ann_ivfpq_recall")
+    pq = mean_recall("ann_pq_recall")
+    assert ivfpq >= pq, (ivfpq, pq)
+    assert ivfpq >= 0.35, ivfpq
+
+
+def test_ngram_cut_removes_whole_duplicate_doc(spark):
+    """ExactSubstr cut hand fixtures: a doc that is entirely a duplicate
+    of an earlier doc comes back EMPTY (keep-first policy keeps the
+    original untouched), and a doc embedding one duplicated 5-gram
+    loses exactly that gram's 5-word window."""
+    from streamprocessors_spark.plans.llm_ops import ngram_cut_docs
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, boiler),
+        (1, boiler),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "x1 x2 alpha beta gamma delta epsilon y1 y2 y3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_cut_docs(df).collect()}
+    # first occurrence untouched
+    assert got[0].n_kept == got[0].n_words == 10
+    assert got[0].kept_text == boiler
+    # full duplicate entirely removed
+    assert got[1].n_kept == 0
+    assert got[1].kept_text == ""
+    assert got[1].n_bytes_kept == 0
+    assert got[1].n_words == 10  # before-counts still report the original
+    # no duplicated grams -> fully kept
+    assert got[2].n_kept == 10
+    # one shared 5-gram at position 3 -> words 3..7 cut, flanks survive
+    assert got[3].kept_text == "x1 x2 y1 y2 y3"
+    assert got[3].n_kept == 5
+
+
 def test_lsh_multiprobe_recall_floor(spark, sf_dir):
     """Mean recall@3 of the multi-probe random-hyperplane LSH search vs
     exact brute-force cosine must hold the same 0.35 quality gate as PQ
