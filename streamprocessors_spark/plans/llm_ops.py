@@ -4016,18 +4016,24 @@ def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "dedup"),
 )
 def repeated_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Adjacency needs only the capped suffix ORDER, not dense ranks or
-    # even a global index: the suffix slice each row carries IS the LCP
-    # comparison window, and the neighbor comes from lead() inside each
-    # range partition plus a driver-literal stitch across the <=
-    # #partitions boundaries (partition i's last row pairs with
-    # partition i+1's min — already collected by the sampling pass).
-    # Total: one sampling pass, ONE partitioned window over the corpus
-    # — no self-join, no second ranking pass (the r5 shape paid for
-    # both, plus full-depth quadrupling: 12.7 s -> ~3 s at sf0.1).
-    docs = _docs(spark, sf_dir).selectExpr(
-        "doc_id", f"{D.words(SPARK)} as ws"
-    )
+    return phrase_topk_docs(_docs(spark, sf_dir))
+
+
+def phrase_topk_docs(raw_docs: DataFrame) -> DataFrame:
+    """Docs-frame-parameterized core of repeated_phrase_topk (shared
+    with tools/scale_smoke.py so the smoke tracks the production plan).
+
+    Adjacency needs only the capped suffix ORDER, not dense ranks or
+    even a global index: the suffix slice each row carries IS the LCP
+    comparison window, and the neighbor comes from lead() inside each
+    range partition plus a driver-literal stitch across the <=
+    #partitions boundaries (partition i's last row pairs with
+    partition i+1's min — already collected by the sampling pass).
+    Total: one sampling pass, ONE partitioned window over the corpus
+    — no self-join, no second ranking pass (the r5 shape paid for
+    both, plus full-depth quadrupling: 12.7 s -> ~4.4 s at sf0.1)."""
+    spark = raw_docs.sparkSession
+    docs = raw_docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
     s = (
         docs.select(
             "doc_id", "ws", F.posexplode_outer("ws").alias("p0", "word")

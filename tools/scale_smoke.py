@@ -7,8 +7,13 @@ answers the scale question the unit fixtures can't: do the LSH paths,
 the reassembly shuffle and the ANN ranking degrade linearly (good) or
 quadratically (bad) when the corpus grows 10x?
 
-Usage: python tools/scale_smoke.py [sf_dir] [multiplier]
-Prints one JSON line: {"op": sec, ...} + row counts.
+Usage: python tools/scale_smoke.py [sf_dir] [multiplier] [ops_csv]
+Prints one JSON line: {"op": sec, ...} + row counts (+ shuffle bytes).
+With ops_csv (comma-separated op names) only those ops run and the
+artifact merges into SCALE_SMOKE.json under "runs/<multiplier>x" instead
+of overwriting — the 100x deep smoke (VERDICT r5 #9) uses this:
+  SPARK_GRAFT_DRIVER_MEM=48g python tools/scale_smoke.py \\
+      /root/testdata/sf0.1 100 repeated_phrase_topk,dedup_keep_list_end_to_end
 """
 
 from __future__ import annotations
@@ -31,7 +36,17 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    spark = get_spark(app_name="scale-smoke")
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # UI enabled for this session only: its REST API is how the smoke
+    # reads per-stage shuffle-write bytes (AppStatusStore needs Scala
+    # default-arg calls py4j can't make)
+    spark = get_spark(
+        app_name="scale-smoke",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
 
     docs0 = read_table(spark, sf_dir, "documents")
     embs0 = read_table(spark, sf_dir, "embeddings")
@@ -51,11 +66,34 @@ def main() -> None:
 
     out: dict[str, float] = {}
 
+    shuffle_bytes: dict[str, int] = {}
+
+    def _total_shuffle_write() -> int:
+        """Cumulative shuffle-write bytes across all stages so far, via
+        the UI REST API (localhost); -1 when unavailable."""
+        try:
+            import urllib.request
+
+            base = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            url = f"{base}/api/v1/applications/{app_id}/stages"
+            with urllib.request.urlopen(url, timeout=10) as r:
+                data = json.load(r)
+            return int(sum(s.get("shuffleWriteBytes", 0) for s in data))
+        except Exception:  # noqa: BLE001 — metrics are best-effort
+            return -1
+
     def timed(name, fn):
+        if only is not None and name not in only:
+            return
         fn()  # warm-up pass: codegen/JIT/Python-worker startup excluded
+        sb0 = _total_shuffle_write()
         t0 = time.perf_counter()
         n = fn()
         out[name] = round(time.perf_counter() - t0, 2)
+        sb1 = _total_shuffle_write()
+        if sb0 >= 0 and sb1 >= 0:
+            shuffle_bytes[name] = sb1 - sb0
         print(f"{name}: {out[name]}s ({n} rows)", file=sys.stderr, flush=True)
 
     # MinHash LSH dedup over the multiplied corpus (every copy collides ->
@@ -150,6 +188,18 @@ def main() -> None:
 
     timed("dedup_keep_list_end_to_end", _keep_list_count)
 
+    # Capped suffix order + LCP phrase reader (the r6 restructure of
+    # repeated_phrase_topk) over the multiplied corpus — the SAME
+    # docs-parameterized core as the registered query. One sampling
+    # pass + one partitioned window over |corpus| suffix rows carrying
+    # 30-word slices: cost should track token count linearly (the 100x
+    # sublinearity evidence VERDICT r5 #9 asks for). Note multiplied
+    # copies multiply repeated-phrase OCCURRENCES, but the pair volume
+    # stays one-per-adjacent-suffix — linear by construction.
+    from streamprocessors_spark.plans.llm_ops import phrase_topk_docs
+
+    timed("repeated_phrase_topk", lambda: phrase_topk_docs(docs).count())
+
     # sign-LSH bucketed ANN
     bucketed = embs.selectExpr(
         "vec_id", "embedding", f"{V.sign_bucket(SPARK, 'embedding')} as bucket"
@@ -227,12 +277,24 @@ def main() -> None:
         "base_docs": n0,
         "timings_sec": out,
     }
+    if shuffle_bytes:
+        result["shuffle_write_bytes"] = shuffle_bytes
     print(json.dumps(result))
     # persist as a repo artifact so each round's effective-sf1 numbers are
-    # reviewable without re-running (SCALE_SMOKE.json at repo root)
+    # reviewable without re-running (SCALE_SMOKE.json at repo root).
+    # Filtered runs (ops_csv) merge under "runs/<mult>x" so a deep 100x
+    # pass can sit alongside the full 10x sweep.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALE_SMOKE.json"), "w") as f:
-        json.dump(result, f, indent=2)
+    path = os.path.join(root, "SCALE_SMOKE.json")
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            full = json.load(f)
+        full.setdefault("runs", {})[f"{mult}x"] = result
+        with open(path, "w") as f:
+            json.dump(full, f, indent=2)
+    else:
+        with open(path, "w") as f:
+            json.dump(result, f, indent=2)
     spark.stop()
 
 
