@@ -101,6 +101,23 @@ def main() -> None:
     # Reported separately (queries_cold/value_cold) so the headline warm
     # number is honest about what it excludes.
     spark.range(1_000_000).selectExpr("sum(id * 2) as s").collect()
+
+    # Machine-state calibration: a fixed CPU-bound workload (integer agg
+    # over 200M rows, no I/O, no shuffle growth with SF) measured before
+    # and after the query passes. The r6 A/B (BENCH_SELF.json) showed
+    # host contention moves recorded totals by ~25% between rounds with
+    # identical code; calib_sec lets any cross-round comparison divide
+    # that state out.
+    def _calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id % 1000) as s", "count(1) as n"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _calib()  # warm
+    calib_start = min(_calib(), _calib())
+
     cold: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.REGISTRY.get(name)
@@ -151,14 +168,17 @@ def main() -> None:
         "value_r1_set": round(
             sum(timings[n] for n in r1_set if n in timings), 3
         ),
+        "calib_sec": min(calib_start, min(_calib(), _calib())),
         "sf": sf,
     }
     # Full record (incl. per-query cold timings) goes to a file the
     # driver's output-tail capture can't truncate; the printed line stays
     # compact (no queries_cold, no spaces) and is emitted LAST — after
     # spark.stop(), so no executor/AQE log lines can follow it.
+    # (BENCH_LOCAL.json — BENCH_SELF.json is the r4-vs-r5 A/B artifact,
+    # tools/bench_ab.py, which a bench run must not clobber.)
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         "w",
     ) as f:
         json.dump({**headline, "queries_cold": cold}, f, indent=1)

@@ -3409,12 +3409,186 @@ def _ivfpq_ctes(d: str, table: str = "embeddings") -> str:
     tags=("vector", "ann", "ivf", "pq"),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_topk_frame(spark, sf_dir)
+
+
+def _ivfpq_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side IVF+PQ with the control-plane intermediates COLLECTED
+    instead of inlined: the monolithic WITH-CTE form (still the oracle)
+    re-evaluates the k-means trajectory under every reference — the
+    executed plan measured 108 scans / 282 exchanges. Here the trained
+    centroids (8 cells x 64 dims = 512 rows) and the refined codebook
+    (<= IVFPQ_M x IVFPQ_K = 2048 rows) are collected once and re-enter
+    as broadcast literal frames — exactly the artifacts a FAISS
+    deployment ships to every worker — so the corpus is touched three
+    times total (assign+residual for the 25% train slice, the full
+    encode, the candidate join). Every arithmetic expression keeps the
+    SQL text of the CTE form, so values are bit-identical to the
+    oracle's derivation."""
+    import math
+
     _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
-    return spark.sql(
-        f"""
-        WITH {_ivfpq_ctes(SPARK, table="sp_kmeans_embeddings")}
-        SELECT va, vb, adist, rank FROM ivfpq_topk
-        """
+    # control-plane collect #1: the trained coarse quantizer (512 rows)
+    s2 = spark.sql(
+        f"WITH {_kmeans_ctes(SPARK, table='sp_kmeans_embeddings')} "
+        "SELECT cell, dim, s, n FROM s2"
+    ).collect()
+    percell: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in s2:
+        percell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+            int(r["s"]),
+            int(r["n"]),
+        )
+    cent_rows = []
+    cq_rows = []
+    for cell in sorted(percell):
+        dims = percell[cell]
+        cemb = []
+        for d in range(EMB_DIM):
+            s, n = dims[d]
+            # same doubles the SQL computes: s/(n*SCALE) for the mean,
+            # floor(s/n) for the integer component (both < 2^53)
+            cemb.append(s / (n * KM_SCALE))
+            cq_rows.append((cell, d, math.floor(s / n)))
+        cnorm = 0.0
+        for v in cemb:  # left-to-right fold, same order as dot_double
+            cnorm += v * v
+        cent_rows.append((cell, cemb, cnorm))
+    cent = spark.createDataFrame(
+        cent_rows, "cell long, cemb array<double>, cnorm double"
+    )
+    cq = spark.createDataFrame(cq_rows, "cell long, dim int, cel long")
+
+    qv = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "embedding",
+        f"{_PQ_QE_SPARK} as qe",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+    )
+    dot = D.dot_double(SPARK, "cemb", "embedding")
+    akey = (
+        f"cast(floor(({dot} / sqrt(cnorm * qnorm)) * 1000000) as bigint)"
+        f" * {KM_CELL_SPAN} - cell"
+    )
+    # bounded: cent is ANN_IVF_CELLS = 8 rows
+    assign = (
+        qv.crossJoin(F.broadcast(cent))
+        .selectExpr("vec_id", "qe", "cell", f"{akey} as akey")
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cell, akey)").alias("cell"),
+            F.expr("any_value(qe)").alias("qe"),
+        )
+    )
+    pivot = [
+        f"max(case when dsub = {j} then el end) as e{j}"
+        for j in range(IVFPQ_SUB)
+    ]
+    # bounded: cq is 8 cells x 64 dims = 512 rows
+    relsub = (
+        assign.join(F.broadcast(cq), "cell")
+        .selectExpr(
+            "vec_id",
+            "cell",
+            f"cast(dim div {IVFPQ_SUB} as int) as m",
+            f"cast(dim % {IVFPQ_SUB} as int) as dsub",
+            "element_at(qe, dim + 1) - cel as el",
+        )
+        .groupBy("vec_id", "cell", "m")
+        .agg(*[F.expr(p) for p in pivot])
+    )
+    d2 = " + ".join(
+        f"(e{j} - c{j}) * (e{j} - c{j})" for j in range(IVFPQ_SUB)
+    )
+    cb_seed = relsub.where(F.col("vec_id") < IVFPQ_K).selectExpr(
+        "cast(vec_id as int) as code",
+        "m as cm",
+        *[f"e{j} as c{j}" for j in range(IVFPQ_SUB)],
+    )
+    train = relsub.where("vec_id % 4 = 0")
+    # bounded: cb_seed is <= IVFPQ_K x IVFPQ_M = 2048 codebook rows
+    pdist0 = train.join(
+        F.broadcast(cb_seed), F.col("m") == F.col("cm")
+    ).selectExpr("vec_id", "m", "code", f"cast({d2} as bigint) as d2")
+    codes0 = pdist0.groupBy("vec_id", "m").agg(
+        F.expr(f"max_by(code, -(d2 * {PQ_CODE_SPAN} + code))").alias("code")
+    )
+    # control-plane collect #2: the Lloyd-refined codebook (<= 2048 rows)
+    cb_rows = (
+        train.join(codes0, ["vec_id", "m"])
+        .groupBy("m", "code")
+        .agg(
+            *[
+                F.expr(
+                    f"cast(floor(sum(cast(e{j} as double)) / count(*)) "
+                    f"as bigint)"
+                ).alias(f"c{j}")
+                for j in range(IVFPQ_SUB)
+            ]
+        )
+        .collect()
+    )
+    cb = spark.createDataFrame(
+        [tuple(r) for r in cb_rows],
+        "cm int, code int, "
+        + ", ".join(f"c{j} long" for j in range(IVFPQ_SUB)),
+    )
+    # final encode: ONE corpus pass against the literal codebook
+    codes = (
+        relsub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .selectExpr(
+            "vec_id", "cell", "m", "code", f"cast({d2} as bigint) as d2"
+        )
+        .groupBy("vec_id", "cell", "m")
+        .agg(
+            F.expr(
+                f"max_by(code, -(d2 * {PQ_CODE_SPAN} + code))"
+            ).alias("code")
+        )
+    )
+    # query side: 10 vectors x 8 cells / x 2 probed cells — all bounded
+    cos_probe = D.cosine(SPARK, "cemb", "embedding")
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosp"), F.col("cell")
+    )
+    t_probe = (
+        qv.where(F.col("vec_id") < ANN_N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .selectExpr("vec_id", "qe", "cell", f"{cos_probe} as cosp")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= ANN_IVF_NPROBE)
+        .select("vec_id", "qe", "cell")
+    )
+    qsub = (
+        t_probe.join(F.broadcast(cq), "cell")
+        .selectExpr(
+            "vec_id as va",
+            "cell",
+            f"cast(dim div {IVFPQ_SUB} as int) as m",
+            f"cast(dim % {IVFPQ_SUB} as int) as dsub",
+            "element_at(qe, dim + 1) - cel as el",
+        )
+        .groupBy("va", "cell", "m")
+        .agg(*[F.expr(p) for p in pivot])
+    )
+    qdist = qsub.join(
+        F.broadcast(cb), F.col("m") == F.col("cm")
+    ).selectExpr("va", "cell", "m", "code", f"cast({d2} as bigint) as d2")
+    # bounded: qdist is queries x nprobe x M x K <= ~41k ADC-table rows
+    approx = (
+        codes.join(
+            F.broadcast(qdist),
+            ["cell", "m", "code"],
+        )
+        .where(F.col("vec_id") != F.col("va"))
+        .groupBy("va", F.col("vec_id").alias("vb"))
+        .agg(F.sum("d2").cast("bigint").alias("adist"))
+    )
+    w = Window.partitionBy("va").orderBy("adist", "vb")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("va", "vb", "adist", "rank")
     )
 
 
@@ -3451,29 +3625,41 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "ann", "quality", "ivf", "pq"),
 )
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
-    return spark.sql(
-        f"""
-        WITH {_ivfpq_ctes(SPARK, table="sp_kmeans_embeddings")},
-        bf AS (
-          SELECT va, vb FROM (
-            SELECT q.vec_id AS va, b.vec_id AS vb,
-                   row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY sum((q.el - b.el) * (q.el - b.el)), b.vec_id
-                   ) AS rank
-            FROM el q JOIN el b ON q.dim = b.dim AND q.vec_id <> b.vec_id
-            WHERE q.vec_id < {ANN_N_QUERIES}
-            GROUP BY q.vec_id, b.vec_id
-          ) WHERE rank <= {ANN_TOPK}
+    # exact integer-L2 ground truth as one array expression per pair
+    # (no dim explode; integer sums are order-independent, so the value
+    # matches the oracle's grouped-sum formulation exactly)
+    qv = _embs(spark, sf_dir).selectExpr(
+        "vec_id", f"{_PQ_QE_SPARK} as qe"
+    )
+    # bounded: the probe side is ANN_N_QUERIES = 10 rows
+    q = F.broadcast(
+        qv.where(F.col("vec_id") < ANN_N_QUERIES).selectExpr(
+            "vec_id as va", "qe as qea"
         )
-        SELECT bf.va,
-               CAST(count(t.vb) AS BIGINT) AS n_hit,
-               {D.floor_round(SPARK, f"CAST(count(t.vb) AS DOUBLE) / {ANN_TOPK}", 6)}
-                 AS recall
-        FROM bf LEFT JOIN ivfpq_topk t ON bf.va = t.va AND bf.vb = t.vb
-        GROUP BY bf.va
-        """
+    )
+    d2 = (
+        "aggregate(zip_with(qea, qe, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("va").orderBy("d2", "vb")
+    bf = (
+        q.join(qv, F.col("va") != F.col("vec_id"))
+        .selectExpr("va", "vec_id as vb", f"{d2} as d2")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("va", "vb")
+    )
+    t = _ivfpq_topk_frame(spark, sf_dir).select(
+        F.col("va").alias("tva"), F.col("vb").alias("tvb")
+    )
+    j = bf.join(t, (bf.va == t.tva) & (bf.vb == t.tvb), "left")
+    return j.groupBy("va").agg(
+        F.count("tvb").alias("n_hit"),
+        F.expr(
+            D.floor_round(
+                SPARK, f"CAST(count(tvb) AS DOUBLE) / {ANN_TOPK}", 6
+            )
+        ).alias("recall"),
     )
 
 
