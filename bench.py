@@ -68,6 +68,10 @@ HEADLINE = [
     "repeated_ngram_cut_corpus",
     "ann_ivfpq_topk",
     "mm_image_features",
+    "semdedup_keep_list",
+    "decontaminate_bloom",
+    "cms_heavy_hitters",
+    "gopher_quality_rules",
     # round-3 training path
     "ivf_kmeans_centroids",
     # advanced joins / sessions / training-data prep

@@ -241,3 +241,218 @@ def cume_dist_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("cheapest_ok"),
         F.max("o_totalprice").over(wp).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4      # sketch depth (hash rows)
+# Sketch width: sized to the FIXTURE vocabulary (~31 words) so counter
+# collisions actually occur and the min-over-rows estimate is exercised
+# (at 512 the sketch was collision-free and the overcount column never
+# left zero — untested behavior). Production sizes W ~ 2^20+ for an
+# open vocabulary; width only changes the constants below, not the plan.
+CMS_W = 32
+CMS_TOPK = 20
+
+
+def _cms_col(d: str, w: str, r: str) -> str:
+    """Counter column for word expr ``w`` under hash row ``r`` — identical
+    arithmetic in both dialects (md5int is non-negative)."""
+    salted = f"concat({w}, '#cms', {r})"
+    return f"({D.md5int(d, salted)} % {CMS_W})"
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH o AS (SELECT unnest({D.words(DUCK)}) AS w FROM documents),
+    sk AS (
+      SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT t.r, {_cms_col(DUCK, "o.w", "t.r")} AS c
+        FROM o CROSS JOIN unnest(range({CMS_D})) AS t(r)
+      ) GROUP BY r, c
+    ),
+    ex AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_n FROM o GROUP BY w),
+    est AS (
+      SELECT e.w, CAST(min(sk.cnt) AS BIGINT) AS est_n
+      FROM ex e CROSS JOIN unnest(range({CMS_D})) AS t(r)
+      JOIN sk ON sk.r = t.r AND sk.c = {_cms_col(DUCK, "e.w", "t.r")}
+      GROUP BY e.w
+    )
+    SELECT est.w, est.est_n, ex.exact_n,
+           CAST(est.est_n - ex.exact_n AS BIGINT) AS overcount
+    FROM est JOIN ex USING (w)
+    ORDER BY est.est_n DESC, est.w ASC
+    LIMIT {CMS_TOPK}
+    """,
+    doc=f"Count-min sketch (Cormode & Muthukrishnan '05) heavy hitters: "
+    f"every word occurrence increments {CMS_D} counters (one per hash "
+    f"row) in a {CMS_D}x{CMS_W} integer sketch; a word's estimate is the "
+    "min over its counters — always >= the true count, never under. The "
+    "sketch is built by ONE groupBy whose key space is the CONSTANT "
+    f"{CMS_D * CMS_W} counters: partial aggregation collapses each task "
+    "to at most that many rows before the exchange, so at 100 TB the "
+    "shuffle carries kilobytes regardless of corpus size (sums commute, "
+    "so the sketch is also partition- and merge-order-independent — the "
+    "property that makes it streamable). The fixture-scale query also "
+    "joins the exact counts so the output exposes the overcount error; "
+    f"production keeps only the sketch. Top-{CMS_TOPK} by estimate, "
+    "word-ASC tie-break.",
+    tags=("text", "corpus", "sketch", "topk"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    occ = (
+        docs.selectExpr(f"explode_outer({D.words(SPARK)}) as w")
+        .where(F.col("w").isNotNull())
+    )
+    sk = (
+        occ.select("w", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r"))
+        .selectExpr("r", f"{_cms_col(SPARK, 'w', 'r')} as c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ex = occ.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    probe = ex.select(
+        "w", "exact_n",
+        F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r"),
+    ).selectExpr("w", "exact_n", "r", f"{_cms_col(SPARK, 'w', 'r')} as c")
+    # bounded: the sketch is <= CMS_D * CMS_W = constant rows by construction
+    return (
+        probe.join(F.broadcast(sk), ["r", "c"])
+        .groupBy("w")
+        .agg(
+            F.min("cnt").alias("est_n"),
+            F.expr("any_value(exact_n)").alias("exact_n"),
+        )
+        .selectExpr(
+            "w", "est_n", "exact_n",
+            "cast(est_n - exact_n as bigint) as overcount",
+        )
+        .orderBy(F.desc("est_n"), F.asc("w"))
+        .limit(CMS_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. '21, arXiv:2112.11446 Table A1)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3, 10
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+# The paper's rule is ">= 2 distinct words from a fixed stopword lexicon";
+# its English list (the, be, to, of, and, that, have, with) intersects the
+# 31-word synthetic fixture vocabulary only at 'the', which would pin the
+# rule to a constant 0. This lexicon keeps the paper's MECHANISM against
+# the fixture's actual function words (same adaptation as
+# llm_ops.STOPWORDS for the quality-score family).
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "value"]
+
+
+def _gopher_exprs(d: str) -> dict[str, str]:
+    ws = "ws"
+    n = D.size(d, ws)
+    wlen_sum = D.agg_sum_bigint(d, ws, "x", "length(x)")
+    mean_wlen = D.floor_round(
+        d, f"cast({wlen_sum} as double) / cast({n} as double)", 6
+    )
+    n_symbols = (
+        f"({D.regexp_all_count(d, 'text', '#')}"
+        f" + {D.regexp_all_count(d, 'text', D.sql_regex_lit(d, chr(92) + '.' + chr(92) + '.' + chr(92) + '.'))})"
+    )
+    symbol_ratio = D.floor_round(
+        d, f"cast({n_symbols} as double) / cast({n} as double)", 6
+    )
+    if d == SPARK:
+        n_alpha = f"size(filter({ws}, x -> x rlike '[a-z]'))"
+    else:
+        n_alpha = f"len(list_filter({ws}, x -> regexp_matches(x, '[a-z]')))"
+    alpha_frac = D.floor_round(
+        d, f"cast({n_alpha} as double) / cast({n} as double)", 6
+    )
+    n_stop = D.intersect_size(
+        d, D.distinct(d, ws), D.str_array(d, GOPHER_STOPWORDS)
+    )
+    return {
+        "n": n,
+        "mean_wlen": mean_wlen,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "n_stop": n_stop,
+    }
+
+
+def _gopher_select(d: str) -> str:
+    e = _gopher_exprs(d)
+    r_words = (
+        f"CASE WHEN {e['n']} >= {GOPHER_MIN_WORDS}"
+        f" AND {e['n']} <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END"
+    )
+    r_wlen = (
+        f"CASE WHEN {e['mean_wlen']} >= {GOPHER_MIN_WLEN}"
+        f" AND {e['mean_wlen']} <= {GOPHER_MAX_WLEN} THEN 1 ELSE 0 END"
+    )
+    r_symbol = (
+        f"CASE WHEN {e['symbol_ratio']} <= {GOPHER_MAX_SYMBOL_RATIO}"
+        " THEN 1 ELSE 0 END"
+    )
+    r_alpha = (
+        f"CASE WHEN {e['alpha_frac']} >= {GOPHER_MIN_ALPHA_FRAC}"
+        " THEN 1 ELSE 0 END"
+    )
+    r_stop = (
+        f"CASE WHEN {e['n_stop']} >= {GOPHER_MIN_STOP_HITS}"
+        " THEN 1 ELSE 0 END"
+    )
+    return f"""SELECT doc_id,
+      CAST({e['n']} AS BIGINT) AS n_words,
+      {e['mean_wlen']} AS mean_wlen,
+      {e['symbol_ratio']} AS symbol_ratio,
+      {e['alpha_frac']} AS alpha_frac,
+      CAST({e['n_stop']} AS BIGINT) AS n_stop,
+      CAST({r_words} AS INT) AS r_words,
+      CAST({r_wlen} AS INT) AS r_wlen,
+      CAST({r_symbol} AS INT) AS r_symbol,
+      CAST({r_alpha} AS INT) AS r_alpha,
+      CAST({r_stop} AS INT) AS r_stop,
+      CAST({r_words} * {r_wlen} * {r_symbol} * {r_alpha} * {r_stop}
+           AS INT) AS passed"""
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {D.words(DUCK)} AS ws FROM documents
+               WHERE {D.size(DUCK, D.words(DUCK))} > 0)
+    {_gopher_select(DUCK)} FROM w
+    """,
+    doc="The Gopher document-quality rule set (Rae et al. '21 Table A1) "
+    "as one stateless JVM pass: word-count bounds [50, 100k], mean word "
+    "length [3, 10], symbol-to-word ratio (#/ellipsis) <= 0.1, >= 80% "
+    "words containing an alphabetic character, and >= 2 distinct "
+    "stopwords present. Emits every intermediate metric (floor-quantized "
+    "6dp where fractional) plus per-rule verdicts and the conjunction — "
+    "the debuggable form a production filter needs. Scale shape: no "
+    "exchange at all; every expression is a scalar/HOF pass over the "
+    "tokenized text, so it pipelines inside the scan stage at any corpus "
+    "size. Both engines evaluate the same expression text; the rule "
+    "thresholds compare the QUANTIZED metrics so verdicts are "
+    "engine-stable.",
+    tags=("text", "quality", "llm"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("sp_gopher_documents")
+    return spark.sql(
+        f"""
+        WITH w AS (SELECT doc_id, text, {D.words(SPARK)} AS ws
+                   FROM sp_gopher_documents
+                   WHERE {D.size(SPARK, D.words(SPARK))} > 0)
+        {_gopher_select(SPARK)} FROM w
+        """
+    )

@@ -423,3 +423,58 @@ def test_suffix_array_windows_all_partitioned(spark, sf_dir):
         for line in p.splitlines():
             if "windowspecdefinition" in line.lower():
                 assert "part#" in line, f"{name}: unpartitioned window: {line.strip()[:140]}"
+
+
+def test_gopher_rules_no_exchange_no_python(spark, sf_dir):
+    """gopher_quality_rules is a stateless scan pass: every rule metric
+    must pipeline inside the scan stage — an Exchange here means a
+    corpus-sized shuffle appeared in what should be a zero-shuffle
+    filter at 100 TB. Pure JVM (no Python stages)."""
+    p = _plan(spark, sf_dir, "gopher_quality_rules")
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_bloom_probe_has_no_gram_join(spark, sf_dir):
+    """decontaminate_bloom's probe is a scan-local bit test against the
+    ONE-row broadcast bitset: the only join in the plan must be that
+    broadcast nested-loop (cartesian with 1 literal row); a hash join
+    on grams means it degenerated to the exact variant's join shape and
+    lost the constant-size-filter property."""
+    p = _plan(spark, sf_dir, "decontaminate_bloom")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Python" not in p and "ArrowEval" not in p
+    _assert_no_hof_in_filters(p, "decontaminate_bloom")
+
+
+def test_cms_sketch_join_is_broadcast(spark, sf_dir):
+    """cms_heavy_hitters probes the CONSTANT-size sketch (CMS_D * CMS_W
+    rows): the sketch side must broadcast — shuffling the vocabulary
+    against a kilobyte sketch would be backwards — and the sketch
+    groupBy must partial-aggregate map-side (partial_count present)."""
+    p = _plan(spark, sf_dir, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_semdedup_pairs_are_cell_equijoin(spark, sf_dir):
+    """semdedup_keep_list's quadratic step must key on the k-means cell
+    (equi-join AQE can skew-split) — a nested loop means the in-cluster
+    blocking degenerated to all-pairs. The trained centroids enter as a
+    broadcast literal (no corpus-sized build side)."""
+    p = _plan(spark, sf_dir, "semdedup_keep_list")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    )
+    # the only nested-loops allowed are the 8-row centroid cross joins
+    # (one per reference of the assignment subtree: both pair sides +
+    # the final keep-list join; AQE collapses them to ReusedExchange at
+    # runtime, and at 100 TB the assignment would be materialized once)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 3
+    # no Python EXECUTION stages (the 8-row literal centroid frame's
+    # driver-side applySchemaToPythonRDD materialization is fine)
+    assert "EvalPython" not in p and "InPandas" not in p
