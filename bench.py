@@ -72,6 +72,8 @@ HEADLINE = [
     "decontaminate_bloom",
     "cms_heavy_hitters",
     "gopher_quality_rules",
+    "line_dedup_corpus",
+    "lm_perplexity_bucket",
     # round-3 training path
     "ivf_kmeans_centroids",
     # advanced joins / sessions / training-data prep

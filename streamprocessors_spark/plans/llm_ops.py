@@ -27,6 +27,8 @@ Scale strategy (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -4698,4 +4700,286 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(max(case when hit then 1 else 0 end) as int)").alias(
             "contaminated"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level exact dedup (C4, Raffel et al. '20; RefinedWeb)
+# ---------------------------------------------------------------------------
+
+# The fixture text has no newlines, so a "line" is a fixed non-overlapping
+# LINE_SEG_W-word segment — the same fixture adaptation as GOPHER_STOPWORDS;
+# the mechanism (global keep-first-occurrence of repeated lines, documents
+# rebuilt from their surviving lines) is exactly C4's three-sentence-span /
+# RefinedWeb's line dedup. Segment ids pack as doc_id * LINE_SEG_SPAN + idx:
+# docs up to 2^20 segments (10M words) and doc_id up to 2^43 stay exact.
+LINE_SEG_W = 10
+LINE_SEG_SPAN = 1 << 20
+
+
+def line_dedup_docs(raw_docs: DataFrame) -> DataFrame:
+    """Docs-frame-parameterized core of line_dedup_corpus (shared with the
+    hand fixtures in tests/test_algo_invariants.py).
+
+    Scale shape: ONE exchange keyed by the segment TEXT (a boilerplate
+    line repeated a billion times collapses map-side — min(pk) combines
+    partially — so hot lines never build a hot task), one equi-join of
+    segments against the keep-first table (AQE skew-splittable), and a
+    per-doc reassembly exchange whose groups are bounded by document
+    length / LINE_SEG_W. The dedup key is the exact segment text, not a
+    hash: at ~1e12 segments (100 TB) a 60-bit hash key WOULD birthday-
+    collide and silently merge distinct lines."""
+    w = raw_docs.selectExpr(
+        "doc_id", f"{D.words(SPARK)} as ws"
+    ).where("size(ws) > 0")
+    segs = (
+        w.selectExpr(
+            "doc_id",
+            "ws",
+            f"explode(sequence(0, cast((size(ws) + {LINE_SEG_W - 1})"
+            f" div {LINE_SEG_W} as int) - 1)) as sidx",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(sidx as bigint) as sidx",
+            f"array_join(slice(ws, sidx * {LINE_SEG_W} + 1,"
+            f" {LINE_SEG_W}), ' ') as seg",
+            f"cast(doc_id * {LINE_SEG_SPAN} + sidx as bigint) as pk",
+        )
+    )
+    first = segs.groupBy("seg").agg(F.min("pk").alias("mpk"))
+    j = segs.join(first, "seg")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(
+                F.expr("case when pk = mpk then 1 else 0 end")
+            ).alias("n_kept"),
+            F.sum(F.length("seg")).alias("seg_chars"),
+            # bounded: per-doc group <= ceil(doc words / LINE_SEG_W)
+            # structs — document length, not corpus size
+            F.expr(
+                "array_join(transform(sort_array(collect_list("
+                "case when pk = mpk then struct(sidx, seg) end)),"
+                " x -> x.seg), ' ')"
+            ).alias("text_out"),
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(n_segs as bigint) as n_segs",
+            "cast(n_kept as bigint) as n_kept",
+            "text_out",
+            "cast(seg_chars + n_segs - 1 as bigint) as bytes_before",
+            "cast(length(text_out) as bigint) as bytes_after",
+        )
+    )
+
+
+@register(
+    "line_dedup_corpus",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    w2 AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+    s AS (SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+                 array_to_string(
+                   ws[(i*{LINE_SEG_W}+1):(i*{LINE_SEG_W}+{LINE_SEG_W})],
+                   ' ') AS seg,
+                 doc_id * {LINE_SEG_SPAN} + i AS pk
+          FROM w2, unnest(range(0, (len(ws) + {LINE_SEG_W - 1})
+                                   // {LINE_SEG_W})) AS t(i)),
+    f AS (SELECT seg, min(pk) AS mpk FROM s GROUP BY seg),
+    j AS (SELECT s.doc_id, s.sidx, s.seg, s.pk, f.mpk
+          FROM s JOIN f USING (seg)),
+    d AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_segs,
+                 CAST(sum(CASE WHEN pk = mpk THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 CAST(sum(length(seg)) AS BIGINT) AS seg_chars,
+                 coalesce(string_agg(CASE WHEN pk = mpk THEN seg END,
+                                     ' ' ORDER BY sidx), '') AS text_out
+          FROM j GROUP BY doc_id)
+    SELECT doc_id, n_segs, n_kept, text_out,
+           CAST(seg_chars + n_segs - 1 AS BIGINT) AS bytes_before,
+           CAST(length(text_out) AS BIGINT) AS bytes_after
+    FROM d
+    """,
+    doc="C4/RefinedWeb-style cross-document line dedup: the corpus is cut "
+    f"into non-overlapping {LINE_SEG_W}-word lines, every line repeated "
+    "ANYWHERE in the corpus keeps only its first occurrence (min packed "
+    "(doc_id, position)), and each document is rebuilt from its surviving "
+    "lines — with per-doc line/byte counts before and after, the numbers "
+    "a pipeline reports. Keep-first is the C4 policy; a doc made entirely "
+    "of seen lines comes back EMPTY (and the byte columns expose it). "
+    "Scale shape: one map-side-combined exchange keyed by line text "
+    "(boilerplate hot lines collapse in the combiner), one AQE-splittable "
+    "equi-join, one per-doc bounded reassembly; the key is the exact text "
+    "because 60-bit hashes birthday-collide at 100 TB line counts.",
+    tags=("llm", "dedup", "text"),
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup_docs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram LM perplexity buckets (Wenzek et al. '20,
+# arXiv:1911.00359)
+# ---------------------------------------------------------------------------
+
+# CCNet filters crawl text by the perplexity of a language model trained on
+# a clean reference corpus, then splits the corpus into head/middle/tail
+# perplexity terciles. Here the reference slice is doc_id % LM_TRAIN_MOD = 0
+# (the same held-out-slice idiom as decontaminate_bloom's benchmark) and the
+# model is an add-one-smoothed bigram LM: p(w2|w1) = (c12+1) / (c1+V) with
+# c1 counting HISTORY positions (every token but a doc's last) so the
+# conditional genuinely normalizes over the vocabulary.
+#
+# Cross-entropy needs a log, and libm log/ln is NOT guaranteed bit-identical
+# between the JVM and DuckDB — so the log is FIXED-POINT INTEGER arithmetic
+# both engines compute identically: log2q(n) = 1024*floor(log2 n) + T[m]
+# where floor(log2 n) is the length of n's binary string minus one and T is
+# a STATIC 256-entry table of floor(1024*log2(1 + i/256)) indexed by the 8
+# bits under the MSB. Max quantization error ~0.006 bits/token — noise next
+# to the rule's tercile granularity — and the sums are exact BIGINT sums of
+# integers, order-independent at any parallelism.
+LM_TRAIN_MOD = 50
+_LOG2Q_FRAC = [int(1024 * math.log2(1.0 + i / 256.0)) for i in range(256)]
+
+
+def _log2q(d: str, n: str) -> str:
+    """Quantized log2 of a positive BIGINT expression, in 1/1024 units —
+    identical integer arithmetic in both dialects."""
+    frac = ", ".join(str(v) for v in _LOG2Q_FRAC)
+    if d == SPARK:
+        il = f"(length(bin({n})) - 1)"
+        idx = (
+            f"(cast((({n}) * 256) div shiftleft(cast(1 as bigint), {il})"
+            f" as int) - 256)"
+        )
+        return (
+            f"(cast({il} as bigint) * 1024"
+            f" + cast(element_at(array({frac}), {idx} + 1) as bigint))"
+        )
+    il = f"(length(to_base({n}, 2)) - 1)"
+    idx = f"(CAST((({n}) * 256) // ((1::BIGINT) << {il}) AS INT) - 256)"
+    return (
+        f"(CAST({il} AS BIGINT) * 1024"
+        f" + CAST([{frac}][{idx} + 1] AS BIGINT))"
+    )
+
+
+def _lm_pairs_spark(frame: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs of a (doc_id, ws) frame.
+    Guarded to size >= 2: Spark's sequence(1, 0) steps DOWNWARD instead
+    of returning empty, so the guard is load-bearing."""
+    return (
+        frame.where("size(ws) >= 2")
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(ws) - 1),"
+            " i -> named_struct('w1', element_at(ws, i),"
+            " 'w2', element_at(ws, i + 1)))) as p",
+        )
+        .selectExpr("doc_id", "p.w1 as w1", "p.w2 as w2")
+    )
+
+
+_LM_SURPRISAL_SPARK = (
+    f"{_log2q(SPARK, 'coalesce(c1, 0) + v')}"
+    f" - {_log2q(SPARK, 'coalesce(c12, 0) + 1')}"
+)
+_LM_SURPRISAL_DUCK = (
+    f"{_log2q(DUCK, 'coalesce(h.c1, 0) + vs.v')}"
+    f" - {_log2q(DUCK, 'coalesce(b.c12, 0) + 1')}"
+)
+
+
+@register(
+    "lm_perplexity_bucket",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    tr AS (SELECT doc_id, ws FROM w
+           WHERE doc_id % {LM_TRAIN_MOD} = 0 AND len(ws) >= 2),
+    trp AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+            FROM tr, unnest(range(1, len(ws))) AS t(i)),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM trp GROUP BY w1, w2),
+    hist AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+             FROM trp GROUP BY w1),
+    vs AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS v
+           FROM (SELECT unnest(ws) AS u
+                 FROM w WHERE doc_id % {LM_TRAIN_MOD} = 0)),
+    sc AS (SELECT doc_id, ws FROM w
+           WHERE doc_id % {LM_TRAIN_MOD} <> 0 AND len(ws) >= 2),
+    scp AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+            FROM sc, unnest(range(1, len(ws))) AS t(i)),
+    pq AS (SELECT p.doc_id, {_LM_SURPRISAL_DUCK} AS sq
+           FROM scp p CROSS JOIN vs
+           LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+           LEFT JOIN hist h ON h.w1 = p.w1),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(sq) AS BIGINT) AS sumq
+           FROM pq GROUP BY doc_id),
+    rk AS (SELECT doc_id, n_pairs, sumq // n_pairs AS ce_q,
+                  row_number() OVER (ORDER BY sumq // n_pairs, doc_id)
+                    AS r,
+                  count(*) OVER () AS n
+           FROM pd)
+    SELECT doc_id, n_pairs, CAST(ce_q AS BIGINT) AS ce_q,
+           CAST((3 * (r - 1)) // n AS INT) AS bucket
+    FROM rk
+    """,
+    doc="CCNet's perplexity filter (Wenzek et al. '20): an add-one bigram "
+    f"LM trained on the clean slice (doc_id % {LM_TRAIN_MOD} = 0) scores "
+    "every other document's per-token cross-entropy, and the corpus splits "
+    "into head/middle/tail terciles (bucket 0/1/2) of that score — the "
+    "exact pretraining-data triage CCNet ships. The log is fixed-point "
+    "integer log2 (static 256-entry mantissa table + binary-string MSB "
+    "position), so both engines compute bit-identical BIGINT surprisals "
+    "with no libm trust; sums are exact integers, order-independent. "
+    "Scale shape: bigram/history count tables are vocab-sized map-side-"
+    "combined aggregates; scoring is two LEFT equi-joins (AQE decides "
+    "strategy and splits skewed function-word histories); V and the doc "
+    "count ride along as single-row broadcast frames; the tercile rank "
+    "uses the sampled-boundary two-level rank, never a corpus-sized "
+    "single-task window. ce_q is bits/token in 1/1024 units.",
+    tags=("llm", "quality", "text"),
+)
+def lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{D.words(SPARK)} as ws"
+    )
+    tr = w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
+    trp = _lm_pairs_spark(tr)
+    big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = trp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vs = (
+        tr.selectExpr("explode(ws) as u")
+        .agg(F.countDistinct("u").alias("v"))
+    )
+    scp = _lm_pairs_spark(w.where(f"doc_id % {LM_TRAIN_MOD} != 0"))
+    pq = (
+        # bounded: vs is a single-row aggregate (the vocab size scalar)
+        scp.crossJoin(F.broadcast(vs))
+        .join(big, ["w1", "w2"], "left")
+        .join(hist, ["w1"], "left")
+        .selectExpr("doc_id", f"{_LM_SURPRISAL_SPARK} as sq")
+    )
+    pd = pq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sq").alias("sumq"),
+    ).selectExpr(
+        "doc_id", "n_pairs", "sumq", "sumq div n_pairs as ce_q"
+    )
+    cnt = pd.agg(F.count(F.lit(1)).alias("n"))
+    ranked = _rank_two_level(pd, ["ce_q", "doc_id"], dense=False)
+    return (
+        # bounded: cnt is a single-row aggregate (the scored-doc count)
+        ranked.crossJoin(F.broadcast(cnt))
+        .selectExpr(
+            "doc_id",
+            "cast(n_pairs as bigint) as n_pairs",
+            "cast(ce_q as bigint) as ce_q",
+            "cast((3 * (r - 1)) div n as int) as bucket",
+        )
     )

@@ -628,3 +628,82 @@ def test_suffix_array_matches_independent_reference(spark, sf_dir):
         for r in REGISTRY["repeated_phrase_topk"].fn(spark, sf_dir).collect()
     ]
     assert got_p == pairs[:topk], (got_p[:5], pairs[:5])
+
+
+def test_line_dedup_hand_fixture(spark):
+    """C4-style line dedup hand fixtures: a repeated 10-word line keeps
+    only its first occurrence, a doc that is entirely seen lines comes
+    back EMPTY, and a short tail segment dedups like any other line."""
+    from streamprocessors_spark.plans.llm_ops import line_dedup_docs
+
+    seg_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seg_b = "one two three four five six seven eight nine ten"
+    seg_c = "red orange yellow green blue indigo violet black white gray"
+    tail = "tail1 tail2 tail3"
+    rows = [
+        (0, f"{seg_a} {seg_b}"),
+        (1, f"{seg_a} {seg_c}"),   # first line already seen -> dropped
+        (2, f"{seg_a} {seg_b}"),   # whole doc seen -> empty
+        (3, f"{seg_c} {tail}"),    # seg_c seen (doc 1); fresh short tail
+        (4, tail),                  # tail seen (doc 3) -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup_docs(df).collect()}
+    assert got[0].n_segs == 2 and got[0].n_kept == 2
+    assert got[0].text_out == f"{seg_a} {seg_b}"
+    assert got[0].bytes_before == got[0].bytes_after == len(f"{seg_a} {seg_b}")
+    assert got[1].n_kept == 1 and got[1].text_out == seg_c
+    assert got[2].n_kept == 0 and got[2].text_out == ""
+    assert got[2].bytes_after == 0
+    assert got[3].n_kept == 1 and got[3].text_out == tail
+    assert got[4].n_kept == 0 and got[4].text_out == ""
+
+
+def test_lm_perplexity_matches_independent_reference(spark, sf_dir):
+    """lm_perplexity_bucket vs a pure-Python bigram LM sharing zero code
+    with the SQL builders: the fixed-point log2 is recomputed here from
+    int.bit_length() and a locally rebuilt mantissa table, the counts
+    from plain dicts, the buckets from sorted() ranks."""
+    import math as _m
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import LM_TRAIN_MOD
+
+    frac = [int(1024 * _m.log2(1.0 + i / 256.0)) for i in range(256)]
+
+    def log2q(n: int) -> int:
+        il = n.bit_length() - 1
+        idx = (n * 256) // (1 << il) - 256
+        return il * 1024 + frac[idx]
+
+    toks = _fixture_tokens(sf_dir)
+    big: dict = {}
+    hist: dict = {}
+    vocab = set()
+    for d, ws in toks.items():
+        if d % LM_TRAIN_MOD == 0:
+            vocab.update(ws)
+            for a, b in zip(ws, ws[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+                hist[a] = hist.get(a, 0) + 1
+    v = len(vocab)
+    scored = {}
+    for d, ws in toks.items():
+        if d % LM_TRAIN_MOD == 0 or len(ws) < 2:
+            continue
+        s = sum(
+            log2q(hist.get(a, 0) + v) - log2q(big.get((a, b), 0) + 1)
+            for a, b in zip(ws, ws[1:])
+        )
+        scored[d] = (len(ws) - 1, s // (len(ws) - 1))
+    order = sorted(scored.items(), key=lambda kv: (kv[1][1], kv[0]))
+    n = len(order)
+    expected = {
+        d: (np_, ce, (3 * r) // n)
+        for r, (d, (np_, ce)) in enumerate(order)
+    }
+    got = {
+        r.doc_id: (r.n_pairs, r.ce_q, r.bucket)
+        for r in REGISTRY["lm_perplexity_bucket"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -478,3 +478,31 @@ def test_semdedup_pairs_are_cell_equijoin(spark, sf_dir):
     # no Python EXECUTION stages (the 8-row literal centroid frame's
     # driver-side applySchemaToPythonRDD materialization is fine)
     assert "EvalPython" not in p and "InPandas" not in p
+
+
+def test_line_dedup_joins_are_equi_no_python(spark, sf_dir):
+    """line_dedup_corpus's keep-first join must key on the segment text
+    (hash-partitioned equi-join AQE can skew-split) — a nested loop means
+    the dedup degenerated to all-pairs — and the whole plan stays JVM
+    (no Python stages)."""
+    p = _plan(spark, sf_dir, "line_dedup_corpus")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    )
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_lm_perplexity_windows_partitioned_no_python(spark, sf_dir):
+    """lm_perplexity_bucket's tercile rank must go through the two-level
+    rank (every window partition-keyed) — an unpartitioned window is the
+    corpus-in-one-task shape at 100 TB. Scoring joins are equi; no
+    Python stages; surprisal arithmetic stays integer (no libm log in
+    the plan)."""
+    p = _plan(spark, sf_dir, "lm_perplexity_bucket")
+    for line in p.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "part#" in line, f"unpartitioned window: {line.strip()[:140]}"
+    assert "CartesianProduct" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "LOG(" not in p.upper().replace("LOG2Q", "")
