@@ -74,6 +74,8 @@ HEADLINE = [
     "gopher_quality_rules",
     "line_dedup_corpus",
     "lm_perplexity_bucket",
+    "nb_lang_classifier",
+    "stream_line_dedup",
     # round-3 training path
     "ivf_kmeans_centroids",
     # advanced joins / sessions / training-data prep

@@ -4983,3 +4983,139 @@ def lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((3 * (r - 1)) div n as int) as bucket",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (the CCNet/fastText lang-id
+# filtering stage: train on a labeled clean slice, classify the corpus)
+# ---------------------------------------------------------------------------
+
+# Packs (score, class) into one BIGINT for the map-side argmax; > #langs.
+NB_CLS_SPAN = 64
+
+
+def _nb_score_ctes(d: str) -> str:
+    """Shared WITH-body: train add-one multinomial NB on the labeled
+    doc_id % LM_TRAIN_MOD = 0 slice, score every other doc against every
+    class in fixed-point integer log2 units (1/1024 bits)."""
+    cq = (
+        f"{_log2q(d, 'coalesce(x.cnt, 0) + 1')}"
+        f" - {_log2q(d, 'tc.tok_c + vs.v')}"
+    )
+    prior = f"{_log2q(d, 'c.docs_c')} - {_log2q(d, 'tot.docs_total')}"
+    if d == SPARK:
+        unnest_tr = (
+            "SELECT lang, explode(ws) AS u FROM tr"
+        )
+        unnest_sc = (
+            "SELECT doc_id, actual_lang, explode(ws) AS w FROM sc"
+        )
+        nwords = "size(ws)"
+        anyv = "any_value"
+    else:
+        unnest_tr = "SELECT lang, unnest(ws) AS u FROM tr"
+        unnest_sc = "SELECT doc_id, actual_lang, unnest(ws) AS w FROM sc"
+        nwords = "len(ws)"
+        anyv = "arbitrary"
+    return f"""
+    tr AS (SELECT doc_id, lang, ws FROM w
+           WHERE doc_id % {LM_TRAIN_MOD} = 0),
+    cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS docs_c
+            FROM tr GROUP BY lang),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS docs_total FROM tr),
+    vs AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS v
+           FROM ({unnest_tr})),
+    tc AS (SELECT lang, CAST(count(*) AS BIGINT) AS tok_c
+           FROM ({unnest_tr}) GROUP BY lang),
+    wc AS (SELECT lang, u AS tw, CAST(count(*) AS BIGINT) AS cnt
+           FROM ({unnest_tr}) GROUP BY lang, u),
+    sc AS (SELECT doc_id, lang AS actual_lang, ws FROM w
+           WHERE doc_id % {LM_TRAIN_MOD} <> 0 AND {nwords} > 0),
+    tok AS ({unnest_sc}),
+    contrib AS (
+      SELECT t.doc_id, t.actual_lang, c.lang,
+             {prior} AS prior_q, {cq} AS cq
+      FROM tok t CROSS JOIN cls c CROSS JOIN tot CROSS JOIN vs
+      JOIN tc ON tc.lang = c.lang
+      LEFT JOIN wc x ON x.lang = c.lang AND x.tw = t.w),
+    s AS (
+      SELECT doc_id, actual_lang, lang,
+             CAST({anyv}(prior_q) + sum(cq) AS BIGINT) AS s_q
+      FROM contrib GROUP BY doc_id, actual_lang, lang)"""
+
+
+@register(
+    "nb_lang_classifier",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {D.words(DUCK)} AS ws FROM documents),
+    {_nb_score_ctes(DUCK)},
+    rk AS (SELECT doc_id, actual_lang, lang AS pred_lang, s_q,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY s_q DESC, lang ASC) AS rn
+           FROM s)
+    SELECT doc_id, actual_lang AS lang, pred_lang,
+           CAST(s_q AS BIGINT) AS score_q,
+           CAST(CASE WHEN actual_lang = pred_lang THEN 1 ELSE 0 END AS INT)
+             AS correct
+    FROM rk WHERE rn = 1
+    """,
+    doc="The lang-id / quality-classifier inference stage of a CCNet-style "
+    "pipeline as a TRAINED model: an add-one multinomial Naive Bayes is "
+    f"fit on the labeled doc_id % {LM_TRAIN_MOD} = 0 slice (class priors, "
+    "per-class token likelihoods) and every other document is classified "
+    "by argmax posterior, with the true label and a correctness flag in "
+    "the output — the broadcast-model + scan-local-scoring shape any "
+    "fastText-style filter deploys at 100 TB. All arithmetic is the "
+    "fixed-point integer log2 (bit-identical across engines, exact "
+    "BIGINT sums). Scale shape: model tables are vocab x #classes "
+    "map-side-combined aggregates; scoring fans each token out to the "
+    "constant #classes rows, joins the likelihood table by (token, "
+    "class) equi-key, and the per-doc argmax is ONE map-side max_by on "
+    "a packed (score, class-index) key — N rows shuffled, never N x k. "
+    "The oracle keeps the window form: two independent argmax "
+    "formulations. Fixture labels are weakly text-correlated, so "
+    "accuracy is honest, not inflated.",
+    tags=("llm", "quality", "text"),
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", f"{D.words(SPARK)} as ws"
+    )
+    w.createOrReplaceTempView("sp_nb_documents")
+    s = spark.sql(
+        f"WITH w AS (SELECT * FROM sp_nb_documents), {_nb_score_ctes(SPARK)}"
+        " SELECT * FROM s"
+    )
+    # class index for the packed argmax key: lang-ASC positions, frozen
+    # from a control-plane collect bounded by the number of LANGUAGES
+    # (single digits), never corpus size — the _kmeans_trained pattern
+    langs = sorted(
+        r["lang"]
+        for r in s.select("lang").distinct().collect()
+    )
+    idx_case = " ".join(
+        f"WHEN '{lg}' THEN {i}" for i, lg in enumerate(langs)
+    )
+    return (
+        s.selectExpr(
+            "doc_id",
+            "actual_lang",
+            "lang",
+            "s_q",
+            f"s_q * {NB_CLS_SPAN} - (CASE lang {idx_case} END) as akey",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr("any_value(actual_lang)").alias("actual_lang"),
+            F.expr("max_by(lang, akey)").alias("pred_lang"),
+            F.expr("max_by(s_q, akey)").alias("score_q"),
+        )
+        .selectExpr(
+            "doc_id",
+            "actual_lang as lang",
+            "pred_lang",
+            "cast(score_q as bigint) as score_q",
+            "cast(case when actual_lang = pred_lang then 1 else 0 end"
+            " as int) as correct",
+        )
+    )

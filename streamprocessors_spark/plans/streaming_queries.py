@@ -791,3 +791,93 @@ def _wire_shared_stream_oracles() -> None:
 
 
 _wire_shared_stream_oracles()
+
+
+@register(
+    "stream_line_dedup",
+    oracle=None,  # replaced below: built from llm_ops' line-dedup constants
+    doc="Streaming twin of line_dedup_corpus: the keep-first line registry "
+    "as a continuous aggregation — each arriving document explodes into "
+    "its fixed-width lines and a streaming groupBy per line text keeps "
+    "min(packed doc,position) and the occurrence count in the state "
+    "store; the emitted registry is every line seen MORE than once (the "
+    "rows batch dedup would excise). min/count commute across "
+    "micro-batches, so the registry is arrival-order-independent and "
+    "hash-matches the batch-derived oracle exactly. State is keyed by "
+    "line text (the same no-hash-collision argument as batch); hot "
+    "boilerplate lines partial-aggregate inside each micro-batch before "
+    "touching state, so a billion-fold repeated line is one state row "
+    "updated once per batch, never a hot task.",
+    tags=("streaming", "dedup", "text", "llm"),
+)
+def stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.llm_ops import (
+        LINE_SEG_SPAN,
+        LINE_SEG_W,
+    )
+
+    docs = stream_documents(spark, sf_dir)
+    segs = (
+        docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .where("size(ws) > 0")
+        .selectExpr(
+            "doc_id",
+            "ws",
+            f"explode(sequence(0, cast((size(ws) + {LINE_SEG_W - 1})"
+            f" div {LINE_SEG_W} as int) - 1)) as sidx",
+        )
+        .selectExpr(
+            f"array_join(slice(ws, sidx * {LINE_SEG_W} + 1,"
+            f" {LINE_SEG_W}), ' ') as seg",
+            f"cast(doc_id * {LINE_SEG_SPAN} + sidx as bigint) as pk",
+        )
+    )
+    agg = segs.groupBy("seg").agg(
+        F.min("pk").alias("mpk"), F.count(F.lit(1)).alias("n_occ")
+    )
+    sink = run_available_now(agg, output_mode="complete")
+    return (
+        sink.where("n_occ >= 2")
+        .selectExpr(
+            "seg",
+            f"cast(mpk div {LINE_SEG_SPAN} as bigint) as first_doc",
+            f"cast(mpk % {LINE_SEG_SPAN} as bigint) as first_sidx",
+            "cast(n_occ as bigint) as n_occ",
+        )
+    )
+
+
+def _wire_line_dedup_oracle() -> None:
+    """stream_line_dedup's registry shape (repeated lines only) is its own
+    projection, not the batch per-doc rebuild — derive its oracle from the
+    same llm_ops constants so batch and stream can never drift apart."""
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import DUCK
+    from streamprocessors_spark.plans.llm_ops import (
+        LINE_SEG_SPAN,
+        LINE_SEG_W,
+    )
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_line_dedup"].oracle = f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    w2 AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+    s AS (SELECT array_to_string(
+                   ws[(i*{LINE_SEG_W}+1):(i*{LINE_SEG_W}+{LINE_SEG_W})],
+                   ' ') AS seg,
+                 doc_id * {LINE_SEG_SPAN} + i AS pk
+          FROM w2, unnest(range(0, (len(ws) + {LINE_SEG_W - 1})
+                                   // {LINE_SEG_W})) AS t(i)),
+    a AS (SELECT seg, min(pk) AS mpk, CAST(count(*) AS BIGINT) AS n_occ
+          FROM s GROUP BY seg)
+    SELECT seg,
+           CAST(mpk // {LINE_SEG_SPAN} AS BIGINT) AS first_doc,
+           CAST(mpk % {LINE_SEG_SPAN} AS BIGINT) AS first_sidx,
+           n_occ
+    FROM a WHERE n_occ >= 2
+    """
+
+
+_wire_line_dedup_oracle()

