@@ -4946,7 +4946,13 @@ _LM_SURPRISAL_DUCK = (
     tags=("llm", "quality", "text"),
 )
 def lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _docs(spark, sf_dir).selectExpr(
+    return lm_perplexity_docs(_docs(spark, sf_dir))
+
+
+def lm_perplexity_docs(raw_docs: DataFrame) -> DataFrame:
+    """Docs-frame-parameterized core of lm_perplexity_bucket (shared with
+    tools/scale_smoke.py)."""
+    w = raw_docs.selectExpr(
         "doc_id", f"{D.words(SPARK)} as ws"
     )
     tr = w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
