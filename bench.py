@@ -62,6 +62,7 @@ HEADLINE = [
     "bm25_topk",
     "dsir_importance_score",
     "embedding_covariance",
+    "embedding_top_pc",
     "ann_bruteforce_topk",
     "ann_pq_topk",
     # round-6 additions

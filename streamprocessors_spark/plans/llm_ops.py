@@ -5125,3 +5125,184 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as int) as correct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component of the embedding covariance — power iteration
+# (the PCA/whitening direction an embedding-curation pipeline centers on)
+# ---------------------------------------------------------------------------
+
+# Unit-vector fixed-point scale and per-round magnitude budget: shifted
+# operands stay under 2^20, so every product in the mat-vec is bounded by
+# 2^20 (matrix) * 1e6 (vector) * 64 (dims) < 2^53 — exact BIGINT, and the
+# per-round sum of squares of the re-shifted iterate < 64 * 2^40 < 2^47.
+PC_VSCALE = 1_000_000
+PC_SHIFT_BITS = 19
+PC_ROUNDS = 64
+
+
+def _ilog2(d: str, n: str) -> str:
+    """floor(log2(n)) of a non-negative BIGINT expression via its binary
+    string length — exact and identical in both dialects (0 -> 0)."""
+    if d == SPARK:
+        return f"(length(bin({n})) - 1)"
+    return f"(length(to_base({n}, 2)) - 1)"
+
+
+def _shr_signed(d: str, x: str, sh: str) -> str:
+    """x divided by 2^sh, truncating toward zero for BOTH signs. Spark's
+    `div` truncates while DuckDB's `//` floors, so negatives must route
+    through abs() where the two agree."""
+    p2 = (
+        f"shiftleft(cast(1 as bigint), {sh})"
+        if d == SPARK
+        else f"((1::BIGINT) << {sh})"
+    )
+    idiv = "div" if d == SPARK else "//"
+    return (
+        f"(CASE WHEN ({x}) < 0 THEN -((-({x})) {idiv} {p2})"
+        f" ELSE ({x}) {idiv} {p2} END)"
+    )
+
+
+def _toppc_ctes(d: str, cov_cte: str) -> str:
+    """WITH-body (minus the covariance source) for the unrolled power
+    iteration: ``cov_cte`` must expose (di, dj, cov_num) upper-triangle
+    rows. Every frame in the iteration is CONSTANT-size (<= d^2 = 4096
+    rows, scalar rescale/norm rows) — the corpus-scale work is entirely
+    inside the covariance pass. All arithmetic is exact BIGINT except
+    the per-round normalization, whose two float ops (IEEE sqrt +
+    divide on exact-representable integers) are correctly rounded and
+    therefore bit-identical across engines."""
+    # every multiply-referenced frame must MATERIALIZE in DuckDB: the
+    # per-round w/u CTEs are each read twice, so plain inlining doubles
+    # the subtree per round — 4^rounds expansion (observed: the planner
+    # never returns). Spark never runs this text (the engine side is
+    # the driver loop), so the keyword stays duck-only.
+    mat = "MATERIALIZED " if d == DUCK else ""
+    parts = [
+        f"""mfull AS {mat}(
+      SELECT di AS j, dj AS k, cov_num FROM {cov_cte}
+      UNION ALL
+      SELECT dj AS j, di AS k, cov_num FROM {cov_cte} WHERE di <> dj),
+    msc AS {mat}(SELECT greatest({_ilog2(d, "max(abs(cov_num))")}
+                            - {PC_SHIFT_BITS}, 0) AS sh FROM mfull),
+    m AS {mat}(SELECT j, k, {_shr_signed(d, "cov_num", "sh")} AS m
+          FROM mfull CROSS JOIN msc),
+    v0 AS {mat}(SELECT DISTINCT di AS j, CAST({PC_VSCALE} AS BIGINT) AS v
+           FROM {cov_cte})"""
+    ]
+    for r in range(1, PC_ROUNDS + 1):
+        p = r - 1
+        parts.append(f"""w{r} AS {mat}(
+      SELECT m.j AS j, CAST(sum(m.m * v{p}.v) AS BIGINT) AS w
+      FROM m JOIN v{p} ON v{p}.j = m.k GROUP BY m.j),
+    wm{r} AS {mat}(SELECT greatest({_ilog2(d, "max(abs(w))")}
+                              - {PC_SHIFT_BITS}, 0) AS sh FROM w{r}),
+    u{r} AS {mat}(SELECT j, {_shr_signed(d, "w", "sh")} AS u
+             FROM w{r} CROSS JOIN wm{r}),
+    s{r} AS {mat}(SELECT CAST(sum(u * u) AS BIGINT) AS s FROM u{r}),
+    v{r} AS {mat}(
+      SELECT j,
+             CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(CAST(u AS DOUBLE) / sqrt(CAST(s AS DOUBLE))
+                                  * {PC_VSCALE}) AS BIGINT) END AS v
+      FROM u{r} CROSS JOIN s{r})""")
+    return ",\n    ".join(parts)
+
+
+_TOPPC_FINAL = (
+    f"SELECT CAST(a.j AS INT) AS dim, a.v AS v_q, b.v AS v_prev_q"
+    f" FROM v{PC_ROUNDS} a JOIN v{PC_ROUNDS - 1} b ON b.j = a.j"
+)
+
+
+@register(
+    "embedding_top_pc",
+    oracle=f"""
+    WITH e AS MATERIALIZED (SELECT list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS q
+               FROM embeddings),
+    dd AS (SELECT unnest(range(0, {EMB_DIM})) AS di),
+    pidx AS (SELECT a.di AS di, b.di AS dj FROM dd a, dd b WHERE b.di >= a.di),
+    ps AS (SELECT p.di, p.dj, sum(e.q[p.di + 1] * e.q[p.dj + 1]) AS s_ij
+           FROM e, pidx p GROUP BY p.di, p.dj),
+    ds AS (SELECT dd.di, sum(e.q[dd.di + 1]) AS s_i FROM e, dd GROUP BY dd.di),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM e),
+    cov AS MATERIALIZED (SELECT CAST(p.di AS INT) AS di, CAST(p.dj AS INT) AS dj,
+                   CAST(nn.n_vec * p.s_ij - a.s_i * b.s_i AS BIGINT) AS cov_num
+            FROM ps p JOIN ds a ON a.di = p.di JOIN ds b ON b.di = p.dj
+            CROSS JOIN nn),
+    {_toppc_ctes(DUCK, "cov")}
+    {_TOPPC_FINAL}
+    """,
+    doc="Top principal component of the embedding covariance by "
+    f"{PC_ROUNDS}-round power iteration — the direction the "
+    "centering/whitening step of an embedding-curation pipeline (and "
+    "ABTT-style common-direction removal) needs first. The corpus-scale "
+    "work is exactly the embedding_covariance pass (partial-agg "
+    "collapsed, O(tasks * d^2) shuffle); the iteration itself runs on "
+    "CONSTANT-size frames (d^2 = 4096 matrix rows, 64-row iterates) as "
+    "unrolled CTEs. Determinism without libm trust: the matrix and each "
+    "raw iterate rescale by a data-derived power of two (binary-string "
+    "ilog2, sign-safe truncating shift) so every mat-vec product stays "
+    "an exact BIGINT; per-round normalization uses only IEEE-exact ops "
+    "(sqrt and divide on < 2^53 integers), so iterates are bit-identical "
+    "across engines. Output: the unit eigenvector at 1e6 fixed-point "
+    "plus the previous iterate for a convergence readout. Both engines "
+    "run the same derivation (the k-means trajectory precedent); "
+    "meaning is pinned independently against numpy.linalg.eigh in "
+    "tests/test_algo_invariants.py.",
+    tags=("llm", "similarity", "vector"),
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    # control-plane collect: the covariance is EXACTLY d(d+1)/2 = 2080
+    # rows by construction (never corpus-sized) — the offline-trained-
+    # artifact pattern (_kmeans_trained): the distributed pass ends at
+    # the covariance; the constant-size iteration runs on the driver in
+    # the same exact integer arithmetic the oracle unrolls in SQL, so
+    # the two engines derive the eigenvector through genuinely
+    # independent formulations (Python loop vs unrolled CTEs).
+    rows = (
+        embedding_cov(_embs(spark, sf_dir))
+        .select("di", "dj", "cov_num")
+        .collect()
+    )
+    m: dict = {}
+    for r in rows:
+        m[(r["di"], r["dj"])] = int(r["cov_num"])
+        m[(r["dj"], r["di"])] = int(r["cov_num"])
+    dims = sorted({j for j, _ in m})
+    ma = max(abs(x) for x in m.values())
+    sh = max(ma.bit_length() - 1 - PC_SHIFT_BITS, 0)
+
+    def shr(x: int, s: int) -> int:
+        # truncate toward zero (the dialect-neutral _shr_signed form)
+        return -((-x) >> s) if x < 0 else x >> s
+
+    mm = {jk: shr(x, sh) for jk, x in m.items()}
+    v = {j: PC_VSCALE for j in dims}
+    prev = dict(v)
+    for _ in range(PC_ROUNDS):
+        w = {
+            j: sum(mm.get((j, k), 0) * v[k] for k in dims) for j in dims
+        }
+        wma = max(abs(x) for x in w.values())
+        wsh = max(wma.bit_length() - 1 - PC_SHIFT_BITS, 0)
+        u = {j: shr(x, wsh) for j, x in w.items()}
+        s = sum(x * x for x in u.values())
+        prev = v
+        v = {
+            j: (
+                0
+                if s == 0
+                else math.floor(float(x) / math.sqrt(float(s)) * PC_VSCALE)
+            )
+            for j, x in u.items()
+        }
+    out = [(int(j), int(v[j]), int(prev[j])) for j in dims]
+    return spark.createDataFrame(
+        out, "dim int, v_q bigint, v_prev_q bigint"
+    )

