@@ -68,6 +68,8 @@ HEADLINE = [
     # round-6 additions
     "repeated_ngram_cut_corpus",
     "ann_ivfpq_topk",
+    "ann_pq_rerank_topk",
+    "stream_lm_perplexity",
     "mm_image_features",
     "semdedup_keep_list",
     "decontaminate_bloom",

@@ -5306,3 +5306,107 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "dim int, v_q bigint, v_prev_q bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: PQ shortlist -> exact re-rank (the production ANN
+# serving shape: compressed-domain scan prunes, exact distances decide)
+# ---------------------------------------------------------------------------
+
+PQ_SHORTLIST = 25  # candidates the ADC scan hands to the exact re-ranker
+
+
+@register(
+    "ann_pq_rerank_topk",
+    oracle=f"""
+    WITH {_PQ_ORACLE_CTES},
+    shortlist AS (
+      SELECT va, vb, adist FROM (
+        SELECT va, vb, adist,
+               row_number() OVER (PARTITION BY va
+                                  ORDER BY adist, vb) AS rn
+        FROM approx
+      ) WHERE rn <= {PQ_SHORTLIST}
+    ),
+    rr AS (
+      SELECT s.va, s.vb, s.adist,
+             CAST(sum((q.el - b.el) * (q.el - b.el)) AS BIGINT) AS d2
+      FROM shortlist s
+      JOIN el q ON q.vec_id = s.va
+      JOIN el b ON b.vec_id = s.vb AND b.m = q.m AND b.dsub = q.dsub
+      GROUP BY s.va, s.vb, s.adist
+    )
+    SELECT va, vb, d2, adist, rank FROM (
+      SELECT va, vb, d2, adist,
+             CAST(row_number() OVER (PARTITION BY va
+                                     ORDER BY d2, vb) AS INT) AS rank
+      FROM rr
+    ) WHERE rank <= {ANN_TOPK}
+    """,
+    doc="Two-stage ANN retrieval (the FAISS/ScaNN serving shape): the "
+    f"PQ compressed-domain scan shortlists {PQ_SHORTLIST} candidates "
+    "per query by asymmetric distance, then EXACT integer squared-L2 on "
+    "the full quantized vectors re-ranks the shortlist and emits "
+    f"top-{ANN_TOPK} — at 100 TB the scan reads {PQ_M}-byte codes for "
+    "everything and fetches full vectors for only the constant-size "
+    "shortlist (the candidate fetch is the only random I/O). Scale "
+    "shape: the shortlist is ANN_N_QUERIES x PQ_SHORTLIST rows "
+    "(bounded), so the re-rank join broadcasts it against the corpus "
+    "vectors and every window is shortlist-sized. Both stages integer-"
+    "exact; Spark windows stay partition-keyed; the shortlist argmin "
+    "rides the same max_by/row_number two-formulation contract.",
+    tags=("vector", "ann", "pq"),
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = _pq_dist(spark, sf_dir)
+    codes = dist.groupBy("vec_id", "m").agg(
+        F.expr(f"max_by(code, -(d2 * {PQ_CODE_SPAN} + code))").alias("code")
+    )
+    adc = (
+        dist.where(F.col("vec_id") < ANN_N_QUERIES)
+        .selectExpr("vec_id as va", "m as am", "code as acode", "d2")
+    )
+    approx = (
+        codes.join(
+            adc,
+            (F.col("m") == F.col("am")) & (F.col("code") == F.col("acode")),
+        )
+        .where(F.col("vec_id") != F.col("va"))
+        .groupBy("va", F.col("vec_id").alias("vb"))
+        .agg(F.sum("d2").alias("adist"))
+    )
+    w = Window.partitionBy("va").orderBy("adist", "vb")
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_SHORTLIST)
+        .select("va", "vb", "adist")
+    )
+    qe = read_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_PQ_QE_SPARK} as qe"
+    )
+    # bounded: shortlist is ANN_N_QUERIES * PQ_SHORTLIST = 250 rows and
+    # the query side ANN_N_QUERIES = 10 rows, both constants
+    qq = F.broadcast(
+        qe.where(F.col("vec_id") < ANN_N_QUERIES).selectExpr(
+            "vec_id as qva", "qe as qa"
+        )
+    )
+    rr = (
+        qe.join(
+            F.broadcast(shortlist), F.col("vec_id") == F.col("vb")
+        )
+        .join(qq, F.col("va") == F.col("qva"))
+        .selectExpr(
+            "va",
+            "vb",
+            "adist",
+            "aggregate(zip_with(qa, qe, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (acc, v) -> acc + v) as d2",
+        )
+    )
+    w2 = Window.partitionBy("va").orderBy("d2", "vb")
+    return (
+        rr.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("va", "vb", "d2", "adist", "rank")
+    )

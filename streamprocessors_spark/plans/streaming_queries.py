@@ -881,3 +881,103 @@ def _wire_line_dedup_oracle() -> None:
 
 
 _wire_line_dedup_oracle()
+
+
+@register(
+    "stream_lm_perplexity",
+    oracle=None,  # replaced below: the batch CTEs minus the tercile rank
+    doc="Streaming twin of lm_perplexity_bucket's scoring pass: the "
+    "bigram LM trained BATCH-side on the clean slice scores arriving "
+    "documents through stream-static equi-joins (the deployment shape — "
+    "the model is a fixed artifact, the crawl is the stream). Emits "
+    "per-doc quantized cross-entropy; the corpus-relative tercile "
+    "bucket is inherently a batch decision and stays with the batch "
+    "query. Same fixed-point integer log2, so the scores hash-match "
+    "the batch derivation exactly.",
+    tags=("streaming", "text", "llm", "quality"),
+)
+def stream_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.llm_ops import (
+        LM_TRAIN_MOD,
+        _LM_SURPRISAL_SPARK,
+        _docs,
+        _lm_pairs_spark,
+    )
+
+    tr = (
+        _docs(spark, sf_dir)
+        .where(f"doc_id % {LM_TRAIN_MOD} = 0")
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+    )
+    trp = _lm_pairs_spark(tr)
+    big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = trp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vs = (
+        tr.selectExpr("explode(ws) as u")
+        .agg(F.countDistinct("u").alias("v"))
+    )
+    scp = _lm_pairs_spark(
+        stream_documents(spark, sf_dir)
+        .where(f"doc_id % {LM_TRAIN_MOD} != 0")
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+    )
+    pq = (
+        # bounded: vs is a single-row aggregate (the vocab size scalar)
+        scp.crossJoin(F.broadcast(vs))
+        .join(big, ["w1", "w2"], "left")
+        .join(hist, ["w1"], "left")
+        .selectExpr("doc_id", f"{_LM_SURPRISAL_SPARK} as sq")
+    )
+    pd = pq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sq").alias("sumq"),
+    )
+    sink = run_available_now(pd, output_mode="complete")
+    return sink.selectExpr(
+        "doc_id",
+        "cast(n_pairs as bigint) as n_pairs",
+        "cast(sumq div n_pairs as bigint) as ce_q",
+    )
+
+
+def _wire_stream_lm_oracle() -> None:
+    """Derive stream_lm_perplexity's oracle from the batch query's CTE
+    builders (scores only, no tercile) so the two can never drift."""
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import DUCK
+    from streamprocessors_spark.plans.llm_ops import (
+        LM_TRAIN_MOD,
+        _LM_SURPRISAL_DUCK,
+    )
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_lm_perplexity"].oracle = f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    tr AS (SELECT doc_id, ws FROM w
+           WHERE doc_id % {LM_TRAIN_MOD} = 0 AND len(ws) >= 2),
+    trp AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+            FROM tr, unnest(range(1, len(ws))) AS t(i)),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM trp GROUP BY w1, w2),
+    hist AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+             FROM trp GROUP BY w1),
+    vs AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS v
+           FROM (SELECT unnest(ws) AS u
+                 FROM w WHERE doc_id % {LM_TRAIN_MOD} = 0)),
+    sc AS (SELECT doc_id, ws FROM w
+           WHERE doc_id % {LM_TRAIN_MOD} <> 0 AND len(ws) >= 2),
+    scp AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+            FROM sc, unnest(range(1, len(ws))) AS t(i)),
+    pq AS (SELECT p.doc_id, {_LM_SURPRISAL_DUCK} AS sq
+           FROM scp p CROSS JOIN vs
+           LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+           LEFT JOIN hist h ON h.w1 = p.w1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(sum(sq) AS BIGINT) // count(*) AS BIGINT) AS ce_q
+    FROM pq GROUP BY doc_id
+    """
+
+
+_wire_stream_lm_oracle()

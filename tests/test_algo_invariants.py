@@ -750,3 +750,62 @@ def test_top_pc_matches_numpy_eigendirection(spark, sf_dir):
     rq = float(v @ c @ v) / float(v @ v)
     assert rq >= 0.999 * wvals[-1], (rq, wvals[-1])
     assert cos >= 0.99, cos
+
+
+def test_pq_rerank_beats_plain_pq(spark, sf_dir):
+    """Two-stage retrieval acceptance bar: exact re-ranking the PQ
+    shortlist must recover at least plain PQ's recall@5 vs exact
+    integer-L2 brute force (it can only fix ADC ordering errors inside
+    the shortlist, never introduce new ones outside it)."""
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import ANN_TOPK
+
+    def topk_sets(name):
+        out: dict = {}
+        for r in REGISTRY[name].fn(spark, sf_dir).collect():
+            out.setdefault(r.va, set()).add(r.vb)
+        return out
+
+    exact = {}
+    for r in REGISTRY["ann_pq_recall"].fn(spark, sf_dir).collect():
+        exact[r.va] = r.recall  # plain PQ recall per query
+
+    # independent exact-L2 ground truth over the SAME quantized ints
+    import numpy as np
+    import duckdb as _duck
+
+    from streamprocessors_spark.plans.llm_ops import (
+        ANN_N_QUERIES,
+        KM_SCALE,
+    )
+
+    embs = _duck.sql(
+        f"SELECT vec_id, embedding"
+        f" FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    ids = np.array([e[0] for e in embs])
+    q = np.array(
+        [[round(float(x) * KM_SCALE) for x in e[1]] for e in embs], float
+    )
+    bf = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= ANN_N_QUERIES:
+            continue
+        d2 = ((q - q[qi]) ** 2).sum(1)
+        order = sorted(
+            (float(d2[j]), int(ids[j]))
+            for j in range(len(ids))
+            if ids[j] != ids[qi]
+        )
+        bf[int(ids[qi])] = {vb for _d, vb in order[:ANN_TOPK]}
+
+    rerank = topk_sets("ann_pq_rerank_topk")
+    recs = []
+    for va, want in bf.items():
+        got = rerank.get(va, set())
+        recs.append(len(got & want) / ANN_TOPK)
+    assert recs
+    mean_rr = sum(recs) / len(recs)
+    mean_pq = sum(exact.values()) / len(exact)
+    assert mean_rr >= mean_pq - 1e-9, (mean_rr, mean_pq)
+    assert mean_rr >= 0.35, mean_rr
