@@ -63,6 +63,7 @@ HEADLINE = [
     "dsir_importance_score",
     "embedding_covariance",
     "embedding_top_pc",
+    "embedding_remove_top_pc",
     "ann_bruteforce_topk",
     "ann_pq_topk",
     # round-6 additions

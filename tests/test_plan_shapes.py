@@ -529,3 +529,26 @@ def test_stream_line_dedup_state_is_line_keyed(spark, sf_dir):
     # the sink result is a batch frame; assert on its (batch) plan and on
     # the registry emitting only repeated lines
     assert df.where("n_occ < 2").count() == 0
+
+
+def test_pq_rerank_shortlist_broadcasts(spark, sf_dir):
+    """ann_pq_rerank_topk's exact stage must broadcast the constant-size
+    shortlist against the corpus vectors (a shuffle join there means the
+    corpus re-shuffles for 250 rows); windows partition-keyed; JVM-only."""
+    p = _plan(spark, sf_dir, "ann_pq_rerank_topk")
+    assert "BroadcastHashJoin" in p
+    for line in p.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "va#" in line or "vec_id#" in line, line.strip()[:140]
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_abtt_projection_is_scan_local(spark, sf_dir):
+    """embedding_remove_top_pc's per-vector work must be a scan-local
+    dot product against the literal direction — no join at all in the
+    plan (the trained artifact ships as an array literal), no Python,
+    no window."""
+    p = _plan(spark, sf_dir, "embedding_remove_top_pc")
+    assert "Join" not in p
+    assert "windowspecdefinition" not in p.lower()
+    assert "Python" not in p and "ArrowEval" not in p
