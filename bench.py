@@ -79,6 +79,7 @@ HEADLINE = [
     "line_dedup_corpus",
     "lm_perplexity_bucket",
     "nb_lang_classifier",
+    "pmi_topk_bigrams",
     "stream_line_dedup",
     # round-3 training path
     "ivf_kmeans_centroids",

@@ -5516,3 +5516,88 @@ def embedding_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" - cast(proj_num as decimal(38,0)) * proj_num)"
         f" div {vnorm2} as bigint) as resid_num",
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — pointwise mutual information over adjacent bigrams
+# (phrase mining for tokenizer/vocabulary construction)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5   # rare-pair gate: PMI is noise-dominated below this
+PMI_TOPK = 20
+
+
+def _pmi_expr(d: str) -> str:
+    """PMI in 1/1024-bit fixed point: log2(p12 / (p1 p2)) decomposed as
+    L(c12) - L(np) + 2 L(nt) - L(u1) - L(u2) — each log argument stays an
+    un-multiplied count, so nothing can overflow at any corpus size."""
+    return (
+        f"{_log2q(d, 'c12')} - {_log2q(d, 'np')}"
+        f" + {_log2q(d, 'nt')} + {_log2q(d, 'nt')}"
+        f" - {_log2q(d, 'u1')} - {_log2q(d, 'u2')}"
+    )
+
+
+@register(
+    "pmi_topk_bigrams",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+          FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM p GROUP BY w1, w2),
+    u AS (SELECT u AS word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(ws) AS u FROM w) GROUP BY u),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM p),
+    nt AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS nt FROM w),
+    sc AS (SELECT b.w1, b.w2, b.c12, a.cnt AS u1, c.cnt AS u2,
+                  CAST({_pmi_expr(DUCK).replace("u1", "a.cnt").replace("u2", "c.cnt")} AS BIGINT) AS pmi_q
+           FROM big b
+           JOIN u a ON a.word = b.w1
+           JOIN u c ON c.word = b.w2
+           CROSS JOIN np CROSS JOIN nt
+           WHERE b.c12 >= {PMI_MIN_COUNT})
+    SELECT w1, w2, c12, u1, u2, pmi_q
+    FROM sc ORDER BY pmi_q DESC, w1 ASC, w2 ASC LIMIT {PMI_TOPK}
+    """,
+    doc=f"Top-{PMI_TOPK} PMI collocations over adjacent word bigrams "
+    f"(count >= {PMI_MIN_COUNT} gate): the phrase-mining signal a "
+    "tokenizer/vocabulary pipeline ranks multi-word units by. PMI is "
+    "computed in the engine's fixed-point integer log2 decomposed so "
+    "every log argument is a raw count — no product ever forms, so the "
+    "arithmetic cannot overflow at ANY corpus size (contrast the "
+    "ratio-scaling headroom notes on DSIR/BM25). Scale shape: bigram "
+    "and unigram tables are vocab-sized map-side-combined aggregates; "
+    "the scoring joins are vocab-vocab equi-joins; the two corpus "
+    "scalars ride single-row broadcasts; top-k is TakeOrdered over the "
+    "gated aggregate, never a full sort.",
+    tags=("text", "corpus", "topk", "llm"),
+)
+def pmi_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{D.words(SPARK)} as ws"
+    )
+    p = _lm_pairs_spark(w)
+    big = p.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    u = (
+        w.selectExpr("explode(ws) as word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    np_ = p.agg(F.count(F.lit(1)).alias("np"))
+    nt = w.agg(F.sum(F.expr("size(ws)")).alias("nt"))
+    sc = (
+        big.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(u.selectExpr("word as w1", "cnt as u1"), "w1")
+        .join(u.selectExpr("word as w2", "cnt as u2"), "w2")
+        # bounded: np and nt are single-row corpus-scalar aggregates
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nt))
+        .selectExpr(
+            "w1", "w2", "c12", "u1", "u2",
+            f"cast({_pmi_expr(SPARK)} as bigint) as pmi_q",
+        )
+    )
+    return sc.orderBy(
+        F.desc("pmi_q"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOPK)
