@@ -454,9 +454,14 @@ def _gopher_select(d: str) -> str:
     tags=("text", "quality", "llm"),
 )
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("sp_gopher_documents")
-    return spark.sql(
+    return gopher_rules_docs(read_table(spark, sf_dir, "documents"))
+
+
+def gopher_rules_docs(raw_docs: DataFrame) -> DataFrame:
+    """Docs-frame-parameterized core of gopher_quality_rules (shared with
+    the hand-labeled per-rule fixture in tests/test_algo_invariants.py)."""
+    raw_docs.createOrReplaceTempView("sp_gopher_documents")
+    return raw_docs.sparkSession.sql(
         f"""
         WITH w AS (SELECT doc_id, text, {D.words(SPARK)} AS ws
                    FROM sp_gopher_documents

@@ -809,3 +809,36 @@ def test_pq_rerank_beats_plain_pq(spark, sf_dir):
     mean_pq = sum(exact.values()) / len(exact)
     assert mean_rr >= mean_pq - 1e-9, (mean_rr, mean_pq)
     assert mean_rr >= 0.35, mean_rr
+
+
+def test_gopher_rules_hand_labeled(spark):
+    """Each Gopher rule isolated by a hand-built doc that violates ONLY
+    it (the quality_filter_verdict fixture pattern): short doc, long
+    mean word length, symbol-heavy, non-alphabetic, stopword-free —
+    plus one doc passing everything."""
+    from streamprocessors_spark.plans.data_quality import (
+        GOPHER_MIN_WORDS,
+        gopher_rules_docs,
+    )
+
+    good_words = ("the quick brown fox jumps over a lazy dog and " * 6).split()
+    assert len(good_words) >= GOPHER_MIN_WORDS
+    rows = [
+        (0, " ".join(good_words)),                       # passes all
+        (1, "the quick brown fox and a dog"),            # too few words
+        (2, " ".join(["the", "a", "of", "and"]
+                     + ["extraordinarily"] * 60)),       # mean wlen > 10
+        (3, " ".join(["the", "a", "of"] + ["#"] * 57)),  # symbols + alpha
+        (4, " ".join(str(i) for i in range(60))),        # no alpha, no stop
+        (5, " ".join(["cat"] * 60)),                     # < 2 stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules_docs(df).collect()}
+    assert got[0].passed == 1, got[0]
+    assert (got[1].r_words, got[1].passed) == (0, 0)
+    assert got[1].r_wlen == got[1].r_symbol == got[1].r_alpha == 1
+    assert (got[2].r_wlen, got[2].passed) == (0, 0)
+    assert (got[3].r_symbol, got[3].r_alpha, got[3].passed) == (0, 0, 0)
+    assert (got[4].r_alpha, got[4].r_stop, got[4].passed) == (0, 0, 0)
+    assert (got[5].r_stop, got[5].passed) == (0, 0)
+    assert got[5].r_words == got[5].r_wlen == got[5].r_symbol == 1
