@@ -89,6 +89,7 @@ HEADLINE = [
     "hypertable_rollup_1h",
     "packed_context_bins",
     "corpus_prep_pipeline",
+    "corpus_shuffle_order",
     # ES processor path (PES restamp + DVB page patch, pure JVM expressions)
     "es_subtitle_restamp",
     "dvb_subt_display_set",

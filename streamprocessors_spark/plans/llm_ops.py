@@ -5601,3 +5601,40 @@ def pmi_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.orderBy(
         F.desc("pmi_q"), F.asc("w1"), F.asc("w2")
     ).limit(PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle order (the dataloader contract:
+# the same corpus always trains in the same pseudo-random order)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {D.md5int(DUCK, "concat('shuffle#', doc_id)")}
+                 AS hk FROM documents)
+    SELECT doc_id, hk,
+           CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT)
+             AS shuffle_rank
+    FROM d
+    """,
+    doc="Deterministic global shuffle order for training: each document "
+    "ranks by a salted content-independent hash of its id, so the same "
+    "corpus always yields the same pseudo-random epoch order on any "
+    "cluster size or partitioning (the reproducibility contract "
+    "sample_deterministic_10pct set, extended to a total order). Scale "
+    "shape: the rank goes through the sampled-boundary two-level rank — "
+    "range-partition by hash, rank locally, offset by driver-literal "
+    "counts — never a corpus-sized single-task window (which the "
+    "oracle's formulation deliberately keeps, two independent "
+    "derivations). Hash keys are uniform, so the range split is "
+    "balanced by construction.",
+    tags=("llm", "prep"),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hk = D.md5int(SPARK, "concat('shuffle#', doc_id)")
+    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{hk} as hk")
+    return _rank_two_level(d, ["hk", "doc_id"], dense=False).selectExpr(
+        "doc_id", "hk", "cast(r as bigint) as shuffle_rank"
+    )

@@ -552,3 +552,13 @@ def test_abtt_projection_is_scan_local(spark, sf_dir):
     assert "Join" not in p
     assert "windowspecdefinition" not in p.lower()
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_corpus_shuffle_order_windows_partitioned(spark, sf_dir):
+    """corpus_shuffle_order must rank through the two-level rank — every
+    window partition-keyed, never the corpus in one task."""
+    p = _plan(spark, sf_dir, "corpus_shuffle_order")
+    for line in p.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "part#" in line, line.strip()[:140]
+    assert "Python" not in p and "ArrowEval" not in p
