@@ -897,7 +897,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     j = (
-        # bounded: the ANN probe batch is user-query-sized (x7 probes)
+        # bounded: the ANN probe batch is user-query-sized (x26 probes:
+        # 1 exact + C(5,1)+C(5,2)+C(5,3) sign-flip neighbors)
         F.broadcast(q)
         .join(b, (q.pbucket == b.bucket_b) & (F.col("va") != F.col("vb")))
         .selectExpr(
@@ -4100,12 +4101,16 @@ def suffix_ranks(raw_docs: DataFrame, max_prefix: int | None = None) -> DataFram
     oracle's dense_rank over the raw suffix lists.
 
     ``max_prefix``: stop once ranks discriminate exactly the first
-    ``max_prefix`` words (suffixes equal on that prefix TIE). Consumers
-    whose downstream output is already prefix-capped (repeated_phrase_topk
-    caps LCP at _SA_LCP_CAP=30) pass the cap here and skip the tail
-    quadrupling rounds that fully discriminate long documents — those
-    rounds dominated the cost (each is 3 corpus-sized self-joins + a
-    two-level rank) while contributing nothing the cap can observe.
+    ``max_prefix`` words (suffixes equal on that prefix TIE). A consumer
+    whose downstream output is already prefix-capped passes the cap here
+    and skips the tail quadrupling rounds that fully discriminate long
+    documents — those rounds dominated the cost (each is 3 corpus-sized
+    self-joins + a two-level rank) while contributing nothing the cap
+    can observe. (repeated_phrase_topk formerly used this path; it now
+    inlines the same capped-slice rank in ``phrase_topk_docs`` so it can
+    fuse the rank with phrase extraction. The branch remains the scale
+    path for any OTHER capped consumer and is pinned by
+    tests/test_algo_invariants.py::test_suffix_ranks_capped_prefix.)
     With a cap the construction short-circuits entirely: each suffix is
     ranked ONCE by its capped word slice (slice(ws, pos, L), an
     orderable array key) through the same two-level rank — 2 corpus
@@ -4848,16 +4853,28 @@ _LOG2Q_FRAC = [int(1024 * math.log2(1.0 + i / 256.0)) for i in range(256)]
 
 def _log2q(d: str, n: str) -> str:
     """Quantized log2 of a positive BIGINT expression, in 1/1024 units —
-    identical integer arithmetic in both dialects."""
+    identical integer arithmetic in both dialects.
+
+    POSITIVE arguments only. The Spark side guards this loudly: for
+    n <= 0 the raw arithmetic would silently produce garbage (bin(0)
+    gives il=0, idx=-256, and element_at indexes from the array END for
+    negative indices), reachable if a surprisal caller's training slice
+    is empty (c1 null and v = 0) — so an `assert_true` is folded in as
+    a +0 term and the job fails with the offending value instead."""
     frac = ", ".join(str(v) for v in _LOG2Q_FRAC)
     if d == SPARK:
+        guard = (
+            f"cast(coalesce(assert_true(({n}) > 0,"
+            f" concat('log2q: non-positive argument ',"
+            f" cast(({n}) as string))), 0) as bigint)"
+        )
         il = f"(length(bin({n})) - 1)"
         idx = (
             f"(cast((({n}) * 256) div shiftleft(cast(1 as bigint), {il})"
             f" as int) - 256)"
         )
         return (
-            f"(cast({il} as bigint) * 1024"
+            f"({guard} + cast({il} as bigint) * 1024"
             f" + cast(element_at(array({frac}), {idx} + 1) as bigint))"
         )
     il = f"(length(to_base({n}, 2)) - 1)"

@@ -207,9 +207,34 @@ def config_store_routes(server: StateRestServer, store) -> None:
                     for r in store.read().collect()
                 }
             except Exception as e:  # noqa: BLE001 — classify below
+                # Primary classification is STRUCTURAL — the Spark error
+                # condition name (getCondition/getErrorClass) and the
+                # underlying py4j Java exception class — because message
+                # text is brittle across Spark versions/locales. The
+                # substring list stays as a last-resort fallback only.
+                cond = ""
+                for attr in ("getCondition", "getErrorClass"):
+                    getter = getattr(e, attr, None)
+                    if callable(getter):
+                        try:
+                            cond = getter() or ""
+                        except Exception:  # noqa: BLE001
+                            cond = ""
+                        if cond:
+                            break
+                java_cls = ""
+                je = getattr(e, "java_exception", None)
+                if je is not None:
+                    try:
+                        java_cls = je.getClass().getName()
+                    except Exception:  # noqa: BLE001
+                        java_cls = ""
                 msg = f"{type(e).__name__}: {e}"
-                missing = isinstance(e, FileNotFoundError) or (
-                    "PATH_NOT_FOUND" in msg
+                missing = (
+                    isinstance(e, FileNotFoundError)
+                    or "PATH_NOT_FOUND" in cond
+                    or "FileNotFoundException" in java_cls
+                    or "PATH_NOT_FOUND" in msg
                     or "Path does not exist" in msg
                     or "FileNotFoundException" in msg
                 )

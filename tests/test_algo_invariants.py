@@ -630,6 +630,34 @@ def test_suffix_array_matches_independent_reference(spark, sf_dir):
     assert got_p == pairs[:topk], (got_p[:5], pairs[:5])
 
 
+def test_suffix_ranks_capped_prefix(spark, sf_dir):
+    """suffix_ranks(max_prefix=L) — the short-circuit scale path for
+    prefix-capped consumers — must dense-rank by EXACTLY the first L
+    words (suffixes equal on that prefix tie)."""
+    from streamprocessors_spark.plans.llm_ops import _docs, suffix_ranks
+
+    cap = 5
+    toks = _fixture_tokens(sf_dir)
+    sufs = sorted(
+        (tuple(ws[p : p + cap]), d, p + 1)
+        for d, ws in toks.items()
+        for p in range(len(ws))
+    )
+    expected: dict = {}
+    rank = 0
+    prev = None
+    for suf, d, p in sufs:
+        if suf != prev:
+            rank += 1
+            prev = suf
+        expected[(d, p)] = rank
+    got = {
+        (r.doc_id, r.pos): r.srank
+        for r in suffix_ranks(_docs(spark, sf_dir), max_prefix=cap).collect()
+    }
+    assert got == expected
+
+
 def test_line_dedup_hand_fixture(spark):
     """C4-style line dedup hand fixtures: a repeated 10-word line keeps
     only its first occurrence, a doc that is entirely seen lines comes

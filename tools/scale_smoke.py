@@ -305,9 +305,15 @@ def main() -> None:
     # pass can sit alongside the full 10x sweep.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SCALE_SMOKE.json")
-    if only is not None and os.path.exists(path):
-        with open(path) as f:
-            full = json.load(f)
+    if only is not None:
+        # Filtered runs ALWAYS land under runs/<mult>x — even when the
+        # artifact does not exist yet (a shell document is created), so a
+        # partial per-op result can never masquerade as the headline
+        # full-sweep numbers.
+        full = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                full = json.load(f)
         runs = full.setdefault("runs", {})
         prev_run = runs.get(f"{mult}x")
         if prev_run:
