@@ -93,6 +93,11 @@ HEADLINE = [
     # ES processor path (PES restamp + DVB page patch, pure JVM expressions)
     "es_subtitle_restamp",
     "dvb_subt_display_set",
+    # round-7 additions
+    "dedup_image_phash",
+    "dedup_image_keep_list",
+    "ulm_train_vocab",
+    "ulm_encode_tokens",
 ]
 
 

@@ -2097,8 +2097,6 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )
-
-
 # Sliding context windows: W tokens per chunk, stride S (W - S overlap) —
 # the long-document chunking a pretraining pipeline applies before packing.
 CHUNK_W = 64
@@ -5808,4 +5806,543 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).selectExpr("doc_id", f"{hk} as hk")
     return _rank_two_level(d, ["hk", "doc_id"], dense=False).selectExpr(
         "doc_id", "hk", "cast(r as bigint) as shuffle_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece, Kudo '18, arXiv:1804.10959)
+# ---------------------------------------------------------------------------
+
+# The OTHER tokenizer a data pipeline actually fits (VERDICT r6 #4): seed a
+# substring inventory, iterate EM over the vocabulary (each word's Viterbi-
+# best segmentation under current piece frequencies re-estimates the
+# frequencies — "hard" EM, the deterministic-integer-friendly variant),
+# prune to the top pieces with single-character fallback, then encode.
+# Everything is integer arithmetic both engines reproduce bit-for-bit:
+# piece costs are fixed-point quantized log2 (the _log2q machinery —
+# cost(p) = log2q(T) - log2q(cnt(p)) >= 0, a scaled negative log prob),
+# and the Viterbi argmin packs (cost, backpointer) into one BIGINT
+# (packed = cost * 64 + (WLEN_CAP - i); ties prefer the larger split
+# point i, i.e. the shorter final piece — the 0 <= WLEN_CAP - i < 64 tail
+# cannot reorder distinct costs). EM preserves, for every word, the
+# pieces of its own previous segmentation, so the DP always has a finite
+# path during training; the char-fallback union restores totality after
+# pruning (Kudo §4's coverage guarantee).
+#
+# Scale shape: the corpus collapses to the vocabulary once (localCheckpoint,
+# the _bpe_train idiom); every EM round is ONE vocab-sized join (word
+# substrings x piece costs) + regroup, with the whole DP and backtrack per
+# word evaluated as HOF expressions over a dense (position, length)-indexed
+# cost array — no per-position driver loop, no UDFs. The scalar total T
+# rides a broadcast single-row frame (the lm_perplexity pattern). Encoding
+# joins the corpus's exploded words against the vocab-sized word->n_pieces
+# table (the bpe_encode_tokens shape).
+ULM_MAX_PLEN = 4  # max piece length considered
+ULM_WLEN_CAP = 12  # DP unroll bound; Spark probes + raises if exceeded
+ULM_EM_ROUNDS = 2
+ULM_KEEP = 24  # pieces kept after pruning (plus single-char fallback)
+_ULM_INF = 1 << 40  # absent-piece cost: dominates any path, far from 2^62
+
+
+def _ulm_cost(d: str, t: str, c: str) -> str:
+    return f"({_log2q(d, t)} - {_log2q(d, c)})"
+
+
+_ULM_IDXN = ULM_WLEN_CAP * ULM_MAX_PLEN
+
+
+def _ulm_subs_expr() -> str:
+    """Spark: explode every (start i, length l) substring slot of a word
+    into struct(idx = i*P + l, piece)."""
+    P = ULM_MAX_PLEN
+    return (
+        "explode(flatten(transform(sequence(0, length(word) - 1), i -> "
+        f"transform(sequence(1, least({P}, length(word) - i)), l -> "
+        f"struct(cast(i * {P} + l as int) as idx, "
+        "substr(word, i + 1, l) as piece)))))"
+    )
+
+
+_ULM_DP_EXPR = (
+    # parr[j] = packed Viterbi state at position j (1-based): min over
+    # piece lengths l of (dp[j-l] + cost(piece at [j-l+1 .. j])) packed
+    # with the backpointer; dp[i] = parr[i] div 64, dp[0] = 0.
+    "aggregate(sequence(1, length(word)), cast(array() as array<bigint>), "
+    "(acc, j) -> concat(acc, array("
+    f"aggregate(sequence(1, least(j, {ULM_MAX_PLEN})), "
+    f"cast({_ULM_INF * 64} as bigint), "
+    "(mn, l) -> least(mn, "
+    "(if(j - l = 0, cast(0 as bigint), element_at(acc, j - l) div 64) "
+    f"+ element_at(carr, (j - l) * {ULM_MAX_PLEN} + l)) * 64 "
+    f"+ cast({ULM_WLEN_CAP} - (j - l) as bigint)))"
+    ")))"
+)
+
+_ULM_BT_EXPR = (
+    # walk backpointers from position length(word) down to 0, emitting
+    # the chosen pieces (reverse order — the count multiset is what the
+    # E-step needs)
+    "aggregate(sequence(1, length(word)), "
+    "named_struct('j', length(word), 'ps', cast(array() as array<string>)), "
+    "(st, _x) -> if(st.j <= 0, st, named_struct("
+    f"'j', {ULM_WLEN_CAP} - cast(element_at(parr, st.j) % 64 as int), "
+    "'ps', concat(st.ps, array(substr(word, "
+    f"({ULM_WLEN_CAP} - cast(element_at(parr, st.j) % 64 as int)) + 1, "
+    f"st.j - ({ULM_WLEN_CAP} - cast(element_at(parr, st.j) % 64 as int))"
+    "))))), "
+    "st -> st.ps)"
+)
+
+
+def _ulm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wcnt), corpus collapsed once + pinned (the _bpe_train
+    idiom); raises loudly if any word exceeds the DP unroll cap."""
+    vocab = (
+        _docs(spark, sf_dir)
+        .selectExpr(f"{D.words(SPARK)} as ws")
+        .select(F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .localCheckpoint()
+    )
+    maxlen = int(vocab.agg(F.max(F.length("word"))).collect()[0][0] or 0)
+    if maxlen > ULM_WLEN_CAP:
+        raise ValueError(
+            f"ulm: word length {maxlen} exceeds ULM_WLEN_CAP="
+            f"{ULM_WLEN_CAP}; raise the cap (DP unroll bound)"
+        )
+    return vocab
+
+
+def _ulm_seed(vocab: DataFrame) -> DataFrame:
+    """Seed piece inventory: frequency-weighted counts of every word
+    substring up to ULM_MAX_PLEN chars (multiplicity included)."""
+    return (
+        vocab.selectExpr("word", "wcnt", f"{_ulm_subs_expr()} as s")
+        .selectExpr("s.piece as piece", "wcnt")
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+
+
+def _ulm_segment(vocab: DataFrame, pieces: DataFrame) -> DataFrame:
+    """(word, wcnt, ps): Viterbi-best segmentation of every vocabulary
+    word under the current piece counts. One vocab-sized join + regroup;
+    DP and backtrack are HOF expressions."""
+    tot = pieces.agg(F.sum("cnt").alias("t"))
+    cost = pieces.crossJoin(F.broadcast(tot)).selectExpr(
+        "piece", f"cast({_ulm_cost(SPARK, 't', 'cnt')} as bigint) as cost"
+    )
+    subs = vocab.selectExpr(
+        "word", "wcnt", f"{_ulm_subs_expr()} as s"
+    ).selectExpr("word", "wcnt", "s.idx as idx", "s.piece as piece")
+    carr = (
+        subs.join(cost, "piece", "left")
+        .groupBy("word", "wcnt")
+        .agg(
+            F.expr(
+                # bounded: <= ULM_WLEN_CAP * ULM_MAX_PLEN entries per word
+                "map_from_entries(collect_list(struct(idx, cost)))"
+            ).alias("mp")
+        )
+        .selectExpr(
+            "word",
+            "wcnt",
+            f"transform(sequence(1, {_ULM_IDXN}), x -> "
+            f"coalesce(element_at(mp, x), cast({_ULM_INF} as bigint)))"
+            " as carr",
+        )
+    )
+    return (
+        carr.selectExpr("word", "wcnt", f"{_ULM_DP_EXPR} as parr")
+        .selectExpr("word", "wcnt", f"{_ULM_BT_EXPR} as ps")
+    )
+
+
+def _ulm_estep_counts(seg: DataFrame) -> DataFrame:
+    """M-step: re-estimate piece counts from the chosen segmentations."""
+    return (
+        seg.selectExpr("wcnt", "explode(ps) as piece")
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+
+
+def _ulm_final_pieces(vocab: DataFrame, em: DataFrame) -> DataFrame:
+    """Prune to the ULM_KEEP most frequent EM pieces, then union the
+    single-character fallback (chars keep their EM count, or 1 if EM
+    dropped them) so every word stays segmentable (Kudo '18 coverage)."""
+    w = Window.orderBy(F.col("cnt").desc(), "piece")
+    # bounded window: the EM piece inventory is vocabulary-derived and
+    # already tiny; rank only to take the top ULM_KEEP
+    topk = (
+        em.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ULM_KEEP)
+        .select("piece", "cnt")
+    )
+    chars = (
+        vocab.selectExpr(
+            "explode(transform(sequence(1, length(word)), "
+            "i -> substr(word, i, 1))) as piece"
+        )
+        .distinct()
+        .join(em, "piece", "left")
+        .selectExpr("piece", "coalesce(cnt, cast(1 as bigint)) as cnt")
+    )
+    return (
+        topk.withColumnRenamed("cnt", "cnt_t")
+        .join(chars.withColumnRenamed("cnt", "cnt_c"), "piece", "full")
+        .selectExpr("piece", "coalesce(cnt_t, cnt_c) as cnt")
+    )
+
+
+def _ulm_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (final piece table (piece, cnt), vocab (word, wcnt)).
+
+    Each round's piece table is pinned (localCheckpoint, the _bpe_train
+    idiom): the frame is a vocabulary-DERIVED inventory (<= sum of word
+    lengths x ULM_MAX_PLEN slots — hundreds of rows at any corpus
+    scale, never corpus-sized), and without the pin each round's
+    Catalyst analysis re-expands the previous rounds' nested HOF plans
+    (measured 12 s -> 2 s at sf0.01)."""
+    vocab = _ulm_vocab(spark, sf_dir)
+    pieces = _ulm_seed(vocab).localCheckpoint()
+    for _ in range(ULM_EM_ROUNDS):
+        pieces = _ulm_estep_counts(
+            _ulm_segment(vocab, pieces)
+        ).localCheckpoint()
+    return _ulm_final_pieces(vocab, pieces), vocab
+
+
+def _ulm_oracle_ctes() -> str:
+    """The full train pipeline as DuckDB CTEs: seed counts, ULM_EM_ROUNDS
+    unrolled EM rounds (each a recursive Viterbi DP + recursive
+    backtrack + recount), prune + char-fallback union. The DP recursion
+    carries the dp/backpointer arrays as lists; per-step piece costs come
+    from ULM_MAX_PLEN scalar-subquery arms (LEAST over lengths), the
+    exact packed arithmetic of the Spark HOFs."""
+    P, W, INF = ULM_MAX_PLEN, ULM_WLEN_CAP, _ULM_INF
+    ctes = [
+        f"""vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+        SELECT unnest({D.words(DUCK)}) AS word FROM documents
+      ) GROUP BY word
+    )""",
+        f"""seed AS (
+      SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+        SELECT substr(v.word, t.i + 1, u.l) AS piece, v.wcnt
+        FROM vocab v,
+             unnest(range(0, length(v.word))) AS t(i),
+             unnest(range(1, {P} + 1)) AS u(l)
+        WHERE t.i + u.l <= length(v.word)
+      ) GROUP BY piece
+    )""",
+    ]
+    prev = "seed"
+    for r in range(1, ULM_EM_ROUNDS + 1):
+        arms = []
+        for length in range(1, P + 1):
+            arms.append(
+                f"""CASE WHEN {length} <= d.j + 1 THEN
+            (CASE WHEN d.j + 1 - {length} = 0 THEN 0
+                  ELSE d.parr[d.j + 1 - {length}] // 64 END
+             + COALESCE((SELECT c.cost FROM cost{r} c
+                         WHERE c.piece = substr(d.word, d.j + 2 - {length},
+                                                {length})),
+                        {INF})) * 64
+            + ({W} - (d.j + 1 - {length}))
+          ELSE {INF * 64} END"""
+            )
+        ctes.append(
+            f"""tot{r} AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM {prev})"""
+        )
+        ctes.append(
+            f"""cost{r} AS (
+      SELECT piece,
+             CAST({_ulm_cost(DUCK, "tot{r}.t".format(r=r), "cnt")} AS BIGINT)
+               AS cost
+      FROM {prev}, tot{r}
+    )""".replace("tot{r}.t".format(r=r), f"tot{r}.t")
+        )
+        ctes.append(
+            f"""dp{r} AS (
+      SELECT word, wcnt, 0 AS j, CAST([] AS BIGINT[]) AS parr FROM vocab
+      UNION ALL
+      SELECT d.word, d.wcnt, d.j + 1,
+             list_append(d.parr, LEAST({", ".join(arms)}))
+      FROM dp{r} d WHERE d.j < length(d.word)
+    )""")
+        ctes.append(
+            f"""bt{r} AS (
+      SELECT word, wcnt, length(word) AS j, parr,
+             CAST([] AS VARCHAR[]) AS ps
+      FROM dp{r} WHERE j = length(word)
+      UNION ALL
+      SELECT word, wcnt, {W} - (parr[j] % 64), parr,
+             list_append(ps, substr(word, ({W} - (parr[j] % 64)) + 1,
+                                    j - ({W} - (parr[j] % 64))))
+      FROM bt{r} WHERE j > 0
+    )""")
+        ctes.append(
+            f"""em{r} AS (
+      SELECT t.piece, CAST(sum(b.wcnt) AS BIGINT) AS cnt
+      FROM bt{r} b, unnest(b.ps) AS t(piece)
+      WHERE b.j = 0 GROUP BY t.piece
+    )""")
+        prev = f"em{r}"
+    ctes.append(
+        f"""topk AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM {prev}
+      ) WHERE rk <= {ULM_KEEP}
+    )""")
+    ctes.append(
+        f"""chars AS (
+      SELECT c.piece, CAST(COALESCE(e.cnt, 1) AS BIGINT) AS cnt
+      FROM (SELECT DISTINCT substr(word, t.i, 1) AS piece
+            FROM vocab, unnest(range(1, length(word) + 1)) AS t(i)) c
+      LEFT JOIN {prev} e ON e.piece = c.piece
+    )""")
+    ctes.append(
+        """final AS (
+      SELECT COALESCE(k.piece, c.piece) AS piece,
+             COALESCE(k.cnt, c.cnt) AS cnt
+      FROM topk k FULL OUTER JOIN chars c ON k.piece = c.piece
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def _ulm_oracle_encode_ctes() -> str:
+    """One more Viterbi pass (dpF/btF) under the FINAL pruned+fallback
+    piece table, yielding per-word piece counts."""
+    P, W, INF = ULM_MAX_PLEN, ULM_WLEN_CAP, _ULM_INF
+    arms = []
+    for length in range(1, P + 1):
+        arms.append(
+            f"""CASE WHEN {length} <= d.j + 1 THEN
+            (CASE WHEN d.j + 1 - {length} = 0 THEN 0
+                  ELSE d.parr[d.j + 1 - {length}] // 64 END
+             + COALESCE((SELECT c.cost FROM costF c
+                         WHERE c.piece = substr(d.word, d.j + 2 - {length},
+                                                {length})),
+                        {INF})) * 64
+            + ({W} - (d.j + 1 - {length}))
+          ELSE {INF * 64} END"""
+        )
+    return f"""totF AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM final),
+    costF AS (
+      SELECT piece,
+             CAST({_ulm_cost(DUCK, "totF.t", "cnt")} AS BIGINT) AS cost
+      FROM final, totF
+    ),
+    dpF AS (
+      SELECT word, wcnt, 0 AS j, CAST([] AS BIGINT[]) AS parr FROM vocab
+      UNION ALL
+      SELECT d.word, d.wcnt, d.j + 1,
+             list_append(d.parr, LEAST({", ".join(arms)}))
+      FROM dpF d WHERE d.j < length(d.word)
+    ),
+    btF AS (
+      SELECT word, length(word) AS j, parr, 0 AS nsym
+      FROM dpF WHERE j = length(word)
+      UNION ALL
+      SELECT word, {W} - (parr[j] % 64), parr, nsym + 1
+      FROM btF WHERE j > 0
+    ),
+    wtok AS (SELECT word, CAST(nsym AS BIGINT) AS n_sym
+             FROM btF WHERE j = 0)"""
+
+
+@register(
+    "ulm_train_vocab",
+    oracle=f"""
+    WITH RECURSIVE {_ulm_oracle_ctes()}
+    SELECT piece, cnt FROM final
+    """,
+    doc="Unigram-LM tokenizer TRAIN (SentencePiece, Kudo '18): seed "
+    f"substring inventory (len <= {ULM_MAX_PLEN}), {ULM_EM_ROUNDS} "
+    "hard-EM rounds (Viterbi-best segmentation of every vocabulary word "
+    "under current piece frequencies re-estimates the frequencies), "
+    f"prune to the top {ULM_KEEP} pieces + single-char fallback. All "
+    "integer arithmetic: fixed-point log2 costs (_log2q), packed "
+    "(cost, backpointer) Viterbi states — bit-identical across engines "
+    "and against the pure-Python EM reference in "
+    "tests/test_algo_invariants.py. Vocabulary-resident: corpus "
+    "collapses to word counts once; each EM round is one vocab-sized "
+    "join + regroup with the DP as a HOF expression. Oracle: the same "
+    "EM unrolled as recursive Viterbi/backtrack CTEs.",
+    tags=("text", "llm", "tokenizer"),
+)
+def ulm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final, _vocab = _ulm_train(spark, sf_dir)
+    return final
+
+
+@register(
+    "ulm_encode_tokens",
+    oracle=f"""
+    WITH RECURSIVE {_ulm_oracle_ctes()},
+    {_ulm_oracle_encode_ctes()},
+    x AS (SELECT doc_id, unnest({D.words(DUCK)}) AS word FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)   AS n_words,
+           CAST(sum(w.n_sym) AS BIGINT) AS n_ulm_tokens
+    FROM x JOIN wtok w USING (word)
+    GROUP BY doc_id
+    """,
+    doc="Unigram-LM tokenizer APPLY: one more Viterbi pass under the "
+    "final pruned + char-fallback piece table segments the VOCABULARY "
+    "(corpus-size-independent), and the corpus joins the word -> "
+    "piece-count table for per-document unigram-LM token counts — the "
+    "bpe_encode_tokens shape with the ULM segmentation. Char fallback "
+    "guarantees totality (every word segments).",
+    tags=("text", "llm", "tokenizer"),
+)
+def ulm_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final, vocab = _ulm_train(spark, sf_dir)
+    wtok = _ulm_segment(vocab, final).selectExpr(
+        "word", "cast(size(ps) as bigint) as n_sym"
+    )
+    x = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .select("doc_id", F.explode_outer("ws").alias("word"))
+        .where(F.col("word").isNotNull())
+    )
+    return (
+        x.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_ulm_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-stage dedup (RefinedWeb / CCNet crawl prep, Penedo et al. '23 §3.1)
+# ---------------------------------------------------------------------------
+
+# Crawl pipelines dedup by canonicalized URL BEFORE any content pass — it is
+# the cheapest stage (pure string projection + one keyed aggregation) and
+# removes the bulk of re-crawled duplicates. The fixture has no URL column
+# and /root/testdata is read-only, so the URL is synthesized DETERMINISTICALLY
+# from doc_id (host-case / default-port / utm-param / fragment noise over a
+# shared path space, so distinct raw URLs collide post-canonicalization by
+# construction) — both engines derive the same column, and the canonicalizer
+# is exercised against every noise class. Canonicalization: lowercase host,
+# strip default :80 port, drop the #fragment, drop utm_* tracking params
+# (dropping '?' if the query empties). Keep-first = min doc_id per canonical.
+#
+# Scale shape: the synthesis + canonicalization is a ZERO-EXCHANGE scan
+# projection; the only exchange is the canonical-URL hash aggregation (a
+# count/min per group, map-side partial) — the textbook first pass at 100 TB.
+
+
+def _url_expr(d: str) -> str:
+    """Deterministic synthetic raw URL from doc_id (same text in both
+    dialects: pure CASE/concat arithmetic)."""
+    host = (
+        "(CASE doc_id % 3 WHEN 0 THEN 'example.com' "
+        "WHEN 1 THEN 'Example.COM' ELSE 'EXAMPLE.com' END)"
+    )
+    port = "(CASE WHEN doc_id % 2 = 1 THEN ':80' ELSE '' END)"
+    q = (
+        "(CASE doc_id % 4 WHEN 1 THEN '?utm_source=feed' "
+        "WHEN 2 THEN '?id=7' WHEN 3 THEN '?id=7&utm_campaign=x' "
+        "ELSE '' END)"
+    )
+    frag = "(CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END)"
+    path = (
+        "('/doc/' || CAST(doc_id // 3 AS VARCHAR))"
+        if d == DUCK
+        else "concat('/doc/', cast(doc_id div 3 as string))"
+    )
+    if d == DUCK:
+        return f"('http://' || {host} || {port} || {path} || {q} || {frag})"
+    return f"concat('http://', {host}, {port}, {path}, {q}, {frag})"
+
+
+def _url_canon_expr(d: str, url: str) -> str:
+    """Canonical form of a raw http URL string — real string parsing (the
+    synthesis above is NOT consulted): strip fragment, split query, fold
+    host case, strip :80, drop utm_* params."""
+    if d == SPARK:
+        nofrag = f"element_at(split({url}, '#'), 1)"
+        pre = f"element_at(split({nofrag}, '\\\\?'), 1)"
+        qs = (
+            f"if(size(split({nofrag}, '\\\\?')) > 1, "
+            f"element_at(split({nofrag}, '\\\\?'), 2), null)"
+        )
+        hp = f"substr({pre}, 8)"  # after the fixed 'http://'
+        host = f"element_at(split({hp}, '/'), 1)"
+        path = f"substr({hp}, length({host}) + 1)"
+        chost = f"regexp_replace(lower({host}), ':80$', '')"
+        keepq = (
+            f"array_join(filter(split({qs}, '&'), "
+            f"p -> p not like 'utm_%'), '&')"
+        )
+        return (
+            f"concat('http://', {chost}, {path}, "
+            f"if({qs} is null or {keepq} = '', '', concat('?', {keepq})))"
+        )
+    nofrag = f"string_split({url}, '#')[1]"
+    pre = f"string_split({nofrag}, '?')[1]"
+    qs = (
+        f"(CASE WHEN len(string_split({nofrag}, '?')) > 1 "
+        f"THEN string_split({nofrag}, '?')[2] END)"
+    )
+    hp = f"substr({pre}, 8)"
+    host = f"string_split({hp}, '/')[1]"
+    path = f"substr({hp}, length({host}) + 1)"
+    chost = f"regexp_replace(lower({host}), ':80$', '')"
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL (Spark's
+    # array_join gives ''), which would null the whole concat chain
+    keepq = (
+        f"COALESCE(array_to_string(list_filter(string_split({qs}, '&'), "
+        f"p -> p NOT LIKE 'utm_%'), '&'), '')"
+    )
+    return (
+        f"('http://' || {chost} || {path} || "
+        f"(CASE WHEN {qs} IS NULL OR {keepq} = '' THEN '' "
+        f"ELSE '?' || {keepq} END))"
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_url_expr(DUCK)} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id, url, {_url_canon_expr(DUCK, "url")} AS canonical
+      FROM u
+    )
+    SELECT doc_id, url, canonical,
+           (doc_id = min(doc_id) OVER (PARTITION BY canonical)) AS keep
+    FROM c
+    """,
+    doc="URL-stage dedup (RefinedWeb/CCNet first pass): canonicalize the "
+    "raw URL by real string parsing — lowercase host, strip default :80, "
+    "drop #fragment and utm_* tracking params — then keep-first (min "
+    "doc_id) per canonical URL. The raw URL is synthesized "
+    "deterministically from doc_id (the fixture is URL-less and "
+    "read-only) with every canonicalization noise class planted. "
+    "Canonicalization is a zero-exchange scan projection; the keep "
+    "verdict is one partitioned min-window on the canonical key.",
+    tags=("dedup", "crawl"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_url_expr(SPARK)} as url"
+    ).selectExpr(
+        "doc_id", "url", f"{_url_canon_expr(SPARK, 'url')} as canonical"
+    )
+    w = Window.partitionBy("canonical")
+    return c.withColumn(
+        "keep", F.col("doc_id") == F.min("doc_id").over(w)
     )

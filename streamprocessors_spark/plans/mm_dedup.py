@@ -1,0 +1,335 @@
+"""Multimodal near-duplicate detection: perceptual difference-hash over
+decoded image payloads, banded Hamming candidates, and a keep-list.
+
+Closes the dedup x multimodal axis (VERDICT r6 #1): the multimodal family
+decodes real PPM image payloads (functions/multimodal.py) and the text
+dedup family routes near-dup candidates through gated pigeonhole banding
+(plans/llm_ops.py dedup_simhash_banded); this module composes the two for
+IMAGES — the standard crawl-pipeline stage that drops re-encoded /
+lightly-retouched duplicate images before training.
+
+Algorithm (public): perceptual difference hash ("dHash", Krawetz '13 —
+the pHash-family member that is pure integer arithmetic, so DuckDB can
+reproduce it bit-for-bit): grayscale the raster with the integer BT.601
+luma approximation (77 R + 151 G + 28 B) / 256, emit one bit per
+horizontally / vertically adjacent pixel comparison, then find pairs
+within Hamming distance IMG_MAX_HAMMING via the pigeonhole band equi-join
+(Charikar '02 banding exactly as dedup_simhash_banded: any pair at
+hamming <= 4 agrees exactly on >= 1 of 5 bit-bands). A one-byte change in
+the source raster moves ONE pixel's gray value, which touches at most 2
+horizontal + 2 vertical comparisons — so planted near-identical variants
+sit at hamming <= 4 by construction while unrelated images scatter
+uniformly over the 63-bit space.
+
+Scale shape (100 TB): signatures are a ZERO-EXCHANGE projection over the
+payload scan (hex + integer arithmetic, no Python, no UDF); the only
+corpus exchange is the (band, bval) bucket hash, count-window gated to
+2..IMG_MAX_BUCKET members so no bucket expands more than
+IMG_MAX_BUCKET^2 pairs inside one task; the keep-list component loop runs
+on the near-dup pair graph, which is tiny relative to the corpus. Plan
+pinned by tests/test_plan_shapes.py::test_image_phash_is_gated_band_equijoin.
+
+The fixture images are the 8x6 PPMs with_media_payload() renders from
+document bytes (media_type 0, i.e. doc_id % 3 = 0); planted
+near-identicals come from a deterministic one-byte text edit (position
+41 -> '~') for every doc_id % 9 = 0, unioned under img_id =
+doc_id + IMG_VARIANT_OFF. The Spark side hashes the REAL binary payload
+(header-offset byte extraction from the PPM raster); the DuckDB oracle
+re-derives the same bytes from the document text (the raster IS the
+zero-padded text bytes by construction) — two independent derivations of
+the same pixels, so the hash gate also re-proves the payload encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamprocessors_spark.functions import multimodal as MM
+from streamprocessors_spark.functions.dialect import DUCK, SPARK
+from streamprocessors_spark.plans.registry import register
+from streamprocessors_spark.session import read_table
+
+IMG_W, IMG_H = MM.PPM_W, MM.PPM_H  # 8 x 6 fixture raster
+IMG_HDR_LEN = len(MM.PPM_HEADER)  # 11-byte P6 header before the raster
+IMG_BITS = 63  # 42 horizontal + 21 vertical comparisons (sign-safe)
+IMG_MAX_HAMMING = 4
+IMG_N_BANDS = IMG_MAX_HAMMING + 1  # pigeonhole: <=4 flips miss >=1 band
+IMG_MAX_BUCKET = 50  # same rationale as SIMHASH_MAX_BUCKET
+IMG_VARIANT_OFF = 3 * 10**9  # divisible by 3: variant keeps media_type 0
+
+_BAND_BOUNDS = [(i * IMG_BITS) // IMG_N_BANDS for i in range(IMG_N_BANDS + 1)]
+
+
+def _byte(d: str, i: int, src: str) -> str:
+    """Raster byte i (0-based) as BIGINT from a hex-string column.
+
+    Spark reads the real payload (skip the 11-byte PPM header; the body
+    is rpad'ed to the full raster, so every index exists). DuckDB reads
+    the document text's utf-8 bytes (ASCII fixture corpus), where
+    indices past the text zero-pad — matching the payload's rpad."""
+    if d == SPARK:
+        off = IMG_HDR_LEN + i
+        return f"cast(conv(substr({src}, {2 * off + 1}, 2), 16, 10) as bigint)"
+    return (
+        f"coalesce(('0x' || nullif(substr({src}, {2 * i + 1}, 2), ''))"
+        f"::BIGINT, 0)"
+    )
+
+
+def _gray(d: str, p: int, src: str) -> str:
+    """Integer BT.601 luma of pixel p (0..47): (77R + 151G + 28B) / 256."""
+    r = _byte(d, 3 * p, src)
+    g = _byte(d, 3 * p + 1, src)
+    b = _byte(d, 3 * p + 2, src)
+    idiv = "div" if d == SPARK else "//"
+    return f"((77 * {r} + 151 * {g} + 28 * {b}) {idiv} 256)"
+
+
+def _dhash_bits() -> list[tuple[int, int, int]]:
+    """(bit_index, pixel_a, pixel_b) triples: bit set iff gray[a] > gray[b].
+
+    42 horizontal comparisons (x, x+1 per row) + the first 21 vertical
+    comparisons (y, y+1 per column, row-major) = 63 bits, keeping the
+    packed signature strictly positive under signed 64-bit arithmetic."""
+    bits = []
+    idx = 0
+    for y in range(IMG_H):
+        for x in range(IMG_W - 1):
+            bits.append((idx, y * IMG_W + x + 1, y * IMG_W + x))
+            idx += 1
+    for y in range(IMG_H - 1):
+        for x in range(IMG_W):
+            if idx >= IMG_BITS:
+                return bits
+            bits.append((idx, (y + 1) * IMG_W + x, y * IMG_W + x))
+            idx += 1
+    return bits
+
+
+def _hash_from_grays() -> str:
+    """63-bit signature as a sum over the g0..g47 gray aliases (shared
+    text across dialects — both engines see identical integer columns)."""
+    terms = [
+        f"(case when g{ga} > g{gb} then {1 << idx} else 0 end)"
+        for idx, ga, gb in _dhash_bits()
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def images_frame(docs: DataFrame) -> DataFrame:
+    """(img_id, text): the corpus image docs (media_type 0) plus planted
+    near-identical variants — a deterministic one-byte edit at text
+    position 41 for every doc_id % 9 = 0, under img_id + IMG_VARIANT_OFF."""
+    base = docs.where("doc_id % 3 = 0").selectExpr(
+        "cast(doc_id as bigint) as img_id", "text"
+    )
+    var = docs.where("doc_id % 9 = 0").selectExpr(
+        f"cast(doc_id + {IMG_VARIANT_OFF} as bigint) as img_id",
+        "concat(substr(text, 1, 40), '~', substr(text, 42)) as text",
+    )
+    return base.unionByName(var)
+
+
+def image_signatures(docs: DataFrame) -> DataFrame:
+    """(img_id, h63): dHash signatures via the REAL payload path —
+    render the PPM envelope, hex the binary, extract raster bytes with
+    integer arithmetic. Pure projection: zero exchanges, zero Python."""
+    payloads = MM.with_media_payload(
+        images_frame(docs).withColumnRenamed("img_id", "doc_id")
+    )
+    hx = payloads.selectExpr(
+        "cast(doc_id as bigint) as img_id", "hex(payload) as hx"
+    )
+    grays = hx.selectExpr(
+        "img_id",
+        *[f"{_gray(SPARK, p, 'hx')} as g{p}" for p in range(IMG_W * IMG_H)],
+    )
+    return grays.selectExpr(
+        "img_id", f"cast({_hash_from_grays()} as bigint) as h63"
+    )
+
+
+def _band_exprs_spark(sig: str) -> list[str]:
+    out = []
+    for i in range(IMG_N_BANDS):
+        lo, hi = _BAND_BOUNDS[i], _BAND_BOUNDS[i + 1]
+        mask = (1 << (hi - lo)) - 1
+        out.append(f"(shiftright({sig}, {lo}) & {mask}L)")
+    return out
+
+
+def image_phash_pairs(docs: DataFrame) -> DataFrame:
+    """(img_a, img_b, hamming) image near-dup pairs at hamming <=
+    IMG_MAX_HAMMING via the gated pigeonhole band equi-join (the
+    dedup_simhash_banded machinery: one (band, bval) exchange, count-
+    window bucket gate 2..IMG_MAX_BUCKET, both self-join sides projected
+    from the same gated frame)."""
+    sh = image_signatures(docs)
+    bands = sh.select(
+        "img_id",
+        "h63",
+        F.posexplode(
+            F.expr("array(" + ", ".join(_band_exprs_spark("h63")) + ")")
+        ).alias("band", "bval"),
+    )
+    w = Window.partitionBy("band", "bval")
+    eligible = (
+        bands.repartition(
+            bands.sparkSession.sparkContext.defaultParallelism, "band", "bval"
+        )
+        .withColumn("n_ids", F.count(F.lit(1)).over(w))
+        .where(F.col("n_ids").between(2, IMG_MAX_BUCKET))
+        .select("band", "bval", "img_id", "h63")
+    )
+    a = eligible.select(
+        "band", "bval",
+        F.col("img_id").alias("img_a"), F.col("h63").alias("h_a"),
+    )
+    b = eligible.select(
+        "band", "bval",
+        F.col("img_id").alias("img_b"), F.col("h63").alias("h_b"),
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("img_a") < F.col("img_b"))
+        .selectExpr("img_a", "img_b", "bit_count(h_a ^ h_b) as hamming")
+        .where(F.col("hamming") <= IMG_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def _sig_cte(d: str) -> str:
+    """DuckDB CTEs imgs -> sig re-deriving the signatures from TEXT bytes
+    (independent of the payload encoding the Spark side hashes)."""
+    assert d == DUCK
+    grays = ", ".join(
+        f"{_gray(DUCK, p, 'hx')} AS g{p}" for p in range(IMG_W * IMG_H)
+    )
+    return f"""
+    imgs AS (
+      SELECT CAST(doc_id AS BIGINT) AS img_id, text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT CAST(doc_id + {IMG_VARIANT_OFF} AS BIGINT),
+             substr(text, 1, 40) || '~' || substr(text, 42)
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    hxs AS (SELECT img_id, hex(encode(text)) AS hx FROM imgs),
+    gs AS (SELECT img_id, {grays} FROM hxs),
+    sig AS (SELECT img_id, CAST({_hash_from_grays()} AS BIGINT) AS h63
+            FROM gs)"""
+
+
+def _bands_cte_duck() -> str:
+    arms = []
+    for i in range(IMG_N_BANDS):
+        lo, hi = _BAND_BOUNDS[i], _BAND_BOUNDS[i + 1]
+        mask = (1 << (hi - lo)) - 1
+        arms.append(
+            f"SELECT img_id, h63, {i} AS band, (h63 >> {lo}) & {mask} AS bval"
+            f" FROM sig"
+        )
+    return " UNION ALL ".join(arms)
+
+
+_PAIRS_ORACLE_BODY = f"""
+    bands AS ({{bands}}),
+    bsz AS (
+      SELECT band, bval FROM bands GROUP BY band, bval
+      HAVING count(*) BETWEEN 2 AND {IMG_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+      FROM bands a
+      JOIN bsz s ON s.band = a.band AND s.bval = a.bval
+      JOIN bands b ON b.band = a.band AND b.bval = a.bval
+       AND a.img_id < b.img_id
+    ),
+    prs AS (
+      SELECT c.img_a, c.img_b, bit_count(xor(a.h63, b.h63)) AS hamming
+      FROM cand c
+      JOIN sig a ON a.img_id = c.img_a
+      JOIN sig b ON b.img_id = c.img_b
+      WHERE bit_count(xor(a.h63, b.h63)) <= {IMG_MAX_HAMMING}
+    )"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH {_sig_cte(DUCK)},
+    {_PAIRS_ORACLE_BODY.format(bands=_bands_cte_duck())}
+    SELECT img_a, img_b, CAST(hamming AS INT) AS hamming FROM prs
+    """,
+    doc="Image near-duplicate pairs: 63-bit integer dHash over the "
+    "decoded PPM raster (BT.601 integer luma, adjacent-pixel comparison "
+    "bits), candidates from the gated pigeonhole band equi-join at "
+    "hamming <= 4 (see module doc). Spark hashes the real binary "
+    "payload; the oracle re-derives the raster from the document text — "
+    "independent derivations of the same pixels. Signatures are a "
+    "zero-exchange scan projection; the (band, bval) bucket gate bounds "
+    "every join task at IMG_MAX_BUCKET^2 pairs.",
+    tags=("dedup", "multimodal", "lsh"),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_phash_pairs(_docs(spark, sf_dir)).selectExpr(
+        "img_a", "img_b", "cast(hamming as int) as hamming"
+    )
+
+
+@register(
+    "dedup_image_keep_list",
+    oracle=f"""
+    WITH RECURSIVE {_sig_cte(DUCK)},
+    {_PAIRS_ORACLE_BODY.format(bands=_bands_cte_duck())},
+    edges AS (
+      SELECT img_a AS u, img_b AS v FROM prs
+      UNION SELECT img_b, img_a FROM prs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS img_id, least(u, min(v)) AS canonical
+      FROM reach GROUP BY u
+    )
+    SELECT i.img_id,
+           COALESCE(l.canonical, i.img_id) AS canonical,
+           (COALESCE(l.canonical, i.img_id) = i.img_id) AS keep
+    FROM imgs i LEFT JOIN labels l ON l.img_id = i.img_id
+    """,
+    doc="Image dedup keep-list: connected components over the "
+    "dedup_image_phash pair graph (pointer-jumping min-label, "
+    "plans/advanced.py machinery — O(log diameter) rounds, raises if "
+    "un-converged), keep = the min img_id per component. Every image "
+    "gets a verdict (singletons keep themselves). Oracle: WITH "
+    "RECURSIVE transitive closure over the same gated pairs.",
+    tags=("dedup", "multimodal", "iterative"),
+)
+def dedup_image_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.advanced import _min_label_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = image_phash_pairs(docs).selectExpr(
+        "img_a as doc_a", "img_b as doc_b"
+    )
+    labels = _min_label_components(pairs).selectExpr(
+        "doc_id as l_img", "canonical"
+    )
+    return (
+        images_frame(docs)
+        .join(labels, F.col("img_id") == F.col("l_img"), "left")
+        .selectExpr(
+            "img_id",
+            "coalesce(canonical, img_id) as canonical",
+            "coalesce(canonical, img_id) = img_id as keep",
+        )
+    )

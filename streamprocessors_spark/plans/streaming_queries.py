@@ -981,3 +981,68 @@ def _wire_stream_lm_oracle() -> None:
 
 
 _wire_stream_lm_oracle()
+
+
+@register(
+    "stream_corpus_prep",
+    oracle=None,  # wired below: shares corpus_prep_pipeline's batch oracle
+    doc="Streaming twin of the COMPOSED corpus_prep_pipeline — the "
+    "production deployment of the family: arriving shards flow through "
+    "the stateless quality filter (fused into the scan of each "
+    "micro-batch), then the exact-dedup registry as a continuous "
+    "aggregation (state keyed by md5(text), keeping min(doc_id); min "
+    "commutes across micro-batches so the registry is arrival-order-"
+    "independent), and the deterministic 50%% sample + per-lang "
+    "doc/token budget are the batch read-out over the registry "
+    "snapshot (the sample keys on the SURVIVING doc_id, which only the "
+    "converged registry knows — inherently a post-state decision, like "
+    "lm_perplexity's tercile). Fifth shared-oracle twin: hash-matches "
+    "corpus_prep_pipeline's oracle on the union of micro-batches.",
+    tags=("streaming", "llm", "pipeline"),
+)
+def stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.llm_ops import (
+        _BPE_PATTERN,
+        _PREP_QUALITY_MIN,
+        _doc_hash,
+        _quality_select,
+    )
+
+    docs = stream_documents(spark, sf_dir)
+    d = (
+        docs.selectExpr("doc_id", "lang", "text", f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
+        .selectExpr(
+            "doc_id", "lang", "text",
+            _quality_select(SPARK)[5].replace(" AS ", " as "),
+        )
+        .where(F.col("quality_score") >= _PREP_QUALITY_MIN)
+    )
+    agg = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("lang").alias("lang"),
+        F.any_value("text").alias("text"),
+    )
+    sink = run_available_now(agg, output_mode="complete")
+    sampled = sink.where(F.expr(f"{_doc_hash(SPARK)} % 2 = 0"))
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.expr(D.regexp_all_count(SPARK, "lower(text)", _BPE_PATTERN))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def _wire_corpus_prep_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("corpus_prep_pipeline")
+    if batch is not None:
+        REGISTRY["stream_corpus_prep"].oracle = batch.oracle
+
+
+_wire_corpus_prep_oracle()

@@ -870,3 +870,105 @@ def test_gopher_rules_hand_labeled(spark):
     assert (got[4].r_alpha, got[4].r_stop, got[4].passed) == (0, 0, 0)
     assert (got[5].r_stop, got[5].passed) == (0, 0)
     assert got[5].r_words == got[5].r_wlen == got[5].r_symbol == 1
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer: independent pure-Python hard-EM reference
+# ---------------------------------------------------------------------------
+
+
+def test_ulm_matches_independent_reference(spark, sf_dir):
+    """The distributed ULM train/encode (HOF Viterbi + EM over the
+    vocabulary) must match a from-scratch Python implementation of the
+    same spec exactly: seed substring counts, ULM_EM_ROUNDS hard-EM
+    rounds with fixed-point log2 costs and packed-argmin tie-breaks,
+    top-K prune + char fallback, final Viterbi encode."""
+    from collections import Counter
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import (
+        _LOG2Q_FRAC,
+        _ULM_INF,
+        ULM_EM_ROUNDS,
+        ULM_KEEP,
+        ULM_MAX_PLEN,
+        ULM_WLEN_CAP,
+    )
+
+    P, W = ULM_MAX_PLEN, ULM_WLEN_CAP
+
+    def log2q(n):
+        il = n.bit_length() - 1
+        idx = (n * 256) // (1 << il) - 256
+        return il * 1024 + _LOG2Q_FRAC[idx]
+
+    toks = _fixture_tokens(sf_dir)
+    wcnt = Counter(w for ws in toks.values() for w in ws)
+
+    def seed():
+        c = Counter()
+        for w, n in wcnt.items():
+            for i in range(len(w)):
+                for ln in range(1, min(P, len(w) - i) + 1):
+                    c[w[i : i + ln]] += n
+        return dict(c)
+
+    def costs(cnts):
+        t = sum(cnts.values())
+        return {p: log2q(t) - log2q(c) for p, c in cnts.items()}
+
+    def segment(word, cost):
+        n = len(word)
+        dp = [0] * (n + 1)
+        parr = [0] * (n + 1)
+        for j in range(1, n + 1):
+            best = None
+            for ln in range(1, min(P, j) + 1):
+                i = j - ln
+                pc = cost.get(word[i:j], _ULM_INF)
+                packed = (dp[i] + pc) * 64 + (W - i)
+                if best is None or packed < best:
+                    best = packed
+            dp[j] = best // 64
+            parr[j] = best
+        ps, j = [], n
+        while j > 0:
+            i = W - (parr[j] % 64)
+            ps.append(word[i:j])
+            j = i
+        return ps
+
+    cnts = seed()
+    for _ in range(ULM_EM_ROUNDS):
+        cost = costs(cnts)
+        nc = Counter()
+        for w, n in wcnt.items():
+            for p in segment(w, cost):
+                nc[p] += n
+        cnts = dict(nc)
+    final = dict(
+        sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:ULM_KEEP]
+    )
+    for w in wcnt:
+        for ch in set(w):
+            if ch not in final:
+                final[ch] = cnts.get(ch, 1)
+
+    got = {
+        r.piece: r.cnt
+        for r in REGISTRY["ulm_train_vocab"].fn(spark, sf_dir).collect()
+    }
+    assert got == final
+
+    cost = costs(final)
+    wn = {w: len(segment(w, cost)) for w in wcnt}
+    expected = {
+        d: (len(ws), sum(wn[w] for w in ws))
+        for d, ws in toks.items()
+        if ws
+    }
+    got_docs = {
+        r.doc_id: (r.n_words, r.n_ulm_tokens)
+        for r in REGISTRY["ulm_encode_tokens"].fn(spark, sf_dir).collect()
+    }
+    assert got_docs == expected

@@ -562,3 +562,29 @@ def test_corpus_shuffle_order_windows_partitioned(spark, sf_dir):
         if "windowspecdefinition" in line.lower():
             assert "part#" in line, line.strip()[:140]
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_image_phash_is_gated_band_equijoin(spark, sf_dir):
+    """dedup_image_phash mirrors the dedup_simhash_banded contract: the
+    candidate self-join keys on (band, bval) — no nested loop, no
+    per-bucket arrays — and the whole pipeline is pure JVM (the payload
+    decode is hex + integer arithmetic, never Python)."""
+    p = _plan(spark, sf_dir, "dedup_image_phash")
+    assert "NestedLoop" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "collect_list" not in p
+
+
+def test_image_signatures_zero_exchange(spark, sf_dir):
+    """The dHash signature stage is a pure scan projection: at 100 TB it
+    must stream through the payload scan with ZERO shuffles and zero
+    Python."""
+    from streamprocessors_spark.plans.mm_dedup import _docs, image_signatures
+
+    df = image_signatures(_docs(spark, sf_dir))
+    p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("hashpartitioning(") == 0
+    assert "Python" not in p and "ArrowEval" not in p

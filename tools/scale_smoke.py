@@ -276,6 +276,117 @@ def main() -> None:
 
     timed("lm_perplexity_bucket", lambda: lm_perplexity_docs(docs).count())
 
+    # SemDeDup over the multiplied vectors — COMPOSED the way the
+    # pipeline documents it: exact dedup FIRST, then the trained-cell
+    # quadratic pass. Raw multiplication makes within-cluster work
+    # degenerate by construction (every vector gains mult-1 EXACT
+    # copies at cos=1, and no clustering k can separate identical
+    # vectors — the paper's k ~ N knob bounds cluster size only for
+    # distinct data), which is exactly why SemDeDup deploys after the
+    # exact pass: the dedup is linear in the corpus, the semantic pass
+    # then runs on the surviving ~base-sized corpus. Tracks both
+    # stages' cost under multiplication.
+    from streamprocessors_spark.functions.dialect import DUCK  # noqa: F401
+    from streamprocessors_spark.plans.llm_ops import (
+        SEMDEDUP_MIN_COS,
+        _kmeans_trained,
+    )
+
+    def _semdedup_after_exact():
+        cent_rows, _ = _kmeans_trained(spark, sf_dir)
+        cent = spark.createDataFrame(
+            cent_rows, "cell long, cemb array<double>, cnorm double"
+        )
+        uniq = embs.groupBy("embedding").agg(
+            F.min("vec_id").alias("vec_id"), F.first("label").alias("label")
+        )
+        qv = uniq.selectExpr(
+            "vec_id",
+            "embedding",
+            f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+        )
+        dot = D.dot_double(SPARK, "cemb", "embedding")
+        from streamprocessors_spark.plans.llm_ops import KM_CELL_SPAN
+
+        akey = (
+            f"cast(floor(({dot} / sqrt(cnorm * qnorm)) * 1000000) as bigint)"
+            f" * {KM_CELL_SPAN} - cell"
+        )
+        asg = (
+            qv.crossJoin(F.broadcast(cent))
+            .selectExpr("vec_id", "embedding", "qnorm", f"{akey} as ak")
+            .groupBy("vec_id")
+            .agg(
+                F.max("ak").alias("mak"),
+                F.first("embedding").alias("embedding"),
+                F.first("qnorm").alias("qnorm"),
+            )
+            .selectExpr(
+                "vec_id",
+                "embedding",
+                "qnorm",
+                f"cast(pmod(-mak, {KM_CELL_SPAN}) as bigint) as cell",
+            )
+        )
+        a = asg.selectExpr(
+            "vec_id as va", "cell as ca", "embedding as ea", "qnorm as na"
+        )
+        b = asg.selectExpr(
+            "vec_id as vb", "cell as cb", "embedding as eb", "qnorm as nb"
+        )
+        cos = D.cosine_pre(SPARK, "ea", "eb", "na", "nb")
+        return (
+            a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") != F.col("vb")))
+            .selectExpr("va", "vb", f"{cos} as cos")
+            .where(F.col("cos") >= SEMDEDUP_MIN_COS)
+            .count()
+        )
+
+    timed("semdedup_after_exact_dedup", _semdedup_after_exact)
+
+    # Incremental MinHash-LSH dedup CATCH-UP REPLAY: the multiplied
+    # corpus lands as `mult` parquet shard files in a temp dir and a
+    # bounded-files-per-trigger stream replays them through the keyed
+    # bucket state (streaming/stateful.py) — the 'node restarts and
+    # replays the backlog' deployment case. Bucket state saturates at
+    # LSH_MAX_BUCKET so the multiplied copies cost a counter bump, not
+    # quadratic pair emission.
+    def _stream_minhash_replay():
+        import shutil
+        import tempfile
+
+        from streamprocessors_spark.plans.llm_ops import LSH_MAX_BUCKET
+        from streamprocessors_spark.plans.streaming_queries import (
+            minhash_band_stream,
+        )
+        from streamprocessors_spark.streaming.stateful import (
+            lsh_bucket_pairs_stream,
+        )
+        from streamprocessors_spark.streaming.runner import run_available_now
+
+        src = tempfile.mkdtemp(prefix="spgraft_replay_")
+        try:
+            for k in range(mult):
+                docs0.withColumn(
+                    "doc_id", F.col("doc_id") + k * 1_000_000
+                ).coalesce(1).write.mode("append").parquet(src)
+            schema = spark.read.parquet(src).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, mult // 20))
+                .parquet(src)
+            )
+            bands = minhash_band_stream(stream)
+            sink = run_available_now(
+                lsh_bucket_pairs_stream(bands, LSH_MAX_BUCKET),
+                output_mode="append",
+            )
+            return sink.distinct().count()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    timed("stream_dedup_minhash_replay", _stream_minhash_replay)
+
     # section reassembly over the multiplied document set
     from streamprocessors_spark.operators.demux import reassemble_sections
     from streamprocessors_spark.operators.encode import document_section_streams
