@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_image_keep_list",
     "ulm_train_vocab",
     "ulm_encode_tokens",
+    "stream_image_phash",
 ]
 
 

@@ -333,3 +333,67 @@ def dedup_image_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(canonical, img_id) = img_id as keep",
         )
     )
+
+
+@register(
+    "stream_image_phash",
+    oracle=None,  # wired below: shares dedup_image_phash's oracle
+    doc="Incremental image near-dup detection — the streaming twin of "
+    "dedup_image_phash and the 'new crawl shard arrives -> dedup its "
+    "images against the existing index' deployment shape. The dHash "
+    "signature is a stateless projection over each arriving "
+    "micro-batch (the same zero-exchange expression as batch); band "
+    "bucket membership lives in keyed state via the SAME "
+    "lsh_bucket_pairs_stream machinery as stream_dedup_minhash "
+    "(buckets saturate at IMG_MAX_BUCKET — state collapses to a "
+    "counter), and the exact Hamming verify runs batch-side on the "
+    "emitted candidates. Hash-matches the batch oracle wherever no "
+    "bucket exceeds the cap (same documented divergence contract as "
+    "the MinHash twin).",
+    tags=("streaming", "dedup", "multimodal", "lsh"),
+)
+def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.streaming_queries import (  # noqa: PLC0415
+        run_available_now,
+        stream_documents,
+    )
+    from streamprocessors_spark.streaming.stateful import (
+        lsh_bucket_pairs_stream,
+    )
+
+    sh = image_signatures(stream_documents(spark, sf_dir))
+    bands = sh.select(
+        F.col("img_id").alias("doc_id"),
+        F.posexplode(
+            F.expr("array(" + ", ".join(_band_exprs_spark("h63")) + ")")
+        ).alias("band", "bh"),
+    )
+    sink = run_available_now(
+        lsh_bucket_pairs_stream(bands, IMG_MAX_BUCKET), output_mode="append"
+    )
+    cand = sink.distinct().selectExpr(
+        "doc_a as img_a", "doc_b as img_b"
+    )
+    sig = image_signatures(_docs(spark, sf_dir))
+    a = sig.selectExpr("img_id as img_a", "h63 as h_a")
+    b = sig.selectExpr("img_id as img_b", "h63 as h_b")
+    return (
+        cand.join(a, "img_a")
+        .join(b, "img_b")
+        .selectExpr(
+            "img_a", "img_b",
+            "cast(bit_count(h_a ^ h_b) as int) as hamming",
+        )
+        .where(F.col("hamming") <= IMG_MAX_HAMMING)
+    )
+
+
+def _wire_stream_image_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("dedup_image_phash")
+    if batch is not None:
+        REGISTRY["stream_image_phash"].oracle = batch.oracle
+
+
+_wire_stream_image_oracle()

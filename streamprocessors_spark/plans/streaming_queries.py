@@ -990,9 +990,12 @@ _wire_stream_lm_oracle()
     "production deployment of the family: arriving shards flow through "
     "the stateless quality filter (fused into the scan of each "
     "micro-batch), then the exact-dedup registry as a continuous "
-    "aggregation (state keyed by md5(text), keeping min(doc_id); min "
-    "commutes across micro-batches so the registry is arrival-order-"
-    "independent), and the deterministic 50%% sample + per-lang "
+    "aggregation (state keyed by md5(text), keeping ONLY the min "
+    "(doc_id, lang, token-count) scalar struct — the token count is "
+    "computed stateless per arriving doc, so the state never stores "
+    "document bodies; min commutes across micro-batches so the "
+    "registry is arrival-order-independent), and the deterministic "
+    "50%% sample + per-lang "
     "doc/token budget are the batch read-out over the registry "
     "snapshot (the sample keys on the SURVIVING doc_id, which only the "
     "converged registry knows — inherently a post-state decision, like "
@@ -1020,20 +1023,30 @@ def stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("quality_score") >= _PREP_QUALITY_MIN)
     )
-    agg = d.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.any_value("lang").alias("lang"),
-        F.any_value("text").alias("text"),
+    # token count computed STATELESS per arriving doc: duplicates share
+    # the text, hence the count, so the registry state can keep three
+    # scalars per distinct text instead of the text itself — at 100 TB
+    # the state store holds the distinct-text registry, and ~30
+    # bytes/row vs the document body is the difference between a state
+    # store and a second corpus
+    d = d.selectExpr(
+        "doc_id", "lang", "md5(text) as h",
+        f"cast({D.regexp_all_count(SPARK, 'lower(text)', _BPE_PATTERN)}"
+        " as bigint) as n_tok",
     )
-    sink = run_available_now(agg, output_mode="complete")
+    # min(struct) commutes across micro-batches: the surviving row is
+    # the min-doc_id member, whose lang/token count ride along (same
+    # values for every member — duplicates are exact)
+    agg = d.groupBy("h").agg(
+        F.min(F.struct("doc_id", "lang", "n_tok")).alias("m")
+    )
+    sink = run_available_now(agg, output_mode="complete").selectExpr(
+        "m.doc_id as doc_id", "m.lang as lang", "m.n_tok as n_tok"
+    )
     sampled = sink.where(F.expr(f"{_doc_hash(SPARK)} % 2 = 0"))
     return sampled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.expr(D.regexp_all_count(SPARK, "lower(text)", _BPE_PATTERN))
-        )
-        .cast("bigint")
-        .alias("n_tokens"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
 
 
