@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streamprocessors_spark.functions import dialect as D
 from streamprocessors_spark.functions import multimodal as MM
 from streamprocessors_spark.functions.dialect import DUCK, SPARK
 from streamprocessors_spark.plans.registry import register
@@ -397,3 +398,375 @@ def _wire_stream_image_oracle() -> None:
 
 
 _wire_stream_image_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate detection: integer energy-envelope fingerprint
+# over the decoded WAV payloads (media_type 1) — the third modality of
+# the dedup family (text: simhash/minhash, image: dHash, audio: this).
+# ---------------------------------------------------------------------------
+
+# Chromaprint-style shape (Lalinsky '11) reduced to exact integer
+# arithmetic: frame the s16le samples into overlapping windows, compute
+# integer energy (sum of squares) per window, and emit one bit per
+# adjacent-window energy comparison — the same "local feature delta"
+# construction as dHash, so a one-byte perturbation of the source flips
+# at most ~4 bits (one sample sits in <= 2 overlapping windows, each
+# feeding <= 2 comparisons) and the banded-Hamming gate finds the pair.
+AUD_HDR_LEN = len(MM.MAGIC) + 8 + len(MM.WAV_HEADER)  # SPMM env + RIFF = 56
+AUD_SAMPLES = MM.WAV_DATA_LEN // 2  # 128 s16le samples
+AUD_WIN = 4  # samples per energy window
+AUD_STRIDE = 2  # window hop (overlapping)
+AUD_NWIN = 64  # windows; starts 0,2,..,126 (tail zero-padded)
+AUD_BITS = 63  # adjacent-window comparisons, sign-safe
+AUD_MAX_HAMMING = IMG_MAX_HAMMING
+AUD_N_BANDS = AUD_MAX_HAMMING + 1
+AUD_MAX_BUCKET = IMG_MAX_BUCKET
+AUD_VARIANT_OFF = IMG_VARIANT_OFF  # divisible by 3: keeps media_type 1
+
+_AUD_BAND_BOUNDS = [
+    (i * AUD_BITS) // AUD_N_BANDS for i in range(AUD_N_BANDS + 1)
+]
+
+
+def _aud_byte(d: str, i: int, src: str) -> str:
+    """WAV data byte i (0-based) as BIGINT from a hex-string column —
+    Spark reads the payload past the envelope + RIFF header, DuckDB the
+    text bytes (zero-padded both sides, see _byte)."""
+    if d == SPARK:
+        off = AUD_HDR_LEN + i
+        return f"cast(conv(substr({src}, {2 * off + 1}, 2), 16, 10) as bigint)"
+    return (
+        f"coalesce(('0x' || nullif(substr({src}, {2 * i + 1}, 2), ''))"
+        f"::BIGINT, 0)"
+    )
+
+
+def _aud_sample(d: str, k: int, src: str) -> str:
+    """Signed little-endian 16-bit sample k: lo + 256*hi - 65536*(hi>=128)."""
+    lo = _aud_byte(d, 2 * k, src)
+    hi = _aud_byte(d, 2 * k + 1, src)
+    return (
+        f"({lo} + 256 * {hi}"
+        f" - (case when {hi} >= 128 then 65536 else 0 end))"
+    )
+
+
+def _aud_energy_from_samples(w: int) -> str:
+    """Window w's integer energy over the s0..s127 sample aliases."""
+    terms = []
+    for i in range(AUD_WIN):
+        k = AUD_STRIDE * w + i
+        terms.append(f"s{k} * s{k}" if k < AUD_SAMPLES else "0")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _aud_hash_from_energies() -> str:
+    terms = [
+        f"(case when e{w + 1} > e{w} then {1 << w} else 0 end)"
+        for w in range(AUD_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def audio_frame(docs: DataFrame) -> DataFrame:
+    """(aud_id, text): corpus audio docs (media_type 1) + planted
+    one-byte-edit variants for doc_id % 9 = 1 (subset of the audio
+    ids, mirroring the image fixture's planted near-identicals)."""
+    base = docs.where("doc_id % 3 = 1").selectExpr(
+        "cast(doc_id as bigint) as aud_id", "text"
+    )
+    var = docs.where("doc_id % 9 = 1").selectExpr(
+        f"cast(doc_id + {AUD_VARIANT_OFF} as bigint) as aud_id",
+        "concat(substr(text, 1, 40), '~', substr(text, 42)) as text",
+    )
+    return base.unionByName(var)
+
+
+def audio_signatures(docs: DataFrame) -> DataFrame:
+    """(aud_id, h63): energy-envelope fingerprints via the real payload
+    path (SPMM envelope -> RIFF/WAVE -> s16le raster). Pure projection:
+    zero exchanges, zero Python."""
+    payloads = MM.with_media_payload(
+        audio_frame(docs).withColumnRenamed("aud_id", "doc_id")
+    )
+    hx = payloads.selectExpr(
+        "cast(doc_id as bigint) as aud_id", "hex(payload) as hx"
+    )
+    samples = hx.selectExpr(
+        "aud_id",
+        *[
+            f"{_aud_sample(SPARK, k, 'hx')} as s{k}"
+            for k in range(AUD_SAMPLES)
+        ],
+    )
+    energies = samples.selectExpr(
+        "aud_id",
+        *[
+            f"{_aud_energy_from_samples(w)} as e{w}"
+            for w in range(AUD_NWIN)
+        ],
+    )
+    return energies.selectExpr(
+        "aud_id", f"cast({_aud_hash_from_energies()} as bigint) as h63"
+    )
+
+
+def _aud_band_exprs_spark(sig: str) -> list[str]:
+    out = []
+    for i in range(AUD_N_BANDS):
+        lo, hi = _AUD_BAND_BOUNDS[i], _AUD_BAND_BOUNDS[i + 1]
+        mask = (1 << (hi - lo)) - 1
+        out.append(f"(shiftright({sig}, {lo}) & {mask}L)")
+    return out
+
+
+def audio_fingerprint_pairs(docs: DataFrame) -> DataFrame:
+    """(aud_a, aud_b, hamming) audio near-dup pairs — the exact
+    image_phash_pairs machinery over the audio fingerprints."""
+    sh = audio_signatures(docs)
+    bands = sh.select(
+        "aud_id",
+        "h63",
+        F.posexplode(
+            F.expr("array(" + ", ".join(_aud_band_exprs_spark("h63")) + ")")
+        ).alias("band", "bval"),
+    )
+    w = Window.partitionBy("band", "bval")
+    eligible = (
+        bands.repartition(
+            bands.sparkSession.sparkContext.defaultParallelism, "band", "bval"
+        )
+        .withColumn("n_ids", F.count(F.lit(1)).over(w))
+        .where(F.col("n_ids").between(2, AUD_MAX_BUCKET))
+        .select("band", "bval", "aud_id", "h63")
+    )
+    a = eligible.select(
+        "band", "bval",
+        F.col("aud_id").alias("aud_a"), F.col("h63").alias("h_a"),
+    )
+    b = eligible.select(
+        "band", "bval",
+        F.col("aud_id").alias("aud_b"), F.col("h63").alias("h_b"),
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("aud_a") < F.col("aud_b"))
+        .selectExpr(
+            "aud_a", "aud_b",
+            "cast(bit_count(h_a ^ h_b) as int) as hamming",
+        )
+        .where(F.col("hamming") <= AUD_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def _aud_sig_cte(d: str) -> str:
+    assert d == DUCK
+    samples = ", ".join(
+        f"{_aud_sample(DUCK, k, 'hx')} AS s{k}" for k in range(AUD_SAMPLES)
+    )
+    energies = ", ".join(
+        f"{_aud_energy_from_samples(w)} AS e{w}" for w in range(AUD_NWIN)
+    )
+    return f"""
+    auds AS (
+      SELECT CAST(doc_id AS BIGINT) AS aud_id, text
+      FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT CAST(doc_id + {AUD_VARIANT_OFF} AS BIGINT),
+             substr(text, 1, 40) || '~' || substr(text, 42)
+      FROM documents WHERE doc_id % 9 = 1
+    ),
+    ahxs AS (SELECT aud_id, hex(encode(text)) AS hx FROM auds),
+    asmp AS (SELECT aud_id, {samples} FROM ahxs),
+    aeng AS (SELECT aud_id, {energies} FROM asmp),
+    asig AS (SELECT aud_id, CAST({_aud_hash_from_energies()} AS BIGINT)
+               AS h63 FROM aeng)"""
+
+
+def _aud_bands_cte_duck() -> str:
+    arms = []
+    for i in range(AUD_N_BANDS):
+        lo, hi = _AUD_BAND_BOUNDS[i], _AUD_BAND_BOUNDS[i + 1]
+        mask = (1 << (hi - lo)) - 1
+        arms.append(
+            f"SELECT aud_id, h63, {i} AS band, (h63 >> {lo}) & {mask}"
+            f" AS bval FROM asig"
+        )
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=f"""
+    WITH {_aud_sig_cte(DUCK)},
+    abands AS ({_aud_bands_cte_duck()}),
+    absz AS (
+      SELECT band, bval FROM abands GROUP BY band, bval
+      HAVING count(*) BETWEEN 2 AND {AUD_MAX_BUCKET}
+    ),
+    acand AS (
+      SELECT DISTINCT a.aud_id AS aud_a, b.aud_id AS aud_b
+      FROM abands a
+      JOIN absz s ON s.band = a.band AND s.bval = a.bval
+      JOIN abands b ON b.band = a.band AND b.bval = a.bval
+       AND a.aud_id < b.aud_id
+    )
+    SELECT c.aud_a, c.aud_b,
+           CAST(bit_count(xor(a.h63, b.h63)) AS INT) AS hamming
+    FROM acand c
+    JOIN asig a ON a.aud_id = c.aud_a
+    JOIN asig b ON b.aud_id = c.aud_b
+    WHERE bit_count(xor(a.h63, b.h63)) <= {AUD_MAX_HAMMING}
+    """,
+    doc="Audio near-duplicate pairs — the THIRD modality of the dedup "
+    "family: 63-bit integer energy-envelope fingerprint (Chromaprint-"
+    "style adjacent-window energy comparisons over overlapping 4-sample "
+    "windows of the decoded s16le WAV raster), candidates from the "
+    "gated pigeonhole band equi-join at hamming <= 4 (the "
+    "dedup_image_phash machinery verbatim). Spark decodes the real "
+    "SPMM+RIFF payload; the oracle re-derives the samples from document "
+    "text — independent derivations of the same raster. Signatures are "
+    "a zero-exchange scan projection; the bucket gate bounds every join "
+    "task.",
+    tags=("dedup", "multimodal", "lsh"),
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_fingerprint_pairs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate detection: frame-hash containment over the raw
+# payload bodies (media_type 2) — the FOURTH dedup modality. Real video
+# dedup hashes sampled keyframes and scores shared-frame containment;
+# here the fixture's synthetic "video" is the raw byte body framed into
+# FRAME_SIZE-byte frames (the same framing functions/multimodal.py's
+# sample_frames uses), each frame hashed, and near-dup = sharing at
+# least half the smaller video's distinct frame hashes — the
+# doc_containment_pairs machinery (gated fp equi-join) verbatim.
+# ---------------------------------------------------------------------------
+
+VID_FRAME_HEX = 2 * MM.FRAME_SIZE  # 64-byte frames = 128 hex chars
+VID_FH_MAX_DOCS = 50  # bucket gate, same rationale as FP_MAX_DOCS
+VID_VARIANT_OFF = IMG_VARIANT_OFF  # divisible by 3: keeps media_type 2
+
+
+def video_frame(docs: DataFrame) -> DataFrame:
+    """(vid_id, text): corpus video docs (media_type 2) + planted
+    one-byte-edit variants for doc_id % 9 = 2 (changes ONE frame's hash
+    out of ~len/64, so containment stays above the gate)."""
+    base = docs.where("doc_id % 3 = 2").selectExpr(
+        "cast(doc_id as bigint) as vid_id", "text"
+    )
+    var = docs.where("doc_id % 9 = 2").selectExpr(
+        f"cast(doc_id + {VID_VARIANT_OFF} as bigint) as vid_id",
+        "concat(substr(text, 1, 40), '~', substr(text, 42)) as text",
+    )
+    return base.unionByName(var)
+
+
+def video_frame_hashes(docs: DataFrame) -> DataFrame:
+    """(vid_id, n_fh, fh): distinct frame hashes per video, exploded,
+    with the distinct-count along — a zero-exchange generator pass over
+    the payload scan (the containment_pairs shape)."""
+    payloads = MM.with_media_payload(
+        video_frame(docs).withColumnRenamed("vid_id", "doc_id")
+    )
+    # body hex = payload hex past the 12-byte SPMM envelope (media_type
+    # 2 bodies are the raw bytes, unpadded — same length as the text)
+    fhs = payloads.selectExpr(
+        "cast(doc_id as bigint) as vid_id",
+        "substr(hex(payload), 25) as bh",
+    ).selectExpr(
+        "vid_id",
+        f"array_distinct(transform(sequence(0, cast((length(bh) +"
+        f" {VID_FRAME_HEX - 1}) div {VID_FRAME_HEX} as int) - 1),"
+        f" j -> {D.md5int(SPARK, f'substr(bh, j * {VID_FRAME_HEX} + 1, {VID_FRAME_HEX})')}"
+        ")) as fhs",
+    )
+    return (
+        fhs.where("size(fhs) > 0")
+        .select(
+            "vid_id",
+            F.expr("size(fhs)").alias("n_fh"),
+            F.explode("fhs").alias("fh"),
+        )
+    )
+
+
+def video_framehash_pairs(docs: DataFrame) -> DataFrame:
+    """(vid_a, vid_b, n_shared, n_min) video near-dup pairs: gated frame
+    hash equi-join, kept when the pair shares >= half the smaller
+    video's distinct frames."""
+    x = video_frame_hashes(docs)
+    w = Window.partitionBy("fh")
+    xg = (
+        x.repartition(x.sparkSession.sparkContext.defaultParallelism, "fh")
+        .withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .where(F.col("n_docs").between(2, VID_FH_MAX_DOCS))
+        .select("fh", "vid_id", "n_fh")
+    )
+    a = xg.select("fh", F.col("vid_id").alias("vid_a"), F.col("n_fh").alias("na"))
+    b = xg.select("fh", F.col("vid_id").alias("vid_b"), F.col("n_fh").alias("nb"))
+    return (
+        a.join(b, ["fh"])
+        .where("vid_a < vid_b")
+        .groupBy("vid_a", "vid_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.expr("least(max(na), max(nb))").alias("n_min"),
+        )
+        .where("2 * n_shared >= n_min AND n_min > 0")
+    )
+
+
+@register(
+    "dedup_video_framehash",
+    oracle=f"""
+    WITH vids AS (
+      SELECT CAST(doc_id AS BIGINT) AS vid_id, text
+      FROM documents WHERE doc_id % 3 = 2
+      UNION ALL
+      SELECT CAST(doc_id + {VID_VARIANT_OFF} AS BIGINT),
+             substr(text, 1, 40) || '~' || substr(text, 42)
+      FROM documents WHERE doc_id % 9 = 2
+    ),
+    vb AS (SELECT vid_id, hex(encode(text)) AS bh FROM vids),
+    vf AS (
+      SELECT vid_id,
+             list_distinct(list_transform(
+               range(0, (length(bh) + {VID_FRAME_HEX - 1}) // {VID_FRAME_HEX}),
+               j -> {D.md5int(DUCK, f"substr(bh, j * {VID_FRAME_HEX} + 1, {VID_FRAME_HEX})")}
+             )) AS fhs
+      FROM vb
+    ),
+    x AS (SELECT vid_id, len(fhs) AS n_fh, unnest(fhs) AS fh
+          FROM vf WHERE len(fhs) > 0),
+    gate AS (SELECT fh FROM x GROUP BY fh
+             HAVING count(*) BETWEEN 2 AND {VID_FH_MAX_DOCS}),
+    xg AS (SELECT x.* FROM x JOIN gate USING (fh))
+    SELECT vid_a, vid_b, n_shared, n_min FROM (
+      SELECT a.vid_id AS vid_a, b.vid_id AS vid_b,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(least(max(a.n_fh), max(b.n_fh)) AS BIGINT) AS n_min
+      FROM xg a JOIN xg b ON a.fh = b.fh AND a.vid_id < b.vid_id
+      GROUP BY a.vid_id, b.vid_id
+    ) WHERE 2 * n_shared >= n_min AND n_min > 0
+    """,
+    doc="Video near-duplicate pairs — the FOURTH dedup modality: frame "
+    "the raw payload body into 64-byte frames (the sample_frames "
+    "framing), hash each frame (shared md5 dialect), and keep pairs "
+    "sharing >= half the smaller video's distinct frame hashes — "
+    "keyframe-containment dedup, the doc_containment_pairs gated "
+    "equi-join machinery verbatim (bucket-capped, no all-pairs). A "
+    "planted one-byte edit changes exactly one frame, so variants stay "
+    "above the containment gate.",
+    tags=("dedup", "multimodal"),
+)
+def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_framehash_pairs(_docs(spark, sf_dir)).selectExpr(
+        "vid_a", "vid_b",
+        "cast(n_shared as bigint) as n_shared",
+        "cast(n_min as bigint) as n_min",
+    )

@@ -93,3 +93,54 @@ def test_image_keep_list_components(spark):
     assert verdicts[3] == (3, True)
     assert verdicts[6] == (3, False)
     assert verdicts[12] == (12, True)
+
+
+def test_audio_fingerprint_hand_fixture(spark):
+    """Audio modality mirror of the image fixture: ids chosen so all are
+    audio docs (% 3 == 1), only id 1 gets a planted variant (% 9 == 1);
+    4 & 13 share text (exact dup), 7 is unrelated."""
+    from streamprocessors_spark.plans.mm_dedup import (
+        AUD_MAX_HAMMING,
+        AUD_VARIANT_OFF,
+        audio_fingerprint_pairs,
+        audio_signatures,
+    )
+
+    rows = [(1, TEXT_A), (4, TEXT_B), (13, TEXT_B), (7, TEXT_C)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.aud_a, r.aud_b): r.hamming
+        for r in audio_fingerprint_pairs(docs).collect()
+    }
+    assert (1, 1 + AUD_VARIANT_OFF) in pairs
+    assert 0 <= pairs[(1, 1 + AUD_VARIANT_OFF)] <= AUD_MAX_HAMMING
+    assert pairs.get((4, 13)) == 0
+    assert not any(7 in p for p in pairs)
+    sigs = {r.aud_id: r.h63 for r in audio_signatures(docs).collect()}
+    # one byte edit flips at most ~4 fingerprint bits (one sample sits
+    # in <= 2 overlapping windows, each feeding <= 2 comparisons)
+    assert bin(sigs[1] ^ sigs[1 + AUD_VARIANT_OFF]).count("1") <= AUD_MAX_HAMMING
+
+
+def test_video_framehash_hand_fixture(spark):
+    """Video modality: ids % 3 == 2; id 2 gets the planted variant
+    (% 9 == 2); 5 & 14 share text (every frame shared), 8 unrelated.
+    TEXT_A is ~2 frames, so the one-byte edit leaves >= half shared."""
+    from streamprocessors_spark.plans.mm_dedup import (
+        VID_VARIANT_OFF,
+        video_framehash_pairs,
+    )
+
+    rows = [(2, TEXT_A), (5, TEXT_B), (14, TEXT_B), (8, TEXT_C)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.vid_a, r.vid_b): (r.n_shared, r.n_min)
+        for r in video_framehash_pairs(docs).collect()
+    }
+    assert (2, 2 + VID_VARIANT_OFF) in pairs
+    shared, nmin = pairs[(2, 2 + VID_VARIANT_OFF)]
+    assert 2 * shared >= nmin
+    assert (5, 14) in pairs
+    s2, m2 = pairs[(5, 14)]
+    assert s2 == m2  # exact dup: every frame shared
+    assert not any(8 in p for p in pairs)
