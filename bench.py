@@ -99,6 +99,10 @@ HEADLINE = [
     "ulm_train_vocab",
     "ulm_encode_tokens",
     "stream_image_phash",
+    "dedup_audio_fingerprint",
+    "dedup_video_framehash",
+    "weighted_reservoir_sample",
+    "zipf_alpha_fit",
 ]
 
 

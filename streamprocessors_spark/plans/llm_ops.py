@@ -6346,3 +6346,142 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.withColumn(
         "keep", F.col("doc_id") == F.min("doc_id").over(w)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-SIZE weighted sampling: Efraimidis-Spirakis A-ES reservoir
+# (Inf. Proc. Letters '06) in exact integer arithmetic. The mixture
+# sampler above fixes a RATE per source; this fixes the SAMPLE SIZE —
+# "give me exactly k documents, probability proportional to weight" —
+# the op behind fixed-token-budget subset selection. One scan computes
+# a per-row key, a per-partition top-k merge (TakeOrderedAndProject)
+# returns k rows: no corpus shuffle at any size, so the same plan takes
+# a 100-document sample of a 100 TB corpus in one pass.
+# ---------------------------------------------------------------------------
+
+RES_K = 100
+# A-ES keeps the k largest u^(1/w)  <=>  the k SMALLEST (-log2 u)/w.
+# u = (h30+1)/2^30 from the doc hash, so -1024*log2(u) is the exact
+# integer 30*1024 - log2q(h30+1); the division by w is scaled by 1e9
+# and floored identically by both engines (operands are non-negative,
+# so Spark's truncating `div` and DuckDB's flooring `//` agree).
+RES_SCALE = 1_000_000_000
+
+
+def _aes_key_sql(d: str) -> tuple[str, str]:
+    """(weight_words, aes_key) expressions over a documents row."""
+    h30 = f"({_doc_hash(d)} % {1 << 30})"
+    neglog = f"({30 * 1024} - {_log2q(d, f'{h30} + 1')})"
+    w = D.size(d, D.words(d))
+    div = "div" if d == SPARK else "//"
+    return w, f"(({neglog}) * {RES_SCALE}) {div} ({w})"
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST({_aes_key_sql(DUCK)[0]} AS BIGINT) AS weight_words,
+             CAST({_aes_key_sql(DUCK)[1]} AS BIGINT) AS aes_key
+      FROM documents
+    )
+    SELECT doc_id, weight_words, aes_key
+    FROM s WHERE weight_words > 0
+    ORDER BY aes_key, doc_id LIMIT {RES_K}
+    """,
+    doc="Fixed-size weighted sample (Efraimidis-Spirakis A-ES): keep the "
+    f"{RES_K} documents with the smallest (-log2 u)/w where u is the "
+    "deterministic doc-hash uniform and w the word count — i.e. a "
+    "without-replacement sample with inclusion probability ~ length, the "
+    "fixed-token-budget selection op. The log is the shared fixed-point "
+    "integer log2q (1/1024 units) and the division a scaled floor of "
+    "non-negative integers, so both engines rank identically and re-runs "
+    "reproduce the same sample. Plan: scan-local key arithmetic + "
+    "per-partition top-k merge (TakeOrderedAndProject) — k rows cross "
+    "the wire regardless of corpus size; zero-word docs (w = 0, "
+    "unsampleable) are filtered at the scan.",
+    tags=("sample", "llm"),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, key = _aes_key_sql(SPARK)
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            f"cast({w} as bigint) as weight_words",
+            f"cast({key} as bigint) as aes_key",
+        )
+        .where("weight_words > 0")
+        .orderBy("aes_key", "doc_id")
+        .limit(RES_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-law fit: Zipf exponent over the top words, exact-integer least
+# squares in log2q space. The corpus-health gauge a pretraining-data
+# pipeline reads after every transform (dedup/filter passes visibly
+# flatten or steepen the head of the distribution).
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 256
+
+
+@register(
+    "zipf_alpha_fit",
+    oracle=f"""
+    WITH wx AS (SELECT unnest({D.words(DUCK)}) AS word FROM documents),
+    wc AS (SELECT word, count(*) AS cnt FROM wx GROUP BY word),
+    top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {ZIPF_TOP}),
+    rk AS (SELECT cnt,
+                  row_number() OVER (ORDER BY cnt DESC, word) AS rank
+           FROM top),
+    q AS (SELECT CAST({_log2q(DUCK, "rank")} AS BIGINT) AS x_q,
+                 CAST({_log2q(DUCK, "cnt")} AS BIGINT) AS y_q
+          FROM rk)
+    SELECT CAST(count(*) AS BIGINT) AS n_top,
+           CAST(count(*) * sum(x_q * y_q) - sum(x_q) * sum(y_q) AS BIGINT)
+             AS num_q2,
+           CAST(count(*) * sum(x_q * x_q) - sum(x_q) * sum(x_q) AS BIGINT)
+             AS den_q2
+    FROM q
+    """,
+    doc=f"Zipf-law exponent fit: word counts (vocab-sized map-side agg), "
+    f"top {ZIPF_TOP} by frequency (per-partition top-k merge, no corpus "
+    "shuffle), then the ordinary-least-squares slope of log2(count) on "
+    "log2(rank) — computed ENTIRELY in exact integers: logs are the "
+    "shared fixed-point log2q (1/1024 units) and the output is the "
+    "rational (num_q2, den_q2) with alpha = -num/den, so the fit is "
+    "bit-identical on any engine at any parallelism (no float sums). "
+    f"The only window orders the already-limited {ZIPF_TOP}-row frame — "
+    "a bounded control-plane step, not a corpus window.",
+    tags=("stats", "llm"),
+)
+def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        _docs(spark, sf_dir)
+        .selectExpr(f"explode({D.words(SPARK)}) as word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = wc.orderBy(F.desc("cnt"), "word").limit(ZIPF_TOP)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "word")),
+    )
+    q = ranked.selectExpr(
+        f"cast({_log2q(SPARK, 'rank')} as bigint) as x_q",
+        f"cast({_log2q(SPARK, 'cnt')} as bigint) as y_q",
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top"),
+        (
+            F.count(F.lit(1)) * F.sum(F.expr("x_q * y_q"))
+            - F.sum("x_q") * F.sum("y_q")
+        ).cast("bigint").alias("num_q2"),
+        (
+            F.count(F.lit(1)) * F.sum(F.expr("x_q * x_q"))
+            - F.sum("x_q") * F.sum("x_q")
+        ).cast("bigint").alias("den_q2"),
+    )

@@ -972,3 +972,83 @@ def test_ulm_matches_independent_reference(spark, sf_dir):
         for r in REGISTRY["ulm_encode_tokens"].fn(spark, sf_dir).collect()
     }
     assert got_docs == expected
+
+
+def test_weighted_reservoir_matches_independent_reference(spark, sf_dir):
+    """The A-ES sample must equal a from-scratch Python implementation of
+    the same spec (md5 doc hash -> 30-bit u, fixed-point -log2(u),
+    scaled floor-division by the word count, k smallest keys) — and it
+    must actually bias toward heavy documents."""
+    import hashlib
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import (
+        _LOG2Q_FRAC,
+        RES_K,
+        RES_SCALE,
+    )
+    from streamprocessors_spark.session import read_table
+
+    def log2q(n):
+        il = n.bit_length() - 1
+        idx = (n * 256) // (1 << il) - 256
+        return il * 1024 + _LOG2Q_FRAC[idx]
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    ref = []
+    weights = {}
+    for r in rows:
+        w = len([t for t in r.text.lower().split() if t])
+        weights[r.doc_id] = w
+        if w == 0:
+            continue
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        h30 = h % (1 << 30)
+        key = ((30 * 1024 - log2q(h30 + 1)) * RES_SCALE) // w
+        ref.append((key, r.doc_id, w))
+    ref.sort()
+    expect = [(d, w, k) for k, d, w in ref[:RES_K]]
+
+    got = [
+        (r.doc_id, r.weight_words, r.aes_key)
+        for r in REGISTRY["weighted_reservoir_sample"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+    # inclusion probability ~ weight: the sampled mean word count must
+    # exceed the corpus mean (deterministic given the fixture)
+    corpus_mean = sum(weights.values()) / len(weights)
+    sample_mean = sum(w for _, w, _ in got) / len(got)
+    assert sample_mean > corpus_mean
+
+
+def test_zipf_fit_matches_independent_reference(spark, sf_dir):
+    """zipf_alpha_fit's integer least-squares must match a from-scratch
+    Python fit over the same top-word table, and the implied alpha must
+    be positive (frequency falls with rank)."""
+    from collections import Counter
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import _LOG2Q_FRAC, ZIPF_TOP
+    from streamprocessors_spark.session import read_table
+
+    def log2q(n):
+        il = n.bit_length() - 1
+        idx = (n * 256) // (1 << il) - 256
+        return il * 1024 + _LOG2Q_FRAC[idx]
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    cnt = Counter()
+    for r in docs.collect():
+        cnt.update(t for t in r.text.lower().split() if t)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    xs = [log2q(i + 1) for i in range(len(top))]
+    ys = [log2q(c) for _, c in top]
+    n = len(top)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+
+    row = REGISTRY["zipf_alpha_fit"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_top, row.num_q2, row.den_q2) == (n, num, den)
+    assert row.den_q2 > 0 and row.num_q2 < 0  # alpha = -num/den > 0

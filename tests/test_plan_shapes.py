@@ -588,3 +588,24 @@ def test_image_signatures_zero_exchange(spark, sf_dir):
     )
     assert p.count("hashpartitioning(") == 0
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_weighted_reservoir_is_takeordered_zero_exchange(spark, sf_dir):
+    """A-ES sampling must be scan-local key arithmetic + a per-partition
+    top-k merge: zero shuffles, no corpus sort, no Python — k rows cross
+    the wire regardless of corpus size."""
+    p = _plan(spark, sf_dir, "weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("hashpartitioning(") == 0
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_zipf_fit_topk_merge_no_corpus_window(spark, sf_dir):
+    """The Zipf fit's only full-width stages are the word-count agg (one
+    exchange, map-side partials) and a top-k merge; the rank window runs
+    on the already-limited 256-row frame, never the corpus."""
+    p = _plan(spark, sf_dir, "zipf_alpha_fit")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("hashpartitioning(") == 1  # the vocab groupBy only
+    assert "partial_count" in p  # map-side combine on the word counts
+    assert "Python" not in p and "ArrowEval" not in p
