@@ -486,29 +486,48 @@ def audio_frame(docs: DataFrame) -> DataFrame:
 def audio_signatures(docs: DataFrame) -> DataFrame:
     """(aud_id, h63): energy-envelope fingerprints via the real payload
     path (SPMM envelope -> RIFF/WAVE -> s16le raster). Pure projection:
-    zero exchanges, zero Python."""
+    zero exchanges, zero Python.
+
+    The raster math runs as array lambdas (transform/aggregate over
+    sequence()) instead of 128 aliased sample columns: the values are
+    identical (the unrolled form is what the DuckDB oracle still runs),
+    but the collapsed Catalyst tree stays ~tens of nodes instead of
+    ~10k, which cuts per-query planning+codegen from seconds to
+    milliseconds — the whole cost of this operator at bench scale."""
     payloads = MM.with_media_payload(
         audio_frame(docs).withColumnRenamed("aud_id", "doc_id")
     )
+    # hex of the WAV data region only (past SPMM envelope + RIFF header)
     hx = payloads.selectExpr(
-        "cast(doc_id as bigint) as aud_id", "hex(payload) as hx"
+        "cast(doc_id as bigint) as aud_id",
+        f"substr(hex(payload), {2 * AUD_HDR_LEN + 1}) as dhx",
     )
-    samples = hx.selectExpr(
-        "aud_id",
-        *[
-            f"{_aud_sample(SPARK, k, 'hx')} as s{k}"
-            for k in range(AUD_SAMPLES)
-        ],
+    # s16le sample k: bytes at hex offsets 4k (lo) and 4k+2 (hi); two
+    # zero pads so the final overlapping window reads past the raster
+    hi = "cast(conv(substr(dhx, 4 * k + 3, 2), 16, 10) as bigint)"
+    lo = "cast(conv(substr(dhx, 4 * k + 1, 2), 16, 10) as bigint)"
+    smp = (
+        f"concat(transform(sequence(0, {AUD_SAMPLES - 1}), k -> "
+        f"{lo} + 256 * {hi} - if({hi} >= 128, 65536, 0)), "
+        "array(cast(0 as bigint), cast(0 as bigint)))"
     )
-    energies = samples.selectExpr(
-        "aud_id",
-        *[
-            f"{_aud_energy_from_samples(w)} as e{w}"
-            for w in range(AUD_NWIN)
-        ],
+    # window w = samples 2w..2w+3 (AUD_WIN=4, AUD_STRIDE=2): sum of squares
+    sq = "element_at(smp, 2 * w + {i}) * element_at(smp, 2 * w + {i})"
+    eng = (
+        f"transform(sequence(0, {AUD_NWIN - 1}), w -> "
+        + " + ".join(sq.format(i=i) for i in range(1, AUD_WIN + 1))
+        + ")"
     )
-    return energies.selectExpr(
-        "aud_id", f"cast({_aud_hash_from_energies()} as bigint) as h63"
+    # bit b set iff energy[b+1] > energy[b] (same layout the oracle unrolls)
+    h = (
+        f"aggregate(sequence(0, {AUD_BITS - 1}), cast(0 as bigint), "
+        "(acc, b) -> acc + if(element_at(eng, b + 2) > element_at(eng, b + 1), "
+        "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+    )
+    return (
+        hx.selectExpr("aud_id", f"{smp} as smp")
+        .selectExpr("aud_id", f"{eng} as eng")
+        .selectExpr("aud_id", f"cast({h} as bigint) as h63")
     )
 
 
