@@ -136,19 +136,41 @@ def images_frame(docs: DataFrame) -> DataFrame:
 def image_signatures(docs: DataFrame) -> DataFrame:
     """(img_id, h63): dHash signatures via the REAL payload path —
     render the PPM envelope, hex the binary, extract raster bytes with
-    integer arithmetic. Pure projection: zero exchanges, zero Python."""
+    integer arithmetic. Pure projection: zero exchanges, zero Python.
+
+    Array-lambda form (transform/aggregate over sequence()): identical
+    values to the unrolled 48-gray projection the DuckDB oracle still
+    runs, but the collapsed Catalyst tree stays tens of nodes instead
+    of thousands — planning+codegen per query drop to milliseconds
+    (same rework as audio_signatures below)."""
     payloads = MM.with_media_payload(
         images_frame(docs).withColumnRenamed("img_id", "doc_id")
     )
+    # hex of the raster only (past SPMM envelope + 11-byte PPM header)
     hx = payloads.selectExpr(
-        "cast(doc_id as bigint) as img_id", "hex(payload) as hx"
+        "cast(doc_id as bigint) as img_id",
+        f"substr(hex(payload), {2 * IMG_HDR_LEN + 1}) as dhx",
     )
-    grays = hx.selectExpr(
-        "img_id",
-        *[f"{_gray(SPARK, p, 'hx')} as g{p}" for p in range(IMG_W * IMG_H)],
+    byt = "cast(conv(substr(dhx, {off} + 1, 2), 16, 10) as bigint)"
+    g = (
+        f"transform(sequence(0, {IMG_W * IMG_H - 1}), p -> "
+        f"(77 * {byt.format(off='6 * p')}"
+        f" + 151 * {byt.format(off='6 * p + 2')}"
+        f" + 28 * {byt.format(off='6 * p + 4')}) div 256)"
     )
-    return grays.selectExpr(
-        "img_id", f"cast({_hash_from_grays()} as bigint) as h63"
+    # static bit table: entry b packs (pixel_a * 64 + pixel_b); bit b is
+    # set iff gray[a] > gray[b] — the same layout the oracle unrolls
+    pairs = ", ".join(str(ga * 64 + gb) for _, ga, gb in _dhash_bits())
+    h = (
+        f"aggregate(sequence(0, {IMG_BITS - 1}), cast(0 as bigint), "
+        f"(acc, b) -> acc + if("
+        f"element_at(g, cast(element_at(array({pairs}), b + 1) div 64 + 1 as int)) > "
+        f"element_at(g, cast(element_at(array({pairs}), b + 1) % 64 + 1 as int)), "
+        "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+    )
+    return (
+        hx.selectExpr("img_id", f"{g} as g")
+        .selectExpr("img_id", f"cast({h} as bigint) as h63")
     )
 
 
