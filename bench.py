@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_video_framehash",
     "weighted_reservoir_sample",
     "zipf_alpha_fit",
+    "stream_ann_topk",
 ]
 
 

@@ -6485,3 +6485,81 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("x_q") * F.sum("x_q")
         ).cast("bigint").alias("den_q2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN twin: the "index keeps ingesting, queries keep current
+# top-k" deployment shape — the seventh shared-oracle streaming twin.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_ann_topk",
+    oracle=None,  # wired below: shares ann_bruteforce_topk's oracle
+    doc="Incremental exact ANN — the streaming twin of "
+    "ann_bruteforce_topk: corpus vectors ARRIVE as a stream, each "
+    "micro-batch is scored against the (broadcast, query-sized) probe "
+    "set stateless in the JVM (same cosine_pre arithmetic as batch), "
+    "and each query's running top-k lives in keyed state "
+    "(ann_topk_stream) emitting a vector only when it ENTERS the "
+    "running top-k — a guaranteed superset of the final top-k at any "
+    "arrival order, O(k) state per query. The batch-side re-rank over "
+    "the emitted candidates is the identical scoring code as the batch "
+    "operator, so the result hash-matches the brute-force oracle "
+    "EXACTLY (no cap/divergence caveat: entry-time emission is "
+    "superset-complete, unlike LSH bucket saturation).",
+    tags=("streaming", "vector", "ann"),
+)
+def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.streaming.runner import (  # noqa: PLC0415
+        run_available_now,
+        stream_embeddings,
+    )
+    from streamprocessors_spark.streaming.stateful import (  # noqa: PLC0415
+        ann_topk_stream,
+    )
+
+    nrm = f"{D.dot_double(SPARK, 'embedding', 'embedding')}"
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id", "embedding", f"{nrm} as nrm"
+    )
+    q = e.where(F.col("vec_id") < ANN_N_QUERIES).selectExpr(
+        "vec_id as va", "embedding as ea", "nrm as na"
+    )
+    s = stream_embeddings(spark, sf_dir).selectExpr(
+        "vec_id as vb", "embedding as eb", f"{nrm} as nb"
+    )
+    scored = s.join(F.broadcast(q), F.expr("va != vb")).selectExpr(
+        "va", "vb", f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos"
+    )
+    cand = run_available_now(
+        ann_topk_stream(scored, ANN_TOPK), output_mode="append"
+    ).distinct()
+    # exact re-rank: identical scoring code as ann_bruteforce_topk over
+    # the candidate superset (true top-k all present, so ranks agree)
+    a = e.selectExpr("vec_id as va", "embedding as ea", "nrm as na")
+    b = e.selectExpr("vec_id as vb", "embedding as eb", "nrm as nb")
+    j = (
+        cand.join(a, "va")
+        .join(b, "vb")
+        .selectExpr(
+            "va", "vb", f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos"
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("va", "vb", "rank", "cos")
+    )
+
+
+def _wire_stream_ann_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY  # noqa: PLC0415
+
+    batch = REGISTRY.get("ann_bruteforce_topk")
+    if batch is not None:
+        REGISTRY["stream_ann_topk"].oracle = batch.oracle
+
+
+_wire_stream_ann_oracle()

@@ -79,3 +79,11 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(_stage_dir(path))
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_stage_dir(path))

@@ -436,3 +436,91 @@ def hll_register_stream(rhos: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN top-k (the streaming twin of ann_bruteforce_topk):
+# per-query running top-k in keyed state over arriving corpus vectors.
+# ---------------------------------------------------------------------------
+
+ANN_CAND_SCHEMA = StructType(
+    [
+        StructField("va", LongType()),
+        StructField("vb", LongType()),
+    ]
+)
+
+# Running top-k per query: parallel csv lists of member vec_ids and their
+# cosine scores as raw IEEE-754 bit patterns (int64) — exact round-trip,
+# no decimal-repr drift. Bounded: k entries per query, N_QUERIES groups.
+ANN_TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("vbs", StringType()),
+        StructField("cbits", StringType()),
+    ]
+)
+
+
+def ann_topk_stream(scored: DataFrame, k: int) -> DataFrame:
+    """(va, vb, cos) stream -> append stream of candidates that ENTERED
+    the query's running top-k at arrival time.
+
+    Superset invariant (what makes the batch-exact re-rank downstream
+    correct, for ANY arrival order): the i-th best corpus vector for a
+    query is beaten by exactly i-1 vectors overall, so when it arrives
+    the state can hold at most i-1 better entries — for i <= k it always
+    enters, hence the emitted set contains the true final top-k. Evicted
+    entries are not retracted (append streams can't); the batch-side
+    re-rank drops them."""
+    import struct as _struct
+
+    def _bits(c: float) -> int:
+        return _struct.unpack("<q", _struct.pack("<d", c))[0]
+
+    def _unbits(b: int) -> float:
+        return _struct.unpack("<d", _struct.pack("<q", b))[0]
+
+    def f(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        top: list[tuple[float, int]] = []  # ordered best-first: (cos, vb)
+        if state.exists:
+            vbs_csv, cb_csv = state.get
+            if vbs_csv:
+                top = [
+                    (_unbits(int(cb)), int(vb))
+                    for vb, cb in zip(vbs_csv.split(","), cb_csv.split(","))
+                ]
+        va = int(key[0])
+
+        def order(e: tuple[float, int]) -> tuple[float, int]:
+            return (-e[0], e[1])  # cos desc, vb asc
+
+        emitted: list[tuple[int, int]] = []
+        arrivals: list[tuple[float, int]] = []
+        for pdf in pdfs:
+            arrivals.extend(
+                (float(c), int(v)) for c, v in zip(pdf["cos"], pdf["vb"])
+            )
+        for cand in sorted(arrivals, key=order):
+            if len(top) < k or order(cand) < order(top[-1]):
+                top.append(cand)
+                top.sort(key=order)
+                del top[k:]
+                if cand in top:  # survived the trim -> it entered
+                    emitted.append((va, cand[1]))
+        state.update(
+            (
+                ",".join(str(v) for _, v in top),
+                ",".join(str(_bits(c)) for c, _ in top),
+            )
+        )
+        yield pd.DataFrame(emitted, columns=["va", "vb"])
+
+    return scored.groupBy("va").applyInPandasWithState(
+        f,
+        outputStructType=ANN_CAND_SCHEMA,
+        stateStructType=ANN_TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

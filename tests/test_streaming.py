@@ -518,3 +518,85 @@ def test_stream_hll_emits_only_register_increases(spark):
         .collect()
     }
     assert stream_regs == batch_regs
+
+
+def test_stream_ann_topk_cross_batch_state_parity(spark):
+    """Incremental ANN: vectors ingested across FOUR micro-batches must
+    reproduce the batch brute-force top-k exactly — a query's running
+    top-k crosses batch boundaries through the state store, and the
+    emitted candidate set must contain every final top-k member even
+    when a later batch delivers a better vector that evicts an earlier
+    one."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import ANN_N_QUERIES, ANN_TOPK
+    from streamprocessors_spark.streaming.stateful import ann_topk_stream
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    src = tempfile.mkdtemp(prefix=f"spgraft_ann_{_uuid.uuid4().hex[:6]}_")
+    embs.repartition(4).write.mode("overwrite").parquet(src)
+
+    nrm = f"{D.dot_double(SPARK, 'embedding', 'embedding')}"
+    e = embs.selectExpr("vec_id", "embedding", f"{nrm} as nrm")
+    q_side = e.where(F.col("vec_id") < ANN_N_QUERIES).selectExpr(
+        "vec_id as va", "embedding as ea", "nrm as na"
+    )
+    stream = (
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr("vec_id as vb", "embedding as eb", f"{nrm} as nb")
+    )
+    scored = stream.join(F.broadcast(q_side), F.expr("va != vb")).selectExpr(
+        "va", "vb", f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos"
+    )
+    name = f"annsink_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spgraft_ann_ckpt_")
+    q = (
+        ann_topk_stream(scored, ANN_TOPK)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "ingest collapsed into one micro-batch"
+
+    cand = spark.table(name).distinct()
+    a = e.selectExpr("vec_id as va", "embedding as ea", "nrm as na")
+    b = e.selectExpr("vec_id as vb", "embedding as eb", "nrm as nb")
+    j = (
+        cand.join(a, "va")
+        .join(b, "vb")
+        .selectExpr(
+            "va", "vb", f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos"
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    streamed = {
+        (r.va, r.vb, r.rank)
+        for r in j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .collect()
+    }
+    batch = {
+        (r.va, r.vb, r.rank)
+        for r in REGISTRY["ann_bruteforce_topk"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch, (len(streamed), len(batch))
+    # superset economy: emitted candidates stay O(k log n)-ish per query,
+    # far below the corpus size
+    assert cand.count() < embs.count()
