@@ -5931,6 +5931,7 @@ def _ulm_segment(vocab: DataFrame, pieces: DataFrame) -> DataFrame:
     word under the current piece counts. One vocab-sized join + regroup;
     DP and backtrack are HOF expressions."""
     tot = pieces.agg(F.sum("cnt").alias("t"))
+    # bounded: tot is a single-row global aggregate (one scalar)
     cost = pieces.crossJoin(F.broadcast(tot)).selectExpr(
         "piece", f"cast({_ulm_cost(SPARK, 't', 'cnt')} as bigint) as cost"
     )
@@ -6529,6 +6530,7 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_embeddings(spark, sf_dir).selectExpr(
         "vec_id as vb", "embedding as eb", f"{nrm} as nb"
     )
+    # bounded: the probe side is the user-query set (ANN_N_QUERIES rows)
     scored = s.join(F.broadcast(q), F.expr("va != vb")).selectExpr(
         "va", "vb", f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos"
     )

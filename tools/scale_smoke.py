@@ -399,6 +399,44 @@ def main() -> None:
         ).count(),
     )
 
+    # multimodal dedup over the multiplied corpus: every copy shares its
+    # source's signature, so buckets grow ~3*mult (all three signature
+    # bands collide) — under IMG_MAX_BUCKET at 10x; past the cap the
+    # bucket gate saturates, the same guard as the MinHash path, and the
+    # smoke then tracks the (linear) signature+gate cost rather than
+    # quadratic pairing.
+    from streamprocessors_spark.plans.mm_dedup import (
+        audio_fingerprint_pairs,
+        image_phash_pairs,
+    )
+
+    timed(
+        "dedup_image_phash_pairs",
+        lambda: image_phash_pairs(docs).count(),
+    )
+    timed(
+        "dedup_audio_fingerprint_pairs",
+        lambda: audio_fingerprint_pairs(docs).count(),
+    )
+
+    # fixed-size weighted sample: the zero-exchange scan + top-k merge —
+    # the cost MUST stay a single linear pass at any multiplier
+    from streamprocessors_spark.plans.llm_ops import RES_K, _aes_key_sql
+
+    _w, _key = _aes_key_sql(SPARK)
+    timed(
+        "weighted_reservoir_sample",
+        lambda: docs.selectExpr(
+            "doc_id",
+            f"cast({_w} as bigint) as ww",
+            f"cast({_key} as bigint) as k",
+        )
+        .where("ww > 0")
+        .orderBy("k", "doc_id")
+        .limit(RES_K)
+        .count(),
+    )
+
     result = {
         "sf_dir": sf_dir,
         "multiplier": mult,
