@@ -104,6 +104,7 @@ HEADLINE = [
     "weighted_reservoir_sample",
     "zipf_alpha_fit",
     "stream_ann_topk",
+    "stream_weighted_reservoir",
 ]
 
 

@@ -6565,3 +6565,72 @@ def _wire_stream_ann_oracle() -> None:
 
 
 _wire_stream_ann_oracle()
+
+
+RES_STREAM_SALTS = 16  # state fan-out: 16 groups x RES_K entries
+
+
+@register(
+    "stream_weighted_reservoir",
+    oracle=None,  # wired below: shares weighted_reservoir_sample's oracle
+    doc="Streaming fixed-size weighted sample — the eighth shared-oracle "
+    "twin, and a pure REUSE of ann_topk_stream: A-ES bottom-k by key is "
+    "top-k by negated key (exact as double: keys < 2^45 << 2^53), so "
+    "each of 16 salt groups keeps its running top-RES_K in the SAME "
+    "keyed state operator the ANN twin uses, emitting entry-time "
+    "candidates. Superset argument: a global top-RES_K member is beaten "
+    "by < RES_K elements overall, hence < RES_K within its salt group — "
+    "it always enters, so the union of group reservoirs contains the "
+    "exact global sample and the batch-side re-rank (identical key "
+    "arithmetic) hash-matches the batch oracle EXACTLY. State is "
+    "RES_STREAM_SALTS x RES_K rows total; per-batch work is the "
+    "stateless scan-local key projection.",
+    tags=("streaming", "sample", "llm"),
+)
+def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.streaming.runner import (  # noqa: PLC0415
+        run_available_now,
+        stream_documents,
+    )
+    from streamprocessors_spark.streaming.stateful import (  # noqa: PLC0415
+        ann_topk_stream,
+    )
+
+    w, key = _aes_key_sql(SPARK)
+    scored = (
+        stream_documents(spark, sf_dir)
+        .selectExpr(
+            f"doc_id % {RES_STREAM_SALTS} as va",
+            "doc_id as vb",
+            f"cast({w} as bigint) as ww",
+            f"cast(-({key}) as double) as cos",
+        )
+        .where("ww > 0")
+        .select("va", "vb", "cos")
+    )
+    cand = run_available_now(
+        ann_topk_stream(scored, RES_K), output_mode="append"
+    ).selectExpr("vb as doc_id").distinct()
+    return (
+        _docs(spark, sf_dir)
+        .join(cand, "doc_id")
+        .selectExpr(
+            "doc_id",
+            f"cast({w} as bigint) as weight_words",
+            f"cast({key} as bigint) as aes_key",
+        )
+        .where("weight_words > 0")
+        .orderBy("aes_key", "doc_id")
+        .limit(RES_K)
+    )
+
+
+def _wire_stream_reservoir_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY  # noqa: PLC0415
+
+    batch = REGISTRY.get("weighted_reservoir_sample")
+    if batch is not None:
+        REGISTRY["stream_weighted_reservoir"].oracle = batch.oracle
+
+
+_wire_stream_reservoir_oracle()

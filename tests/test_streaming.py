@@ -600,3 +600,75 @@ def test_stream_ann_topk_cross_batch_state_parity(spark):
     # superset economy: emitted candidates stay O(k log n)-ish per query,
     # far below the corpus size
     assert cand.count() < embs.count()
+
+
+def test_stream_weighted_reservoir_cross_batch_parity(spark):
+    """Streaming A-ES reservoir over a 4-shard ingest must equal the
+    batch sample exactly: a group's running reservoir crosses batch
+    boundaries through the state store, and a later batch's better
+    (smaller-key) doc must evict an earlier entry without losing any
+    true member of the final sample."""
+    import uuid as _uuid
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import (
+        RES_K,
+        RES_STREAM_SALTS,
+        _aes_key_sql,
+    )
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.streaming.stateful import ann_topk_stream
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    src = tempfile.mkdtemp(prefix=f"spgraft_res_{_uuid.uuid4().hex[:6]}_")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    w, key = _aes_key_sql(SPARK)
+    scored = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr(
+            f"doc_id % {RES_STREAM_SALTS} as va",
+            "doc_id as vb",
+            f"cast({w} as bigint) as ww",
+            f"cast(-({key}) as double) as cos",
+        )
+        .where("ww > 0")
+        .select("va", "vb", "cos")
+    )
+    name = f"ressink_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spgraft_res_ckpt_")
+    q = (
+        ann_topk_stream(scored, RES_K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "ingest collapsed into one micro-batch"
+
+    cand = spark.table(name).selectExpr("vb as doc_id").distinct()
+    streamed = (
+        docs.join(cand, "doc_id")
+        .selectExpr(
+            "doc_id",
+            f"cast({w} as bigint) as weight_words",
+            f"cast({key} as bigint) as aes_key",
+        )
+        .where("weight_words > 0")
+        .orderBy("aes_key", "doc_id")
+        .limit(RES_K)
+    )
+    batch = REGISTRY["weighted_reservoir_sample"].fn(spark, sf_dir)
+    got = [(r.doc_id, r.aes_key) for r in streamed.collect()]
+    want = [(r.doc_id, r.aes_key) for r in batch.collect()]
+    assert got == want
