@@ -6042,24 +6042,37 @@ def _ulm_oracle_ctes() -> str:
     ]
     prev = "seed"
     for r in range(1, ULM_EM_ROUNDS + 1):
+        # per-length piece-cost lookups as hash LEFT JOINs (cq1..cqP),
+        # not correlated scalar subqueries: inside a recursive CTE DuckDB
+        # executes a correlated probe as a nested re-scan of the cost
+        # table per row per level (measured >9 min for the encode oracle
+        # at sf0.01); the joins are the same values (piece is unique, so
+        # row counts are preserved; the CASE guard still discards the
+        # out-of-range arms) at hash-probe cost.
         arms = []
+        joins = []
         for length in range(1, P + 1):
             arms.append(
                 f"""CASE WHEN {length} <= d.j + 1 THEN
             (CASE WHEN d.j + 1 - {length} = 0 THEN 0
                   ELSE d.parr[d.j + 1 - {length}] // 64 END
-             + COALESCE((SELECT c.cost FROM cost{r} c
-                         WHERE c.piece = substr(d.word, d.j + 2 - {length},
-                                                {length})),
-                        {INF})) * 64
+             + COALESCE(cq{length}.cost, {INF})) * 64
             + ({W} - (d.j + 1 - {length}))
           ELSE {INF * 64} END"""
+            )
+            joins.append(
+                f"LEFT JOIN cost{r} cq{length}"
+                f" ON cq{length}.piece = substr(d.word, d.j + 2 - {length},"
+                f" {length})"
             )
         ctes.append(
             f"""tot{r} AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM {prev})"""
         )
+        # MATERIALIZED: the recursive DP joins this table once per level;
+        # inlined, DuckDB would re-evaluate the whole upstream EM chain
+        # at every recursion step
         ctes.append(
-            f"""cost{r} AS (
+            f"""cost{r} AS MATERIALIZED (
       SELECT piece,
              CAST({_ulm_cost(DUCK, "tot{r}.t".format(r=r), "cnt")} AS BIGINT)
                AS cost
@@ -6072,7 +6085,9 @@ def _ulm_oracle_ctes() -> str:
       UNION ALL
       SELECT d.word, d.wcnt, d.j + 1,
              list_append(d.parr, LEAST({", ".join(arms)}))
-      FROM dp{r} d WHERE d.j < length(d.word)
+      FROM dp{r} d
+      {" ".join(joins)}
+      WHERE d.j < length(d.word)
     )""")
         ctes.append(
             f"""bt{r} AS (
@@ -6120,21 +6135,26 @@ def _ulm_oracle_encode_ctes() -> str:
     """One more Viterbi pass (dpF/btF) under the FINAL pruned+fallback
     piece table, yielding per-word piece counts."""
     P, W, INF = ULM_MAX_PLEN, ULM_WLEN_CAP, _ULM_INF
+    # hash LEFT JOIN lookups, same rework (and rationale) as
+    # _ulm_oracle_ctes' DP rounds
     arms = []
+    joins = []
     for length in range(1, P + 1):
         arms.append(
             f"""CASE WHEN {length} <= d.j + 1 THEN
             (CASE WHEN d.j + 1 - {length} = 0 THEN 0
                   ELSE d.parr[d.j + 1 - {length}] // 64 END
-             + COALESCE((SELECT c.cost FROM costF c
-                         WHERE c.piece = substr(d.word, d.j + 2 - {length},
-                                                {length})),
-                        {INF})) * 64
+             + COALESCE(cq{length}.cost, {INF})) * 64
             + ({W} - (d.j + 1 - {length}))
           ELSE {INF * 64} END"""
         )
+        joins.append(
+            f"LEFT JOIN costF cq{length}"
+            f" ON cq{length}.piece = substr(d.word, d.j + 2 - {length},"
+            f" {length})"
+        )
     return f"""totF AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM final),
-    costF AS (
+    costF AS MATERIALIZED (
       SELECT piece,
              CAST({_ulm_cost(DUCK, "totF.t", "cnt")} AS BIGINT) AS cost
       FROM final, totF
@@ -6144,7 +6164,9 @@ def _ulm_oracle_encode_ctes() -> str:
       UNION ALL
       SELECT d.word, d.wcnt, d.j + 1,
              list_append(d.parr, LEAST({", ".join(arms)}))
-      FROM dpF d WHERE d.j < length(d.word)
+      FROM dpF d
+      {" ".join(joins)}
+      WHERE d.j < length(d.word)
     ),
     btF AS (
       SELECT word, length(word) AS j, parr, 0 AS nsym
