@@ -105,6 +105,9 @@ HEADLINE = [
     "zipf_alpha_fit",
     "stream_ann_topk",
     "stream_weighted_reservoir",
+    "host_pagerank",
+    "quality_classifier_train",
+    "quality_classifier_score",
 ]
 
 

@@ -214,3 +214,4 @@ def load_all() -> None:
     import streamprocessors_spark.plans.feature_eng  # noqa: F401
     import streamprocessors_spark.plans.data_quality  # noqa: F401
     import streamprocessors_spark.plans.mm_dedup  # noqa: F401
+    import streamprocessors_spark.plans.graph_ops  # noqa: F401
