@@ -6656,3 +6656,511 @@ def _wire_stream_reservoir_oracle() -> None:
 
 
 _wire_stream_reservoir_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixing (multilingual sampling): the
+# mT5/XLM-R exponentiated-count weights q_l ~ n_l^alpha with alpha = 1/2
+# (Conneau & Lample '19; Xue et al. '21 use the same family), computed
+# EXACTLY: n_l^(1/2) is an integer square root, so unlike arbitrary
+# alpha no log/exp approximation is needed — isqrt is engine-exact.
+# ---------------------------------------------------------------------------
+
+TEMP_BUDGET = 1_000_000  # documents to allocate across languages
+TEMP_SCALE = 10**6  # sqrt fixed-point: sqrt_q = isqrt(n * 1e6) = 1e3*sqrt(n)
+
+
+def _isqrt_sql(d: str, x: str, c0: str) -> str:
+    """Exact integer sqrt given c0 = cast(sqrt(double x) as bigint).
+
+    IEEE double sqrt is correctly rounded and x <= ~1e18 loses at most
+    ~128 ulp converting to double, so c0 is within +-2 of floor(sqrt(x));
+    the integer CASE correction makes the result EXACT and therefore
+    identical across engines regardless of their float rounding."""
+    _ = d  # same text in both dialects (pure CASE/integer arithmetic)
+    return (
+        f"(CASE WHEN ({c0}+2)*({c0}+2) <= {x} THEN {c0}+2 "
+        f"WHEN ({c0}+1)*({c0}+1) <= {x} THEN {c0}+1 "
+        f"WHEN ({c0})*({c0}) <= {x} THEN {c0} "
+        f"WHEN ({c0}-1)*({c0}-1) <= {x} THEN {c0}-1 "
+        f"ELSE {c0}-2 END)"
+    )
+
+
+@register(
+    "lang_temperature_weights",
+    oracle=f"""
+    WITH cnt AS MATERIALIZED (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    c0 AS MATERIALIZED (
+      SELECT lang, n_docs, n_docs * {TEMP_SCALE} AS x,
+             CAST(sqrt(CAST(n_docs * {TEMP_SCALE} AS DOUBLE)) AS BIGINT)
+               AS c0
+      FROM cnt
+    ),
+    sq AS MATERIALIZED (
+      SELECT lang, n_docs, {_isqrt_sql("duck", "x", "c0")} AS sqrt_q
+      FROM c0
+    ),
+    tot AS MATERIALIZED (SELECT sum(sqrt_q) AS t FROM sq)
+    SELECT s.lang, CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.sqrt_q AS BIGINT) AS sqrt_q,
+           CAST(({TEMP_BUDGET} * s.sqrt_q) // tot.t AS BIGINT)
+             AS budget_docs
+    FROM sq s CROSS JOIN tot
+    """,
+    doc="Temperature-scaled multilingual mixing weights (Conneau & "
+    "Lample '19; the mT5 sampling knob): per-language budgets "
+    "proportional to n_l^alpha with alpha = 1/2, computed EXACTLY as an "
+    "integer square root (float sqrt estimate + integer CASE correction "
+    "-> true isqrt, bit-identical on any engine), then an integer "
+    "largest-floor allocation of a fixed document budget. Upweights "
+    "tail languages relative to raw frequency without the float "
+    "pow/log round-trip. One vocab-sized groupBy(lang) — map-side "
+    "partials collapse every task to O(langs) rows; the allocation "
+    "joins a 1-row total. int64 headroom: n_l * 1e6 stays exact past "
+    "1e12 docs per language.",
+    tags=("sample", "llm", "multilingual"),
+)
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .selectExpr(
+            "lang",
+            "n_docs",
+            f"n_docs * {TEMP_SCALE} as x",
+            f"cast(sqrt(cast(n_docs * {TEMP_SCALE} as double)) as bigint)"
+            " as c0",
+        )
+        .selectExpr(
+            "lang", "n_docs",
+            f"{_isqrt_sql('spark', 'x', 'c0')} as sqrt_q",
+        )
+    )
+    tot = cnt.agg(F.sum("sqrt_q").alias("t"))
+    return (
+        # bounded: tot is a single-row aggregate (the weight-sum scalar)
+        cnt.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "lang",
+            "cast(n_docs as bigint) as n_docs",
+            "cast(sqrt_q as bigint) as sqrt_q",
+            f"cast(({TEMP_BUDGET} * sqrt_q) div t as bigint) as budget_docs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-entropy quality signal: low-entropy documents are boilerplate /
+# template spam (the repetitiveness axis Gopher's rule battery probes
+# with hard thresholds), high-entropy ones are keyboard-mash. Exact
+# integer arithmetic: for counts c_w summing to n, the per-doc entropy
+# numerator  n*log2(n) - sum_w c_w*log2(c_w)  uses only log2q of raw
+# counts (the PMI decomposition device), so no probability fractions
+# ever materialize and the sum is order-independent BIGINT.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_entropy_score",
+    oracle=f"""
+    WITH wx AS (
+      SELECT doc_id, unnest({D.words(DUCK)}) AS word FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS c FROM wx GROUP BY doc_id, word
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(sum(c * {_log2q(DUCK, "c")}) AS BIGINT) AS sum_clog
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           CAST(n_words * {_log2q(DUCK, "n_words")} - sum_clog AS BIGINT)
+             AS ent_num_q
+    FROM agg
+    """,
+    doc="Per-document word-entropy quality signal (the repetitiveness "
+    "axis of quality filtering): the Shannon entropy of the doc's word "
+    "distribution as the EXACT integer numerator n*log2q(n) - sum_w "
+    "c_w*log2q(c_w) (entropy in bits/word = ent_num_q / (1024*n)) — "
+    "log2q only ever sees raw counts (the PMI decomposition device), so "
+    "nothing overflows at any corpus size and the BIGINT sum is order-"
+    "independent. ent_num_q = 0 exactly for single-repeated-word docs; "
+    "maximal for all-distinct docs (= n*log2q(n)). One explode + one "
+    "map-side-combined groupBy; no joins, no windows. Docs with zero "
+    "words are skipped (entropy of an empty distribution is undefined; "
+    "the quality battery flags them by word count instead).",
+    tags=("llm", "quality"),
+)
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"explode({D.words(SPARK)}) as word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.expr("cast(sum(c) as bigint)").alias("n_words"),
+            F.expr(
+                f"cast(sum(c * {_log2q(SPARK, 'c')}) as bigint)"
+            ).alias("sum_clog"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            f"cast(n_words * {_log2q(SPARK, 'n_words')} - sum_clog"
+            " as bigint) as ent_num_q",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (Kneser & Ney '95; the KenLM/CCNet
+# production smoothing, vs lm_perplexity_bucket's add-one baseline) in
+# exact rational arithmetic. With discount D = 3/4, the smoothed
+# probability is the single rational
+#
+#   P(w2|w1) = [ max(4*c12 - 3, 0) * dn + 3 * n1(w1) * ncp(w2) ]
+#              / [ 4 * c1(w1) * dn ]
+#
+# where c12/c1 are training bigram/left-token counts, n1(w1) = distinct
+# continuations of w1 (the discount mass recipients), ncp(w2) =
+# distinct left-contexts of w2 + 1 (the CONTINUATION count with an
+# add-one floor so unseen words keep positive mass), and dn = N + V + 1
+# normalizes the continuation distribution (N = distinct bigram types,
+# V = training vocab). A context never seen in training (c1 null)
+# backs off to the continuation distribution alone: P = ncp / dn.
+# Surprisal is log2q(den) - log2q(num): the fixed-point integer log of
+# RAW integer operands — bit-identical across engines.
+#
+# int64 headroom: num <= 4*c12*dn + 3*n1*ncp; at benchmark scale these
+# stay far inside int64 (c12 <= tokens ~ 1e7, dn ~ 1e6). A 100 TB
+# deployment widens num/den to DECIMAL(38,0) the same way the DSIR
+# score documented (llm_ops.py dsir notes) — the log2q construction is
+# unchanged since it only needs the integer's bit position + mantissa.
+# ---------------------------------------------------------------------------
+
+
+def _kn_surprisal(d: str) -> str:
+    """Surprisal expression over joined columns c12, c1, n1, nc and the
+    scalars nbig (N) + v (V) — same text shape in both dialects."""
+    dn = "(nbig + v + 1)"
+    ncp = "(coalesce(nc, 0) + 1)"
+    num = (
+        f"(CASE WHEN c1 IS NULL THEN {ncp} "
+        f"ELSE greatest(4 * coalesce(c12, 0) - 3, 0) * {dn}"
+        f" + 3 * n1 * {ncp} END)"
+    )
+    den = f"(CASE WHEN c1 IS NULL THEN {dn} ELSE 4 * c1 * {dn} END)"
+    return f"({_log2q(d, den)} - {_log2q(d, num)})"
+
+
+@register(
+    "lm_kneser_ney_score",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, {D.words(DUCK)} AS ws FROM documents
+    ),
+    trp AS MATERIALIZED (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT ws FROM w
+            WHERE doc_id % {LM_TRAIN_MOD} = 0 AND len(ws) >= 2),
+           unnest(range(1, len(ws))) AS t(i)
+    ),
+    big AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM trp GROUP BY w1, w2
+    ),
+    hist AS MATERIALIZED (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1,
+             CAST(count(DISTINCT w2) AS BIGINT) AS n1
+      FROM trp GROUP BY w1
+    ),
+    cont AS MATERIALIZED (
+      SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS nc
+      FROM trp GROUP BY w2
+    ),
+    scal AS MATERIALIZED (
+      SELECT (SELECT count(*) FROM big) AS nbig,
+             (SELECT count(DISTINCT u) FROM
+              (SELECT unnest(ws) AS u FROM w
+               WHERE doc_id % {LM_TRAIN_MOD} = 0)) AS v
+    ),
+    scp AS MATERIALIZED (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws FROM w
+            WHERE doc_id % {LM_TRAIN_MOD} <> 0 AND len(ws) >= 2),
+           unnest(range(1, len(ws))) AS t(i)
+    ),
+    pq AS MATERIALIZED (
+      SELECT p.doc_id, {_kn_surprisal(DUCK)} AS sq
+      FROM scp p CROSS JOIN scal
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN hist h ON h.w1 = p.w1
+      LEFT JOIN cont c ON c.w2 = p.w2
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sq) AS BIGINT) AS sumq,
+           CAST(sum(sq) // count(*) AS BIGINT) AS ce_q
+    FROM pq GROUP BY doc_id
+    """,
+    doc="Kneser-Ney smoothed bigram cross-entropy per document "
+    "(Kneser & Ney '95 — the KenLM/CCNet production smoothing, next to "
+    "lm_perplexity_bucket's add-one baseline): discount D = 3/4 folded "
+    "into ONE exact rational per pair, absolute discounting on the "
+    "bigram term and the discount mass re-spent on the CONTINUATION "
+    "distribution (how many contexts a word follows, not how often), "
+    "with an add-one continuation floor for unseen words and full "
+    "continuation backoff for unseen contexts. Surprisal = fixed-point "
+    "integer log2q(den) - log2q(num) of raw integer operands — "
+    "bit-identical on any engine at any parallelism. Plan: model "
+    "tables are vocab-sized aggregates over the training slice "
+    "(map-side partials), scoring is stream-shaped left joins against "
+    "them; the only broadcast is the 1-row (N, V) scalar frame.",
+    tags=("llm", "quality", "trained"),
+)
+def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{D.words(SPARK)} as ws"
+    )
+    trp = _lm_pairs_spark(
+        w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
+    ).select("w1", "w2")
+    big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = trp.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.countDistinct("w2").alias("n1"),
+    )
+    cont = trp.groupBy("w2").agg(F.countDistinct("w1").alias("nc"))
+    nbig = big.agg(F.count(F.lit(1)).alias("nbig"))
+    vs = (
+        w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
+        .selectExpr("explode(ws) as u")
+        .agg(F.countDistinct("u").alias("v"))
+    )
+    # bounded: nbig and vs are single-row aggregates (the N and V
+    # scalars of the continuation normalizer)
+    scal = nbig.crossJoin(F.broadcast(vs))
+    scp = _lm_pairs_spark(w.where(f"doc_id % {LM_TRAIN_MOD} != 0"))
+    pq = (
+        # bounded: scal is one row (N, V)
+        scp.crossJoin(F.broadcast(scal))
+        .join(big, ["w1", "w2"], "left")
+        .join(hist, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .selectExpr("doc_id", f"{_kn_surprisal(SPARK)} as sq")
+    )
+    return (
+        pq.groupBy("doc_id")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("n_pairs"),
+            F.expr("cast(sum(sq) as bigint)").alias("sumq"),
+        )
+        .selectExpr(
+            "doc_id", "n_pairs", "sumq",
+            "cast(sumq div n_pairs as bigint) as ce_q",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization ANN (FAISS IndexScalarQuantizer / "SQ8"): each
+# dimension is independently affine-coded into 8 bits against the
+# corpus per-dimension min/max — the remaining member of the
+# quantization family next to PQ / IVF+PQ. At 100 TB the base scan
+# reads EMB_DIM bytes per vector instead of EMB_DIM floats (4x less
+# than raw, vs PQ's 16 bytes but with no codebook training); distance
+# is integer squared L2 in code space.
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # codes 0..255 (max code = SQ_LEVELS)
+
+
+def _sq8_el(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, d, el): integer-quantized embedding elements."""
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", f"{_PQ_QE_SPARK} as qe")
+        .select("vec_id", F.posexplode("qe").alias("d", "el"))
+    )
+
+
+def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, d, code): 8-bit affine codes against per-dim min/max.
+
+    code = ((el - mn) * SQ_LEVELS) div (mx - mn), with a degenerate
+    dimension (mx = mn) coding to 0 — floor division of non-negative
+    integers, identical across engines. Elements come FROM the corpus,
+    so codes land in 0..SQ_LEVELS without clamping."""
+    el = _sq8_el(spark, sf_dir)
+    # bounded: stats is EMB_DIM rows (one min/max pair per dimension)
+    stats = F.broadcast(
+        el.groupBy("d").agg(
+            F.min("el").alias("mn"), F.max("el").alias("mx")
+        )
+    )
+    return el.join(stats, "d").selectExpr(
+        "vec_id",
+        "d",
+        f"cast(if(mx > mn, ((el - mn) * {SQ_LEVELS}) div (mx - mn), 0)"
+        " as bigint) as code",
+    )
+
+
+_SQ8_ORACLE_CTES = f"""qel AS MATERIALIZED (
+      SELECT vec_id, t.i - 1 AS d, qe[t.i] AS el
+      FROM (SELECT vec_id, {_PQ_QE_DUCK} AS qe FROM embeddings),
+           unnest(range(1, {EMB_DIM} + 1)) AS t(i)
+    ),
+    sstats AS MATERIALIZED (
+      SELECT d, min(el) AS mn, max(el) AS mx FROM qel GROUP BY d
+    ),
+    scodes AS MATERIALIZED (
+      SELECT q.vec_id, q.d,
+             CASE WHEN s.mx > s.mn
+                  THEN ((q.el - s.mn) * {SQ_LEVELS}) // (s.mx - s.mn)
+                  ELSE 0 END AS code
+      FROM qel q JOIN sstats s ON s.d = q.d
+    ),
+    sapprox AS MATERIALIZED (
+      SELECT q.vec_id AS va, b.vec_id AS vb,
+             CAST(sum((q.code - b.code) * (q.code - b.code)) AS BIGINT)
+               AS adist
+      FROM scodes q JOIN scodes b
+        ON q.d = b.d AND q.vec_id <> b.vec_id
+      WHERE q.vec_id < {ANN_N_QUERIES}
+      GROUP BY q.vec_id, b.vec_id
+    )"""
+
+_SQ8_ORACLE_SELECT = f"""SELECT va, vb, adist, rank FROM (
+      SELECT va, vb, adist,
+             CAST(row_number() OVER (PARTITION BY va
+                                     ORDER BY adist, vb) AS INT) AS rank
+      FROM sapprox
+    ) WHERE rank <= {ANN_TOPK}"""
+
+
+def _sq8_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = _sq8_codes(spark, sf_dir)
+    # bounded: the probe side is ANN_N_QUERIES * EMB_DIM = 640 rows
+    q = F.broadcast(
+        codes.where(F.col("vec_id") < ANN_N_QUERIES).selectExpr(
+            "vec_id as va", "d as qd", "code as qcode"
+        )
+    )
+    return (
+        codes.join(q, (F.col("d") == F.col("qd")))
+        .where(F.col("vec_id") != F.col("va"))
+        .groupBy("va", F.col("vec_id").alias("vb"))
+        .agg(
+            F.expr(
+                "cast(sum((qcode - code) * (qcode - code)) as bigint)"
+            ).alias("adist")
+        )
+    )
+
+
+@register(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH {_SQ8_ORACLE_CTES}
+    {_SQ8_ORACLE_SELECT}
+    """,
+    doc="Scalar-quantization ANN (the FAISS IndexScalarQuantizer SQ8 "
+    "shape): every dimension affine-coded to 8 bits against the corpus "
+    "per-dimension min/max (one EMB_DIM-row broadcast stats table — "
+    "training-free, unlike PQ's codebook), candidates ranked by integer "
+    "squared L2 in code space. All arithmetic is floor-divided "
+    "non-negative integers, bit-identical across engines. Plan: "
+    "stats aggregate is map-side partials to EMB_DIM cells; the probe "
+    "side broadcasts (ANN_N_QUERIES x EMB_DIM rows); the base scan "
+    "shuffles N x Q pair partials, never materializing N x k.",
+    tags=("vector", "ann"),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("va").orderBy("adist", "vb")
+    return (
+        _sq8_approx(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("va", "vb", "adist", "rank")
+    )
+
+
+@register(
+    "ann_sq8_recall",
+    oracle=f"""
+    WITH {_SQ8_ORACLE_CTES},
+    sbf AS (
+      SELECT va, vb FROM (
+        SELECT q.vec_id AS va, b.vec_id AS vb,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY sum((q.el - b.el) * (q.el - b.el)), b.vec_id
+               ) AS rank
+        FROM qel q JOIN qel b
+          ON q.d = b.d AND q.vec_id <> b.vec_id
+        WHERE q.vec_id < {ANN_N_QUERIES}
+        GROUP BY q.vec_id, b.vec_id
+      ) WHERE rank <= {ANN_TOPK}
+    ),
+    sq AS ({_SQ8_ORACLE_SELECT})
+    SELECT sbf.va,
+           CAST(count(sq.vb) AS BIGINT) AS n_hit,
+           {D.floor_round(DUCK, f"CAST(count(sq.vb) AS DOUBLE) / {ANN_TOPK}", 6)}
+             AS recall
+    FROM sbf LEFT JOIN sq ON sbf.va = sq.va AND sbf.vb = sq.vb
+    GROUP BY sbf.va
+    """,
+    doc=f"ANN quality gate for the SQ8 path: recall@{ANN_TOPK} of the "
+    "code-space ranking against the EXACT integer-L2 brute force over "
+    "the same quantized elements — the family's acceptance measurement "
+    "(8-bit-per-dim quantization loses little geometry, so the floor "
+    "sits far above the LSH/IVF paths'; pinned by test).",
+    tags=("vector", "ann", "quality"),
+)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = _sq8_el(spark, sf_dir)
+    # bounded: the probe side is ANN_N_QUERIES * EMB_DIM = 640 rows
+    q = F.broadcast(
+        el.where(F.col("vec_id") < ANN_N_QUERIES).selectExpr(
+            "vec_id as va", "d as qd", "el as qel"
+        )
+    )
+    w = Window.partitionBy("va").orderBy("edist", "vb")
+    bf = (
+        el.join(q, F.col("d") == F.col("qd"))
+        .where(F.col("vec_id") != F.col("va"))
+        .groupBy("va", F.col("vec_id").alias("vb"))
+        .agg(
+            F.expr("sum((qel - el) * (qel - el))").alias("edist")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("va", "vb")
+    )
+    sq = ann_sq8_topk(spark, sf_dir).select(
+        F.col("va").alias("sva"), F.col("vb").alias("svb")
+    )
+    return (
+        bf.join(
+            sq,
+            (F.col("va") == F.col("sva")) & (F.col("vb") == F.col("svb")),
+            "left",
+        )
+        .groupBy("va")
+        .agg(
+            F.expr("cast(count(svb) as bigint)").alias("n_hit"),
+            F.expr(
+                D.floor_round(
+                    SPARK, f"cast(count(svb) as double) / {ANN_TOPK}", 6
+                )
+            ).alias("recall"),
+        )
+    )

@@ -678,3 +678,58 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {M.money_sum(
+               "l_extendedprice * (1 - l_discount)"
+               " - p_retailprice * l_quantity"
+           )} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="Q9 shape (product-type profit by nation and year), adapted to "
+    "the fixture schema: no partsupp table exists, so supply cost is "
+    "stood in by p_retailprice * quantity (documented adaptation — the "
+    "JOIN TOPOLOGY is Q9's: a 5-way star over two fact-side keys, "
+    "lineitem joining part AND supplier AND, through supplier, nation, "
+    "plus orders for the year). Dims broadcast; the fact-side aggregate "
+    "is one map-side-combined groupBy(nation, year); profit rows "
+    "quantize to exact cents before the BIGINT sum (functions/money.py "
+    "— order-independent, cross-engine bit-identical).",
+    tags=("join", "agg", "tpch"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # bounded: part/supplier/nation are SF-proportional dims far below
+    # the fact table (2k/100/25 rows at sf0.01); production would still
+    # broadcast part at 100 TB-fact scale or fall back to AQE
+    pt = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    )
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders")
+    profit = (
+        "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity"
+    )
+    return (
+        li.join(pt, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.expr("cast(year(o_orderdate) as int)").alias("o_year"),
+        )
+        .agg(F.expr(M.money_sum(profit)).alias("sum_profit"))
+    )
