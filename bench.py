@@ -108,6 +108,11 @@ HEADLINE = [
     "host_pagerank",
     "quality_classifier_train",
     "quality_classifier_score",
+    "stream_quality_score",
+    "lang_temperature_weights",
+    "text_entropy_score",
+    "lm_kneser_ney_score",
+    "ann_sq8_topk",
 ]
 
 

@@ -174,3 +174,128 @@ class TestQualityClassifier:
         counts = Counter(y for y, _ in margins.values())
         majority = max(counts.values()) / len(margins)
         assert acc > majority + 0.25, (acc, majority)
+
+
+class TestLangTemperatureWeights:
+    def test_isqrt_exact_and_budget_bounded(self, spark, sf_dir):
+        import math
+
+        from streamprocessors_spark.plans import llm_ops as L
+
+        rows = L.lang_temperature_weights(spark, sf_dir).collect()
+        assert rows, "fixture has languages"
+        for r in rows:
+            # the float-estimate + CASE correction must equal Python's
+            # exact integer sqrt on every count
+            assert r.sqrt_q == math.isqrt(r.n_docs * L.TEMP_SCALE), r
+        # floor allocation never over-spends the budget, and upweights
+        # tails: budget share >= raw share for the smallest language
+        total_docs = sum(r.n_docs for r in rows)
+        budgets = sum(r.budget_docs for r in rows)
+        assert budgets <= L.TEMP_BUDGET
+        smallest = min(rows, key=lambda r: r.n_docs)
+        assert (
+            smallest.budget_docs / L.TEMP_BUDGET
+            >= smallest.n_docs / total_docs
+        )
+
+
+class TestTextEntropyScore:
+    def test_fixed_point_tracks_float_shannon(self, spark, sf_dir):
+        import math
+        from collections import Counter as C2
+
+        from streamprocessors_spark.plans import llm_ops as L
+
+        rows = L.text_entropy_score(spark, sf_dir).collect()
+        docs = {
+            r.doc_id: r.text
+            for r in L._docs(spark, sf_dir).select("doc_id", "text").collect()
+        }
+        assert rows
+        for r in rows:
+            ws = [w for w in docs[r.doc_id].lower().split() if w]
+            n = len(ws)
+            assert n == r.n_words
+            href = -sum(
+                (v / n) * math.log2(v / n) for v in C2(ws).values()
+            )
+            got = r.ent_num_q / (1024 * n)
+            # 1/1024-quantized logs: per-word error < ~2/1024 bits
+            assert abs(got - href) < 0.01, (r.doc_id, got, href)
+            assert r.ent_num_q >= 0
+
+
+class TestKneserNeyScore:
+    def test_bit_exact_vs_pure_python(self, spark, sf_dir):
+        """From-scratch Kneser-Ney bigram scorer (dicts + integer
+        arithmetic) must match the Spark derivation exactly."""
+        import math
+
+        from streamprocessors_spark.plans import llm_ops as L
+
+        frac = [int(1024 * math.log2(1.0 + i / 256.0)) for i in range(256)]
+
+        def log2q(n: int) -> int:
+            assert n > 0
+            il = n.bit_length() - 1
+            idx = (n * 256) // (1 << il) - 256
+            return il * 1024 + frac[idx]
+
+        docs = {
+            r.doc_id: [w for w in r.text.lower().split() if w]
+            for r in L._docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .collect()
+        }
+        big, hist, n1w, cont, vocab = {}, {}, {}, {}, set()
+        for d, ws in docs.items():
+            if d % L.LM_TRAIN_MOD == 0:
+                vocab.update(ws)
+                for a, b in zip(ws, ws[1:]):
+                    big[(a, b)] = big.get((a, b), 0) + 1
+                    hist[a] = hist.get(a, 0) + 1
+                    n1w.setdefault(a, set()).add(b)
+                    cont.setdefault(b, set()).add(a)
+        nbig, v = len(big), len(vocab)
+        dn = nbig + v + 1
+
+        def surprisal(a: str, b: str) -> int:
+            ncp = len(cont.get(b, ())) + 1
+            if a not in hist:
+                return log2q(dn) - log2q(ncp)
+            num = (
+                max(4 * big.get((a, b), 0) - 3, 0) * dn
+                + 3 * len(n1w[a]) * ncp
+            )
+            return log2q(4 * hist[a] * dn) - log2q(num)
+
+        ref = {}
+        for d, ws in docs.items():
+            if d % L.LM_TRAIN_MOD == 0 or len(ws) < 2:
+                continue
+            sqs = [surprisal(a, b) for a, b in zip(ws, ws[1:])]
+            sumq = sum(sqs)
+            ref[d] = (len(sqs), sumq, int(sumq / len(sqs)))
+
+        rows = L.lm_kneser_ney_score(spark, sf_dir).collect()
+        assert len(rows) == len(ref)
+        for r in rows:
+            assert (r.n_pairs, r.sumq, r.ce_q) == ref[r.doc_id], r.doc_id
+        # meaning: surprisals are overwhelmingly positive (P < 1), and
+        # the trained slice's own vocabulary keeps ce_q finite
+        assert all(r.sumq > 0 for r in rows)
+
+
+def test_sq8_recall_floor_and_beats_pq(spark, sf_dir):
+    """SQ8's acceptance bar: 8-bit-per-dimension scalar quantization
+    loses far less geometry than PQ's 16-subspace codebook, so its
+    mean recall@5 must clear a HIGHER floor (measured 0.86 at sf0.01,
+    0.56 for PQ) — a broken stats table or affine code collapses it."""
+    from streamprocessors_spark import plans
+
+    plans.load_all()
+    rows = plans.REGISTRY["ann_sq8_recall"].fn(spark, sf_dir).collect()
+    rec = [r.recall for r in rows]
+    assert rec, "no recall rows"
+    assert sum(rec) / len(rec) >= 0.6, sorted(rec)

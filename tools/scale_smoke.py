@@ -437,6 +437,33 @@ def main() -> None:
         .count(),
     )
 
+    # host PageRank over the multiplied corpus: ONE corpus pass builds
+    # the edge list; the 8 iteration rounds run on the (fixed-size) host
+    # table, so cost must approach flat-plus-one-scan as mult grows
+    from streamprocessors_spark.plans.graph_ops import (
+        _qc_pocket_weights,
+        host_pagerank_frame,
+    )
+
+    timed(
+        "host_pagerank_end_to_end",
+        lambda: host_pagerank_frame(docs).count(),
+    )
+
+    # trained quality classifier: QC_EPOCHS+1 corpus passes (gradients +
+    # margins) against broadcast model tables — cost must stay ~linear
+    # per pass with no corpus shuffle growth
+    def _qc_end_to_end():
+        fxl, wbest = _qc_pocket_weights(docs)
+        return (
+            fxl.join(F.broadcast(wbest), "j")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.expr("x * w")).alias("s"))
+            .count()
+        )
+
+    timed("quality_classifier_train_score", _qc_end_to_end)
+
     result = {
         "sf_dir": sf_dir,
         "multiplier": mult,
