@@ -113,6 +113,10 @@ HEADLINE = [
     "text_entropy_score",
     "lm_kneser_ney_score",
     "ann_sq8_topk",
+    "stream_kneser_ney",
+    "dedup_cascade_verdict",
+    "stream_text_entropy",
+    "source_format_roundtrip",
 ]
 
 

@@ -511,3 +511,165 @@ def skew_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "c_name")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def _cascade_oracle() -> str:
+    from streamprocessors_spark.plans.llm_ops import (
+        _MINHASH_ORACLE_CTES,
+        _MINHASH_VERIFY_SELECT,
+        _url_canon_expr,
+        _url_expr,
+    )
+
+    # Re-base the MinHash stage onto the cascade's survivor CTE: the
+    # shared CTE text reads the base table in exactly one place (the
+    # shingle CTE's `w`), asserted so a refactor cannot silently leave
+    # the near-dup stage scanning pre-cascade documents.
+    assert _MINHASH_ORACLE_CTES.count("FROM documents") == 1
+    mh = _MINHASH_ORACLE_CTES.replace("FROM documents", "FROM s2c")
+    return f"""
+    WITH RECURSIVE
+    u AS (
+      SELECT doc_id,
+             {_url_canon_expr("duck", _url_expr("duck"))} AS canonical
+      FROM documents
+    ),
+    uk AS (
+      SELECT doc_id,
+             (doc_id = min(doc_id) OVER (PARTITION BY canonical))
+               AS url_keep
+      FROM u
+    ),
+    s1c AS (
+      SELECT d.doc_id, d.text, d.lang
+      FROM documents d JOIN uk ON uk.doc_id = d.doc_id AND uk.url_keep
+    ),
+    ek AS (
+      SELECT doc_id,
+             (doc_id = min(doc_id) OVER (PARTITION BY text)) AS exact_keep
+      FROM s1c
+    ),
+    s2c AS (
+      SELECT s1c.doc_id, s1c.text, s1c.lang
+      FROM s1c JOIN ek ON ek.doc_id = s1c.doc_id AND ek.exact_keep
+    ),
+    {mh},
+    pairs AS ({_MINHASH_VERIFY_SELECT}),
+    edges AS (
+      SELECT doc_a AS uu, doc_b AS vv FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT uu, vv FROM edges
+      UNION
+      SELECT r.uu, e.vv FROM reach r JOIN edges e ON r.vv = e.uu
+    ),
+    lab AS (SELECT uu AS doc_id, least(uu, min(vv)) AS canonical
+            FROM reach GROUP BY uu)
+    SELECT d.doc_id,
+           CAST(CASE
+             WHEN NOT uk.url_keep THEN 'url'
+             WHEN NOT ek.exact_keep THEN 'exact'
+             WHEN lab.canonical IS NOT NULL AND lab.canonical <> d.doc_id
+               THEN 'near_dup'
+           END AS VARCHAR) AS dropped_by,
+           CAST(CASE
+             WHEN uk.url_keep AND ek.exact_keep
+              AND (lab.canonical IS NULL OR lab.canonical = d.doc_id)
+             THEN 1 ELSE 0 END AS INT) AS kept
+    FROM documents d
+    JOIN uk ON uk.doc_id = d.doc_id
+    LEFT JOIN ek ON ek.doc_id = d.doc_id
+    LEFT JOIN lab ON lab.doc_id = d.doc_id
+    """
+
+
+@register(
+    "dedup_cascade_verdict",
+    oracle=_cascade_oracle(),
+    doc="The production dedup CASCADE, end to end (the RefinedWeb/CCNet "
+    "staging: cheap stages first, each running only over the previous "
+    "stage's survivors): (1) canonical-URL keep-first, (2) exact-text "
+    "keep-first, (3) MinHash-LSH near-dup connected components — one "
+    "verdict row per corpus document with the stage that dropped it "
+    "('url' / 'exact' / 'near_dup' / NULL = kept). Ordering matters at "
+    "100 TB: the URL stage is a scan-local projection + one window, the "
+    "exact stage hashes only URL survivors, and the expensive shingle/ "
+    "LSH machinery touches only the doubly-deduplicated remainder. "
+    "Composes the existing stage operators (dedup_url_canonical, "
+    "dedup_exact's keep-first, dedup_keep_list's pair+CC machinery) "
+    "without re-implementing any of them; the oracle re-bases the "
+    "shared MinHash CTEs onto the survivor set (asserted single scan "
+    "site) + WITH RECURSIVE closure.",
+    tags=("dedup", "lsh", "crawl", "iterative"),
+)
+def dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import (
+        _PAIR_FILTER,
+        _url_canon_expr,
+        _url_expr,
+        minhash_candidate_pairs,
+        shingle_docs,
+    )
+    from streamprocessors_spark.functions import dialect as D
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    u = docs.selectExpr(
+        "doc_id",
+        f"{_url_canon_expr('spark', _url_expr('spark'))} as canonical",
+    )
+    wu = Window.partitionBy("canonical")
+    uk = u.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(wu)).alias("url_keep"),
+    )
+    s1 = docs.join(uk.where("url_keep").select("doc_id"), "doc_id")
+    we = Window.partitionBy("text")
+    ek = s1.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(we)).alias("exact_keep"),
+    )
+    s2 = s1.join(ek.where("exact_keep").select("doc_id"), "doc_id")
+    shingled = shingle_docs(
+        s2, spark.sparkContext.defaultParallelism
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = (
+        minhash_candidate_pairs(shingled)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size('spark', 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size('spark', 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
+        .select("doc_a", "doc_b")
+    )
+    labels = _min_label_components(pairs).withColumnRenamed(
+        "doc_id", "ldoc"
+    )
+    return (
+        docs.select("doc_id")
+        .join(uk, "doc_id")
+        .join(ek, "doc_id", "left")
+        .join(labels, F.col("doc_id") == F.col("ldoc"), "left")
+        .selectExpr(
+            "doc_id",
+            "cast(case when not url_keep then 'url' "
+            "when not exact_keep then 'exact' "
+            "when canonical is not null and canonical <> doc_id "
+            "then 'near_dup' end as string) as dropped_by",
+            "cast(case when url_keep and exact_keep "
+            "and (canonical is null or canonical = doc_id) "
+            "then 1 else 0 end as int) as kept",
+        )
+    )

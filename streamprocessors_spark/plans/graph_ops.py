@@ -433,8 +433,15 @@ def _qc_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r.j), int(r.w), int(r.epoch)) for r in wbest.collect()
         ]
         fxl.unpersist()  # training features are not needed for scoring
-    return spark.createDataFrame(
-        _QC_TRAINED_CACHE[key], schema="j int, w bigint, epoch int"
+    # VALUES literal (LocalRelation): stays pure-JVM and broadcastable;
+    # createDataFrame would pin a Python-serialized ExistingRDD into
+    # every serving plan
+    rows = ", ".join(
+        f"({j}, CAST({w} AS BIGINT), {e})"
+        for j, w, e in _QC_TRAINED_CACHE[key]
+    )
+    return spark.sql(
+        f"SELECT col1 AS j, col2 AS w, col3 AS epoch FROM (VALUES {rows})"
     )
 
 

@@ -1062,3 +1062,73 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+_FMT_CHECK_COLS = """count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS nchar_sum"""
+
+
+@register(
+    "source_format_roundtrip",
+    oracle=f"""
+    SELECT 'csv' AS fmt, {_FMT_CHECK_COLS},
+           CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003)
+                AS BIGINT) AS text_sum
+    FROM documents
+    UNION ALL
+    SELECT 'jsonl', {_FMT_CHECK_COLS},
+           CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003)
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'parquet', {_FMT_CHECK_COLS},
+           CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003)
+                AS BIGINT)
+    FROM documents
+    """,
+    doc="Source/sink format surface: the documents table round-trips "
+    "through JSON-lines and CSV (write to a scratch dir, read back with "
+    "an explicit schema — the crawl-pipeline interchange formats next "
+    "to the parquet the fixtures use), and each format's resurrected "
+    "rows must reproduce the SAME row count, id/char sums and text "
+    "md5-checksum as the original parquet (emitted as the control row). "
+    "A quoting/escaping/encoding bug in either writer or reader breaks "
+    "the checksum, so the oracle gate covers the full encode+decode "
+    "path, not just row counts. Scratch output goes to a per-call temp "
+    "dir; at scale this is the standard parquet<->JSONL shard "
+    "conversion step.",
+    tags=("source", "format"),
+)
+def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    schema = "doc_id bigint, text string, lang string, n_chars bigint"
+    base = tempfile.mkdtemp(prefix="spgraft_fmt_")
+    docs.write.mode("overwrite").json(f"{base}/jsonl")
+    docs.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    back = {
+        "jsonl": spark.read.schema(schema).json(f"{base}/jsonl"),
+        "csv": spark.read.schema(schema)
+        .option("header", True)
+        .csv(f"{base}/csv"),
+        "parquet": docs,
+    }
+    out = None
+    for fmt in ["csv", "jsonl", "parquet"]:
+        row = back[fmt].selectExpr(f"'{fmt}' as fmt", "*").groupBy(
+            "fmt"
+        ).agg(
+            F.expr("count(*)").alias("n_rows"),
+            F.expr("cast(sum(doc_id) as bigint)").alias("id_sum"),
+            F.expr("cast(sum(n_chars) as bigint)").alias("nchar_sum"),
+            F.expr(
+                "cast(sum(cast(conv(substr(md5(text),1,15),16,10) as"
+                " bigint) % 1000003) as bigint)"
+            ).alias("text_sum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

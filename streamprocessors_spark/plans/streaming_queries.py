@@ -1059,3 +1059,137 @@ def _wire_corpus_prep_oracle() -> None:
 
 
 _wire_corpus_prep_oracle()
+
+
+@register(
+    "stream_kneser_ney",
+    oracle=None,  # wired below: shares lm_kneser_ney_score's oracle
+    doc="Streaming twin of lm_kneser_ney_score (the arriving-crawl-"
+    "shard scoring deployment): the Kneser-Ney model tables (bigram "
+    "counts, left-token histogram + continuation-fanout, right-token "
+    "continuation counts, the (N, V) normalizer scalars) are trained "
+    "batch-side on the existing corpus, and every arriving document's "
+    "bigrams score by stream-static joins against them — scoring is "
+    "stateless given the trained model, so arrival order cannot change "
+    "any surprisal. Hash-matches the batch derivation exactly.",
+    tags=("streaming", "llm", "quality", "trained"),
+)
+def stream_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.llm_ops import (
+        LM_TRAIN_MOD,
+        _docs,
+        _kn_surprisal,
+        _lm_pairs_spark,
+    )
+
+    w = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{D.words(SPARK)} as ws"
+    )
+    trp = _lm_pairs_spark(
+        w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
+    ).select("w1", "w2")
+    big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = trp.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.countDistinct("w2").alias("n1"),
+    )
+    cont = trp.groupBy("w2").agg(F.countDistinct("w1").alias("nc"))
+    nbig = big.agg(F.count(F.lit(1)).alias("nbig"))
+    vs = (
+        w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
+        .selectExpr("explode(ws) as u")
+        .agg(F.countDistinct("u").alias("v"))
+    )
+    # bounded: nbig and vs are single-row aggregates (N, V)
+    scal = nbig.crossJoin(F.broadcast(vs))
+    scp = _lm_pairs_spark(
+        stream_documents(spark, sf_dir)
+        .where(f"doc_id % {LM_TRAIN_MOD} != 0")
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+    )
+    pq = (
+        # bounded: scal is one row (N, V)
+        scp.crossJoin(F.broadcast(scal))
+        .join(big, ["w1", "w2"], "left")
+        .join(hist, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .selectExpr("doc_id", f"{_kn_surprisal(SPARK)} as sq")
+    )
+    pd = pq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sq").alias("sumq"),
+    )
+    sink = run_available_now(pd, output_mode="complete")
+    return sink.selectExpr(
+        "doc_id",
+        "cast(n_pairs as bigint) as n_pairs",
+        "cast(sumq as bigint) as sumq",
+        "cast(sumq div n_pairs as bigint) as ce_q",
+    )
+
+
+def _wire_stream_kn_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("lm_kneser_ney_score")
+    if batch is not None:
+        REGISTRY["stream_kneser_ney"].oracle = batch.oracle
+
+
+_wire_stream_kn_oracle()
+
+
+@register(
+    "stream_text_entropy",
+    oracle=None,  # wired below: shares text_entropy_score's oracle
+    doc="Streaming twin of text_entropy_score: the corpus-scale work — "
+    "the per-(doc, word) occurrence counts — runs as the streaming "
+    "aggregation (state-store keyed by doc and word), and the per-doc "
+    "entropy combine (n*log2q(n) - sum c*log2q(c)) runs batch-side on "
+    "the sink: Structured Streaming does not allow chained "
+    "aggregations, and pushing the combine into a per-row HOF would "
+    "make the scan quadratic in document length. Counts are "
+    "arrival-order independent, so the twin hash-matches the batch "
+    "oracle exactly.",
+    tags=("streaming", "llm", "quality"),
+)
+def stream_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.llm_ops import _log2q
+
+    wc = (
+        stream_documents(spark, sf_dir)
+        .selectExpr("doc_id", f"explode({D.words(SPARK)}) as word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sink = run_available_now(wc, output_mode="complete")
+    return (
+        sink.groupBy("doc_id")
+        .agg(
+            F.expr("cast(sum(c) as bigint)").alias("n_words"),
+            F.expr(
+                f"cast(sum(c * {_log2q(SPARK, 'c')}) as bigint)"
+            ).alias("sum_clog"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            f"cast(n_words * {_log2q(SPARK, 'n_words')} - sum_clog"
+            " as bigint) as ent_num_q",
+        )
+    )
+
+
+def _wire_stream_entropy_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("text_entropy_score")
+    if batch is not None:
+        REGISTRY["stream_text_entropy"].oracle = batch.oracle
+
+
+_wire_stream_entropy_oracle()

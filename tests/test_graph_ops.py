@@ -299,3 +299,25 @@ def test_sq8_recall_floor_and_beats_pq(spark, sf_dir):
     rec = [r.recall for r in rows]
     assert rec, "no recall rows"
     assert sum(rec) / len(rec) >= 0.6, sorted(rec)
+
+
+def test_dedup_cascade_stage_invariants(spark, sf_dir):
+    """The cascade verdict must be internally consistent: one row per
+    corpus document, kept iff no stage dropped it, URL-stage drops
+    exactly matching the standalone dedup_url_canonical operator, and a
+    doc dropped by a later stage must have SURVIVED every earlier one
+    (staging order is the whole point of a cascade)."""
+    from streamprocessors_spark import plans
+
+    plans.load_all()
+    rows = plans.REGISTRY["dedup_cascade_verdict"].fn(spark, sf_dir).collect()
+    url_rows = plans.REGISTRY["dedup_url_canonical"].fn(spark, sf_dir).collect()
+    n_docs = len({r.doc_id for r in url_rows})
+    assert len(rows) == n_docs
+    url_dropped = {r.doc_id for r in url_rows if not r.keep}
+    for r in rows:
+        assert (r.kept == 1) == (r.dropped_by is None)
+        if r.dropped_by == "url":
+            assert r.doc_id in url_dropped
+        else:
+            assert r.doc_id not in url_dropped

@@ -609,3 +609,44 @@ def test_zipf_fit_topk_merge_no_corpus_window(spark, sf_dir):
     assert p.count("hashpartitioning(") == 1  # the vocab groupBy only
     assert "partial_count" in p  # map-side combine on the word counts
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_pagerank_iterations_never_rescan_corpus(spark, sf_dir):
+    """host_pagerank's 8 rounds run on checkpointed host-sized frames:
+    the FINAL plan must contain no parquet scan at all — the corpus was
+    read exactly once, when the edge list was pinned. A parquet scan
+    reappearing here means an iteration's lineage escaped its
+    checkpoint and every round would re-read 100 TB."""
+    p = _plan(spark, sf_dir, "host_pagerank")
+    assert "parquet" not in p.lower(), p[:800]
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_classifier_score_is_single_scan_jvm(spark, sf_dir):
+    """quality_classifier_score serves the memoized trained model: one
+    feature pass (two pruned scan branches — word counts + the bias
+    union arm) joined against a broadcast literal weight table. A
+    retraining regression would put the full multi-epoch dataflow back
+    in the plan (~17 scans); Python anywhere breaks codegen."""
+    p = _plan(spark, sf_dir, "quality_classifier_score")
+    # Scan counting is NOT a stable pin: when an earlier train call's
+    # persisted feature frame is still registered, the serving plan
+    # legitimately substitutes an InMemoryRelation whose description
+    # re-prints the cached build scans. The regression this test exists
+    # for — the serving path shipping the training DATAFLOW instead of
+    # the memoized model — is caught structurally: epoch weight frames
+    # are localCheckpointed (Scan ExistingRDD) and a Python-built model
+    # frame would also surface as ExistingRDD.
+    assert "ExistingRDD" not in p, "serving plan contains training RDDs"
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_sq8_distance_scan_broadcasts_probes(spark, sf_dir):
+    """ann_sq8_topk's code-space distance pass joins the base scan
+    against BROADCAST stats and probe frames (both corpus-size-
+    independent) — a sort-merge here would shuffle the full corpus
+    twice per query batch."""
+    p = _plan(spark, sf_dir, "ann_sq8_topk")
+    assert "BroadcastHashJoin" in p
+    assert "Python" not in p and "ArrowEval" not in p

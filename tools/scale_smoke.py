@@ -464,6 +464,51 @@ def main() -> None:
 
     timed("quality_classifier_train_score", _qc_end_to_end)
 
+    # dedup cascade end-to-end over the multiplied corpus: URL + exact
+    # stages are windows (multiplied copies share a canonical URL only
+    # within their shift group, so survivors scale with the corpus);
+    # the MinHash+CC stage must only ever see the cascade survivors
+    from streamprocessors_spark.plans.llm_ops import (
+        _url_canon_expr,
+        _url_expr,
+    )
+    from pyspark.sql.window import Window as W2
+
+    def _cascade_count():
+        u = docs.selectExpr(
+            "doc_id", "text", "lang",
+            f"{_url_canon_expr(SPARK, _url_expr(SPARK))} as canonical",
+        )
+        uk = u.withColumn(
+            "url_keep",
+            F.col("doc_id")
+            == F.min("doc_id").over(W2.partitionBy("canonical")),
+        )
+        s1 = uk.where("url_keep").select("doc_id", "text", "lang")
+        ek = s1.withColumn(
+            "exact_keep",
+            F.col("doc_id") == F.min("doc_id").over(W2.partitionBy("text")),
+        )
+        s2 = ek.where("exact_keep").select("doc_id", "text", "lang")
+        pairs = (
+            minhash_candidate_pairs(
+                shingle_docs(s2, spark.sparkContext.defaultParallelism)
+            )
+            .select("doc_a", "doc_b")
+        )
+        labels = _min_label_components(pairs)
+        return (
+            s2.select("doc_id")
+            .join(
+                labels.withColumnRenamed("doc_id", "ldoc"),
+                F.col("doc_id") == F.col("ldoc"),
+                "left",
+            )
+            .count()
+        )
+
+    timed("dedup_cascade_end_to_end", _cascade_count)
+
     result = {
         "sf_dir": sf_dir,
         "multiplier": mult,
