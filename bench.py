@@ -117,6 +117,11 @@ HEADLINE = [
     "dedup_cascade_verdict",
     "stream_text_entropy",
     "source_format_roundtrip",
+    # dedup_minhash_recall stays OUT of the headline on the same policy
+    # as the ANN recall gates: measurement ops run a quadratic ground
+    # truth by design and would dominate the wall-clock number without
+    # saying anything about the production paths (driver still gates it
+    # at sf0.01 via the registry).
 ]
 
 

@@ -130,6 +130,12 @@ _FORCE_RECHECK = {
     # recall measurement values
     "ann_lsh_bucketed": 6,
     "ann_lsh_recall": 6,
+    # round 8: the streaming image twin's Hamming verify moved from
+    # re-derived batch signatures (optimizer re-inlined the dHash lambda
+    # through both join branches, ~50x planning+eval blow-up) to a
+    # second stateless signature-store sink filled on ingest — identical
+    # values, same shared batch oracle (155 -> 3.7 s warm at sf0.1)
+    "stream_image_phash": 8,
 }
 
 

@@ -7164,3 +7164,61 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=f"""
+    WITH {_MINHASH_ORACLE_CTES},
+    mh AS MATERIALIZED ({_MINHASH_VERIFY_SELECT}),
+    tr AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {D.intersect_size(DUCK, "a.sh", "b.sh")} AS n_inter,
+               {D.union_size(DUCK, "a.sh", "b.sh")}     AS n_union
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ) WHERE {_PAIR_FILTER}
+    ),
+    hit AS MATERIALIZED (
+      SELECT count(*) AS c FROM tr JOIN mh USING (doc_a, doc_b)
+    )
+    SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_true,
+           CAST(hit.c AS BIGINT) AS n_hit,
+           {D.floor_round(DUCK,
+             "CAST(hit.c AS DOUBLE) /"
+             " greatest((SELECT count(*) FROM tr), 1)", 6)} AS recall
+    FROM hit
+    """,
+    doc="Dedup quality gate: recall of the MinHash-LSH production path "
+    "against the EXACT language-blocked word-3-gram Jaccard >= 0.5 "
+    "ground truth (the dedup_ngram_jaccard baseline) — the same "
+    "acceptance-measurement contract every ANN path carries (LSH / IVF "
+    "/ PQ / IVF+PQ / SQ8 recall gates), closing the one approximate "
+    "path that had no measured recall. LSH can only MISS (banding); "
+    "every emitted pair is exact-Jaccard verified, so precision is 1.0 "
+    "by construction within the language blocks. The quadratic ground "
+    "truth is the measurement's cost, not the production path's — same "
+    "caveat as the ANN recall gates.",
+    tags=("dedup", "lsh", "quality"),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.join(found, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    # bounded: hit and tot are single-row aggregates
+    return (
+        tot.crossJoin(F.broadcast(hit))
+        .selectExpr(
+            "cast(n_true as bigint) as n_true",
+            "cast(n_hit as bigint) as n_hit",
+            D.floor_round(
+                SPARK,
+                "cast(n_hit as double) / greatest(n_true, 1)",
+                6,
+            )
+            + " as recall",
+        )
+    )
