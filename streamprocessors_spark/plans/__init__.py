@@ -136,6 +136,13 @@ _FORCE_RECHECK = {
     # second stateless signature-store sink filled on ingest — identical
     # values, same shared batch oracle (155 -> 3.7 s warm at sf0.1)
     "stream_image_phash": 8,
+    # round 8: the image dHash raster offset was missing the 12-byte
+    # SPMM envelope — Spark hashed a shifted window whose planted-pair
+    # output happened to coincide with the text-derived oracle at
+    # sf0.01; tools/sweep_sf.py caught the divergence at sf0.1. The
+    # fixed signatures now equal the oracle's per-image at every scale.
+    "dedup_image_phash": 8,
+    "dedup_image_keep_list": 8,
 }
 
 

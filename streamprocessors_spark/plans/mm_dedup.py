@@ -53,7 +53,15 @@ from streamprocessors_spark.plans.registry import register
 from streamprocessors_spark.session import read_table
 
 IMG_W, IMG_H = MM.PPM_W, MM.PPM_H  # 8 x 6 fixture raster
-IMG_HDR_LEN = len(MM.PPM_HEADER)  # 11-byte P6 header before the raster
+# Bytes before the raster in the REAL payload: the 12-byte SPMM
+# envelope (magic + media_type + body_len) AND the 11-byte P6 header.
+# Round-8 fix: the envelope was missing, so the Spark side hashed a
+# 12-byte-shifted window (envelope tail + PPM header + first 121 text
+# bytes). The planted-variant pair set and hamming counts coincided
+# with the text-derived oracle at sf0.01 — the gate only diverged at
+# sf0.1 (616 vs 611 pairs, caught by tools/sweep_sf.py) — but the
+# signatures themselves were never the documented dHash of the pixels.
+IMG_HDR_LEN = len(MM.MAGIC) + 8 + len(MM.PPM_HEADER)
 IMG_BITS = 63  # 42 horizontal + 21 vertical comparisons (sign-safe)
 IMG_MAX_HAMMING = 4
 IMG_N_BANDS = IMG_MAX_HAMMING + 1  # pigeonhole: <=4 flips miss >=1 band
@@ -66,10 +74,11 @@ _BAND_BOUNDS = [(i * IMG_BITS) // IMG_N_BANDS for i in range(IMG_N_BANDS + 1)]
 def _byte(d: str, i: int, src: str) -> str:
     """Raster byte i (0-based) as BIGINT from a hex-string column.
 
-    Spark reads the real payload (skip the 11-byte PPM header; the body
-    is rpad'ed to the full raster, so every index exists). DuckDB reads
-    the document text's utf-8 bytes (ASCII fixture corpus), where
-    indices past the text zero-pad — matching the payload's rpad."""
+    Spark reads the real payload (skip the SPMM envelope + P6 header,
+    IMG_HDR_LEN bytes; the body is rpad'ed to the full raster, so every
+    index exists). DuckDB reads the document text's utf-8 bytes (ASCII
+    fixture corpus), where indices past the text zero-pad — matching
+    the payload's rpad."""
     if d == SPARK:
         off = IMG_HDR_LEN + i
         return f"cast(conv(substr({src}, {2 * off + 1}, 2), 16, 10) as bigint)"
