@@ -716,6 +716,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = F.broadcast(
         _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     )
+    # bounded: supplier/nation are the classic TPC-H small dims
     sup = F.broadcast(_t(spark, sf_dir, "supplier"))
     nat = F.broadcast(_t(spark, sf_dir, "nation"))
     orders = _t(spark, sf_dir, "orders")
