@@ -702,7 +702,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stood in by p_retailprice * quantity (documented adaptation — the "
     "JOIN TOPOLOGY is Q9's: a 5-way star over two fact-side keys, "
     "lineitem joining part AND supplier AND, through supplier, nation, "
-    "plus orders for the year). Dims broadcast; the fact-side aggregate "
+    "plus orders for the year). Only the fixed 25-row nation dim is "
+    "hint-broadcast; part/supplier scale with SF so AQE decides their "
+    "strategy at runtime; the fact-side aggregate "
     "is one map-side-combined groupBy(nation, year); profit rows "
     "quantize to exact cents before the BIGINT sum (functions/money.py "
     "— order-independent, cross-engine bit-identical).",
@@ -710,14 +712,12 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    # bounded: part/supplier/nation are SF-proportional dims far below
-    # the fact table (2k/100/25 rows at sf0.01); production would still
-    # broadcast part at 100 TB-fact scale or fall back to AQE
-    pt = F.broadcast(
-        _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
-    )
-    # bounded: supplier/nation are the classic TPC-H small dims
-    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    # part and supplier scale with SF (200k x SF / 10k x SF rows), so no
+    # forced broadcast: AQE picks broadcast at small runtime sizes and
+    # falls back to shuffle-hash when the dims outgrow the budget.
+    pt = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    # bounded: nation is a fixed 25-row table at every SF
     nat = F.broadcast(_t(spark, sf_dir, "nation"))
     orders = _t(spark, sf_dir, "orders")
     profit = (

@@ -108,6 +108,47 @@ def _annotation_hazards(root: str) -> list[str]:
     return out
 
 
+# A '# bounded:' rationale that itself concedes the frame scales with the
+# corpus ("SF-proportional", "scales with sf", "at sf0.01", "grows with")
+# is not a size bound — it is the hazard restated politely (the r8 q9
+# regression: hints were ANNOTATED instead of dropped). Such rationales
+# fail the audit outright.
+_UNBOUNDED_RATIONALE = re.compile(
+    r"sf[- ]proportional|proportional to (the )?(sf|corpus|scale)"
+    r"|scales? with (the )?(sf|corpus|data)|grows? with"
+    r"|at sf\d", re.IGNORECASE
+)
+
+
+def _rationale_hazards(root: str) -> list[str]:
+    out = []
+    pkg = os.path.join(root, "streamprocessors_spark")
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as fh:
+                lines = fh.readlines()
+            for i, line in enumerate(lines):
+                if "# bounded:" not in line:
+                    continue
+                # the rationale may wrap over following comment lines
+                block = [line.split("# bounded:", 1)[1]]
+                j = i + 1
+                while j < len(lines) and lines[j].lstrip().startswith("#"):
+                    block.append(lines[j].lstrip().lstrip("#"))
+                    j += 1
+                text = " ".join(block)
+                if _UNBOUNDED_RATIONALE.search(text):
+                    rel = os.path.relpath(path, root)
+                    out.append(
+                        f"{rel}:{i + 1}: '# bounded:' rationale concedes the"
+                        " frame is corpus/SF-scaling — not a size bound"
+                    )
+    return out
+
+
 _unbounded_collects = _annotation_hazards  # back-compat alias
 
 
@@ -154,6 +195,7 @@ def main() -> int:
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     problems.extend(_unbounded_collects(repo_root))
+    problems.extend(_rationale_hazards(repo_root))
 
     for p in problems:
         print("HAZARD:", p)
