@@ -72,30 +72,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
-def _edge_selects(d: str) -> str:
-    """The two deterministic out-links per document (dialect-shared
-    integer arithmetic; doc_id is BIGINT in the fixture)."""
-    return (
-        f"SELECT doc_id % {PR_HOSTS} AS src,"
-        f" (doc_id * 31 + 7) % {PR_HOSTS} AS dst FROM documents"
-        " UNION ALL "
-        f"SELECT doc_id % {PR_HOSTS},"
-        f" (doc_id * 53 + 11) % {PR_HOSTS} FROM documents"
+# The two deterministic out-links per document as (src, dst) expression
+# templates. This ONE pair feeds both the Spark plan (host_edges) and
+# the DuckDB oracle (_edge_selects) — the integer arithmetic is written
+# once, so plan and oracle cannot silently diverge on the synthesized
+# graph (doc_id is BIGINT in the fixture; % on non-negative BIGINTs
+# agrees across both engines).
+_EDGE_EXPRS = (
+    (f"doc_id % {PR_HOSTS}", f"(doc_id * 31 + 7) % {PR_HOSTS}"),
+    (f"doc_id % {PR_HOSTS}", f"(doc_id * 53 + 11) % {PR_HOSTS}"),
+)
+
+
+def _edge_selects() -> str:
+    """The edge templates rendered as the oracle's UNION ALL select."""
+    return " UNION ALL ".join(
+        f"SELECT {s} AS src, {d} AS dst FROM documents"
+        for s, d in _EDGE_EXPRS
     )
 
 
 def host_edges(docs: DataFrame) -> DataFrame:
     """(src, dst) distinct host-graph edges, self-loops dropped — the one
-    corpus-sized pass (a map-side-combined distinct on the edge key)."""
-    e0 = docs.selectExpr(
-        f"doc_id % {PR_HOSTS} as src",
-        f"(doc_id * 31 + 7) % {PR_HOSTS} as dst",
-    ).unionByName(
-        docs.selectExpr(
-            f"doc_id % {PR_HOSTS} as src",
-            f"(doc_id * 53 + 11) % {PR_HOSTS} as dst",
-        )
-    )
+    corpus-sized pass (a map-side-combined distinct on the edge key).
+    Built from the same _EDGE_EXPRS templates the oracle renders."""
+    e0 = None
+    for s, d in _EDGE_EXPRS:
+        leg = docs.selectExpr(f"{s} as src", f"{d} as dst")
+        e0 = leg if e0 is None else e0.unionByName(leg)
     return e0.where("src <> dst").distinct()
 
 
@@ -174,7 +178,7 @@ def _pagerank_oracle() -> str:
     inlined -> sub-second materialized)."""
     parts = [
         f"""e0 AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM ({_edge_selects(DUCK)})
+      SELECT DISTINCT src, dst FROM ({_edge_selects()})
       WHERE src <> dst
     ),
     verts AS MATERIALIZED (
@@ -548,11 +552,16 @@ _QC_POCKET = f"""
     tags=("llm", "quality", "iterative", "trained"),
 )
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, traj = _qc_trajectory(_docs(spark, sf_dir))
+    fxl, traj = _qc_trajectory(_docs(spark, sf_dir))
     out = None
     for k, (wk, _) in enumerate(traj, start=1):
         e = wk.selectExpr(f"cast({k} as int) as epoch", "j", "w")
         out = e if out is None else out.unionByName(e)
+    # the epoch weight frames are localCheckpoint-materialized inside
+    # _qc_trajectory, so the corpus-sized feature cache is no longer
+    # referenced by the returned plan — drop it now instead of letting
+    # repeated train calls accumulate cached corpora until LRU eviction
+    fxl.unpersist()
     return out
 
 

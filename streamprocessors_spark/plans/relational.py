@@ -1101,34 +1101,68 @@ _FMT_CHECK_COLS = """count(*) AS n_rows,
     tags=("source", "format"),
 )
 def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
     schema = "doc_id bigint, text string, lang string, n_chars bigint"
+    # The readers below are lazy; returning a plan over the scratch dir
+    # would force the cleanup to leak (the ADVICE r8 finding: one
+    # corpus-sized /tmp dir per invocation). Instead force the THREE
+    # per-format aggregate rows here (a bounded control-plane collect),
+    # remove the scratch dir in finally, and serve the verdict rows as
+    # a VALUES literal — the full encode+decode path still executes.
     base = tempfile.mkdtemp(prefix="spgraft_fmt_")
-    docs.write.mode("overwrite").json(f"{base}/jsonl")
-    docs.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
-    back = {
-        "jsonl": spark.read.schema(schema).json(f"{base}/jsonl"),
-        "csv": spark.read.schema(schema)
-        .option("header", True)
-        .csv(f"{base}/csv"),
-        "parquet": docs,
-    }
-    out = None
-    for fmt in ["csv", "jsonl", "parquet"]:
-        row = back[fmt].selectExpr(f"'{fmt}' as fmt", "*").groupBy(
-            "fmt"
-        ).agg(
-            F.expr("count(*)").alias("n_rows"),
-            F.expr("cast(sum(doc_id) as bigint)").alias("id_sum"),
-            F.expr("cast(sum(n_chars) as bigint)").alias("nchar_sum"),
-            F.expr(
-                "cast(sum(cast(conv(substr(md5(text),1,15),16,10) as"
-                " bigint) % 1000003) as bigint)"
-            ).alias("text_sum"),
+    try:
+        docs.write.mode("overwrite").json(f"{base}/jsonl")
+        (
+            docs.write.mode("overwrite")
+            .option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(f"{base}/csv")
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        back = {
+            "jsonl": spark.read.schema(schema).json(f"{base}/jsonl"),
+            # multiLine + RFC-4180 quote-doubling escape: a text cell
+            # with an embedded newline is written quoted and must parse
+            # back as ONE row, not break the gate on multi-line corpora
+            "csv": spark.read.schema(schema)
+            .option("header", True)
+            .option("multiLine", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(f"{base}/csv"),
+            "parquet": docs,
+        }
+        verdicts = []
+        for fmt in ["csv", "jsonl", "parquet"]:
+            row = back[fmt].selectExpr(f"'{fmt}' as fmt", "*").groupBy(
+                "fmt"
+            ).agg(
+                F.expr("count(*)").alias("n_rows"),
+                F.expr("cast(sum(doc_id) as bigint)").alias("id_sum"),
+                F.expr("cast(sum(n_chars) as bigint)").alias("nchar_sum"),
+                F.expr(
+                    "cast(sum(cast(conv(substr(md5(text),1,15),16,10) as"
+                    " bigint) % 1000003) as bigint)"
+                ).alias("text_sum"),
+            )
+            # control-plane collect: exactly one verdict row per format
+            r = row.collect()[0]
+            verdicts.append(
+                (r.fmt, r.n_rows, r.id_sum, r.nchar_sum, r.text_sum)
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = ", ".join(
+        f"('{fmt}', CAST({n} AS BIGINT), CAST({i} AS BIGINT),"
+        f" CAST({c} AS BIGINT), CAST({t} AS BIGINT))"
+        for fmt, n, i, c, t in verdicts
+    )
+    return spark.sql(
+        "SELECT col1 AS fmt, col2 AS n_rows, col3 AS id_sum,"
+        f" col4 AS nchar_sum, col5 AS text_sum FROM (VALUES {rows})"
+    )
