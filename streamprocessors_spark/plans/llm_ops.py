@@ -7222,3 +7222,230 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " as recall",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenize -> pack: the pretraining artifact (fixed-W token-ID sequences)
+# ---------------------------------------------------------------------------
+
+# bpe_encode_tokens bills documents in token COUNTS and packed_context_bins
+# packs WORD windows; neither emits what a training run actually reads:
+# fixed-length sequences of token IDS, documents laid end-to-end with a
+# boundary separator (GPT-2/T5 "concat-then-chunk" packing; Raffel '20 §3.1.2
+# calls it packing, Brown '20 appendix B trains on exactly this layout).
+# This operator composes the two existing halves: the trained BPE word ->
+# symbol-sequence table segments the corpus, symbols get deterministic ids
+# (frequency rank, ties lexicographic; id 0 is reserved for the <doc> sep),
+# docs are concatenated per source in doc_id order with one sep token after
+# each doc, and the global token stream is cut into _PACK_W-token contexts.
+#
+# The driver comparator cannot hash array columns (canon_audit bans them),
+# so each context row carries an ORDER-SENSITIVE exact fingerprint of its
+# id sequence instead: fp = sum(id_p * B^p) mod M over in-bin positions p —
+# a Rabin-Karp polynomial hash whose per-position powers are injected as a
+# shared _PACK_W-element literal in BOTH dialects (no modpow builtin in
+# either engine; the literal keeps every term < 2^50 so BIGINT sums are
+# exact). Any id swap, drop, or reorder inside a context changes fp.
+#
+# Scale shape: the encode work is VOCAB-sized (BPE train + one split);
+# corpus-side it is one exploded-words equi-join on word (the
+# bpe_encode_tokens shuffle), one per-doc prefix-sum window keyed by
+# doc_id, one per-source doc-offset window over the DOC-level frame (doc
+# counts, not tokens), and one (source, bin) hash aggregate — all linear,
+# no driver loops, the packing parallelizes across sources exactly like
+# packed_context_bins.
+
+_PACK_W = 256  # context length in tokens
+_FP_MOD = 1_000_000_007
+_FP_BASE = 1_000_003
+_FP_POWS = [pow(_FP_BASE, i, _FP_MOD) for i in range(_PACK_W)]
+_POW_SPARK = "array(" + ",".join(f"{p}L" for p in _FP_POWS) + ")"
+_POW_DUCK = "[" + ",".join(str(p) for p in _FP_POWS) + "]"
+
+
+@register(
+    "tokenized_context_packing",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({D.words(DUCK)}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    {_bpe_seq_round_ctes()},
+    wsym AS (
+      SELECT word,
+             string_split(substr(seq, 2, length(seq) - 2), {_US} || {_US})
+               AS syms,
+             cnt
+      FROM seq{BPE_MERGE_ROUNDS}
+    ),
+    symtab AS (
+      SELECT sym, CAST(row_number() OVER (ORDER BY freq DESC, sym)
+                       AS BIGINT) AS id
+      FROM (
+        SELECT t.sym AS sym, CAST(sum(w.cnt) AS BIGINT) AS freq
+        FROM wsym w, unnest(w.syms) AS t(sym) GROUP BY t.sym
+      )
+    ),
+    dw AS (SELECT doc_id, source, {D.words(DUCK)} AS ws FROM documents),
+    xw AS (
+      SELECT doc_id, t.wp AS wp, ws[t.wp] AS word
+      FROM dw, unnest(range(1, len(ws) + 1)) AS t(wp)
+    ),
+    xj AS (
+      SELECT x.doc_id, x.wp, w.syms, len(w.syms) AS n_sym
+      FROM xw x JOIN wsym w USING (word)
+    ),
+    xo AS (
+      SELECT doc_id, wp, syms,
+             CAST(sum(n_sym) OVER (PARTITION BY doc_id ORDER BY wp
+                                   ROWS UNBOUNDED PRECEDING) - n_sym
+                  AS BIGINT) AS woff
+      FROM xj
+    ),
+    tid AS (
+      SELECT t.doc_id, t.pos_in_doc, s.id
+      FROM (
+        SELECT doc_id, woff + u.sp - 1 AS pos_in_doc, syms[u.sp] AS sym
+        FROM xo, unnest(range(1, len(syms) + 1)) AS u(sp)
+      ) t JOIN symtab s USING (sym)
+    ),
+    dsum AS (
+      SELECT d.doc_id, d.source, CAST(COALESCE(s.t, 0) + 1 AS BIGINT) AS n_tok
+      FROM (SELECT doc_id, source FROM documents) d
+      LEFT JOIN (
+        SELECT doc_id, sum(n_sym) AS t FROM xj GROUP BY doc_id
+      ) s USING (doc_id)
+    ),
+    doff AS (
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok
+                  AS BIGINT) AS start_off
+      FROM dsum
+    ),
+    allt AS (
+      SELECT doc_id, pos_in_doc, id FROM tid
+      UNION ALL
+      SELECT doc_id, n_tok - 1 AS pos_in_doc, CAST(0 AS BIGINT) AS id
+      FROM doff
+    ),
+    g AS (
+      SELECT d.source, a.doc_id, d.start_off + a.pos_in_doc AS gpos, a.id
+      FROM allt a JOIN doff d USING (doc_id)
+    )
+    SELECT source,
+           CAST(gpos // {_PACK_W} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seps,
+           CAST(sum(id * list_extract({_POW_DUCK},
+                        CAST(gpos % {_PACK_W} AS INT) + 1))
+                % {_FP_MOD} AS BIGINT) AS fp
+    FROM g GROUP BY 1, 2
+    """,
+    doc="Tokenize->pack: the actual pretraining deliverable. The trained "
+    f"BPE table ({BPE_MERGE_ROUNDS} merges) segments every corpus word, "
+    "symbols map to deterministic frequency-rank token IDs (id 0 = the "
+    "document separator), docs are concatenated per source in doc_id "
+    f"order with a trailing sep each, and the stream is cut into "
+    f"{_PACK_W}-token contexts. Each context row gates an order-"
+    "sensitive Rabin-Karp fingerprint of its exact id sequence "
+    "(sum(id_p*B^p) mod M with shared power literals — any id swap/"
+    "drop/reorder flips it), plus token/doc/sep counts. Composes "
+    "bpe_encode_tokens' vocab-resident segmentation with "
+    "packed_context_bins' per-source prefix-scan packing; corpus-side "
+    "cost is one word equi-join + two windows + one hash aggregate. "
+    "Cites reference scope: the reference has no tokenizer (this is "
+    "beyond-reference LLM-pipeline surface per SURVEY §6).",
+    tags=("pack", "llm", "tokenizer"),
+)
+def tokenized_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, seq = _bpe_train(spark, sf_dir)
+    # vocab-sized; localCheckpoint pins the 8-round merge lineage so the
+    # two consumers below (symtab + the corpus join) don't replay it
+    wsym = (
+        seq.selectExpr(
+            "word",
+            f"split(substr(seq, 2, length(seq) - 2),"
+            f" concat({_US}, {_US})) as syms",
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    # global row_number over the SYMBOL table: vocabulary-sized (bounded
+    # by distinct BPE symbols, << corpus), the one place a total order is
+    # semantically required (ids must be dense and deterministic)
+    symtab = (
+        wsym.selectExpr("explode(syms) as sym", "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("freq"))
+        .withColumn(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "sym"))
+            .cast("bigint"),
+        )
+        .select("sym", "id")
+    )
+    dw = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "source", f"{D.words(SPARK)} as ws"
+    )
+    xw = dw.select(
+        "doc_id", F.posexplode("ws").alias("wp", "word")
+    )
+    xj = xw.join(wsym.select("word", "syms"), "word").select(
+        "doc_id", "wp", "syms", F.expr("size(syms)").alias("n_sym")
+    )
+    wwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("wp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    xo = xj.withColumn(
+        "woff", (F.sum("n_sym").over(wwin) - F.col("n_sym")).cast("bigint")
+    )
+    tid = (
+        xo.select("doc_id", "woff", F.posexplode("syms").alias("sp", "sym"))
+        .selectExpr("doc_id", "woff + sp as pos_in_doc", "sym")
+        .join(symtab, "sym")
+        .select("doc_id", "pos_in_doc", "id")
+    )
+    dsum = dw.select("doc_id", "source").join(
+        xj.groupBy("doc_id").agg(F.sum("n_sym").alias("t")), "doc_id", "left"
+    ).selectExpr(
+        "doc_id", "source", "cast(coalesce(t, 0) + 1 as bigint) as n_tok"
+    )
+    swin = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    doff = dsum.withColumn(
+        "start_off", (F.sum("n_tok").over(swin) - F.col("n_tok")).cast("bigint")
+    )
+    seps = doff.selectExpr(
+        "doc_id", "cast(n_tok - 1 as bigint) as pos_in_doc",
+        "cast(0 as bigint) as id",
+    )
+    allt = tid.unionByName(seps)
+    g = allt.join(doff.select("doc_id", "source", "start_off"), "doc_id")
+    return (
+        g.selectExpr(
+            "source",
+            f"cast((start_off + pos_in_doc) div {_PACK_W} as bigint) as bin",
+            f"cast((start_off + pos_in_doc) % {_PACK_W} as int) + 1 as pidx",
+            "id",
+            "doc_id",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.expr("if(id = 0, 1, 0)")).alias("n_seps"),
+            F.expr(
+                f"cast(sum(id * element_at({_POW_SPARK}, pidx))"
+                f" % {_FP_MOD} as bigint)"
+            ).alias("fp"),
+        )
+    )

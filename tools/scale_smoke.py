@@ -45,6 +45,9 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.showConsoleProgress": "false",
+            # belt to the _stage_bytes braces: keep far more stages
+            # resident so even a single snapshot rarely misses one
+            "spark.ui.retainedStages": "20000",
         },
     )
 
@@ -68,9 +71,17 @@ def main() -> None:
 
     shuffle_bytes: dict[str, int] = {}
 
+    # Per-stage high-water marks, keyed by (stageId, attemptId). The UI
+    # evicts old stages at spark.ui.retainedStages, so summing the /stages
+    # list directly goes BACKWARDS across an eviction — the r8 artifact
+    # corruption (quality_classifier_train_score: -198 MB at 10x). Keeping
+    # every stage's latest byte count here makes the total monotonic no
+    # matter what the UI retains.
+    _stage_bytes: dict[tuple, int] = {}
+
     def _total_shuffle_write() -> int:
-        """Cumulative shuffle-write bytes across all stages so far, via
-        the UI REST API (localhost); -1 when unavailable."""
+        """Cumulative shuffle-write bytes across all stages EVER seen,
+        via the UI REST API (localhost); -1 when unavailable."""
         try:
             import urllib.request
 
@@ -79,7 +90,12 @@ def main() -> None:
             url = f"{base}/api/v1/applications/{app_id}/stages"
             with urllib.request.urlopen(url, timeout=10) as r:
                 data = json.load(r)
-            return int(sum(s.get("shuffleWriteBytes", 0) for s in data))
+            for st in data:
+                key = (st.get("stageId"), st.get("attemptId", 0))
+                b = int(st.get("shuffleWriteBytes", 0))
+                if b > _stage_bytes.get(key, 0):
+                    _stage_bytes[key] = b
+            return sum(_stage_bytes.values())
         except Exception:  # noqa: BLE001 — metrics are best-effort
             return -1
 
