@@ -118,6 +118,7 @@ HEADLINE = [
     "stream_text_entropy",
     "source_format_roundtrip",
     "tokenized_context_packing",
+    "html_extract_main_text",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

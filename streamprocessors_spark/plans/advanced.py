@@ -517,6 +517,7 @@ def _cascade_oracle() -> str:
     from streamprocessors_spark.plans.llm_ops import (
         _MINHASH_ORACLE_CTES,
         _MINHASH_VERIFY_SELECT,
+        _html_main_para_expr,
         _url_canon_expr,
         _url_expr,
     )
@@ -527,8 +528,12 @@ def _cascade_oracle() -> str:
     # the near-dup stage scanning pre-cascade documents.
     assert _MINHASH_ORACLE_CTES.count("FROM documents") == 1
     mh = _MINHASH_ORACLE_CTES.replace("FROM documents", "FROM s2c")
+    h0 = _html_main_para_expr("duck")
     return f"""
     WITH RECURSIVE
+    d0 AS (
+      SELECT doc_id, {h0} AS text, lang FROM documents
+    ),
     u AS (
       SELECT doc_id,
              {_url_canon_expr("duck", _url_expr("duck"))} AS canonical
@@ -542,7 +547,7 @@ def _cascade_oracle() -> str:
     ),
     s1c AS (
       SELECT d.doc_id, d.text, d.lang
-      FROM documents d JOIN uk ON uk.doc_id = d.doc_id AND uk.url_keep
+      FROM d0 d JOIN uk ON uk.doc_id = d.doc_id AND uk.url_keep
     ),
     ek AS (
       SELECT doc_id,
@@ -600,12 +605,15 @@ def _cascade_oracle() -> str:
     "dedup_exact's keep-first, dedup_keep_list's pair+CC machinery) "
     "without re-implementing any of them; the oracle re-bases the "
     "shared MinHash CTEs onto the survivor set (asserted single scan "
-    "site) + WITH RECURSIVE closure.",
+    "site) + WITH RECURSIVE closure. Stage 0 is html_extract_main_text's "
+    "machinery: every stage consumes EXTRACTED main-paragraph text from "
+    "the synthesized raw HTML, recomputed identically by the oracle.",
     tags=("dedup", "lsh", "crawl", "iterative"),
 )
 def dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.plans.llm_ops import (
         _PAIR_FILTER,
+        _html_main_para_expr,
         _url_canon_expr,
         _url_expr,
         minhash_candidate_pairs,
@@ -613,8 +621,12 @@ def dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from streamprocessors_spark.functions import dialect as D
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang"
+    # stage 0: the cascade runs over EXTRACTED main text (the crawl
+    # pipeline's real input), synthesized-HTML -> paragraph content;
+    # on the single-line fixture extraction round-trips to the raw
+    # text, so verdict values are pinned by the shared oracle either way
+    docs = read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_html_main_para_expr('spark')} as text", "lang"
     )
     u = docs.selectExpr(
         "doc_id",

@@ -7449,3 +7449,152 @@ def tokenized_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (the crawl pipeline's stage 0)
+# ---------------------------------------------------------------------------
+
+# Every web-scale corpus starts from raw HTML: Common Crawl WET extraction,
+# trafilatura/jusText in CCNet/RefinedWeb/FineWeb — strip script/style,
+# remove boilerplate chrome (nav/footer/ads), keep the main content, decode
+# entities, normalize whitespace, and record how much of the visible text
+# was boilerplate. The fixture has no markup column (and /root/testdata is
+# read-only), so raw HTML is synthesized DETERMINISTICALLY around each
+# document's text (the dedup_url_canonical device): title/style/script head,
+# nav chrome, a doc_id-gated ad block, the text entity-ENCODED inside
+# <main><p>, and a footer — every noise class the extractor must handle is
+# planted, and the extractor itself is real string parsing that never
+# consults the synthesis (it must survive entity round-trips and arbitrary
+# fixture text). All expressions are dialect-shared RE2-safe regexes +
+# plain replaces, zero-exchange scan projections — the textbook first pass
+# at 100 TB: no shuffle at all until a downstream stage aggregates.
+
+
+def _html_raw_expr(d: str) -> str:
+    """Deterministic synthetic raw-HTML page around a documents row."""
+    enc = (
+        "replace(replace(replace(text, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    did = (
+        "cast(doc_id as string)" if d == SPARK else "CAST(doc_id AS VARCHAR)"
+    )
+    ad = (
+        "(CASE WHEN doc_id % 3 = 0 THEN"
+        " '<div class=\"ad\">Act now! Limited offer from our sponsors."
+        "</div>' ELSE '' END)"
+    )
+    parts = [
+        "'<html><head><title>Doc '",
+        did,
+        "'</title><style>body{margin:0;font:16px serif}</style>"
+        "<script>var t=now();track(t);</script></head><body>"
+        "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a> |"
+        " <a href=\"/contact\">Contact</a></nav>'",
+        ad,
+        "'<main><h1>Doc '",
+        did,
+        "' heading</h1><p>'",
+        enc,
+        "'</p></main><footer>(c) 2026 example.com -"
+        " <a href=\"/privacy\">Privacy</a> -"
+        " <a href=\"/tos\">Terms</a></footer></body></html>'",
+    ]
+    if d == SPARK:
+        return "concat(" + ", ".join(parts) + ")"
+    return "(" + " || ".join(parts) + ")"
+
+
+def _html_visible_expr(d: str, html: str, main_only: bool) -> str:
+    """Visible text of a raw HTML string: drop script/style blocks (their
+    content is never visible), optionally drop boilerplate containers
+    (nav / footer / ad divs — the trafilatura-class chrome heuristic),
+    strip remaining tags, decode entities (&amp; LAST, per the standard
+    order), collapse whitespace runs, trim."""
+    x = D.regexp_replace_all(d, html, r"(?s)<script[^>]*>.*?</script>", " ")
+    x = D.regexp_replace_all(d, x, r"(?s)<style[^>]*>.*?</style>", " ")
+    if main_only:
+        x = D.regexp_replace_all(d, x, r"(?s)<nav>.*?</nav>", " ")
+        x = D.regexp_replace_all(d, x, r"(?s)<footer>.*?</footer>", " ")
+        x = D.regexp_replace_all(
+            d, x, r'(?s)<div class="ad">.*?</div>', " "
+        )
+    x = D.regexp_replace_all(d, x, r"<[^>]*>", " ")
+    x = (
+        f"replace(replace(replace({x}, '&lt;', '<'),"
+        " '&gt;', '>'), '&amp;', '&')"
+    )
+    x = D.regexp_replace_all(d, x, r"\s+", " ")
+    return f"trim({x})"
+
+
+@register(
+    "html_extract_main_text",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_html_raw_expr(DUCK)} AS html FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             {_html_visible_expr(DUCK, "html", True)} AS main_text,
+             {_html_visible_expr(DUCK, "html", False)} AS visible_text
+      FROM raw
+    )
+    SELECT doc_id, main_text,
+           CAST(length(main_text) AS BIGINT) AS n_main_chars,
+           CAST((1000 * (length(visible_text) - length(main_text)))
+                // greatest(length(visible_text), 1) AS BIGINT)
+             AS boilerplate_permille
+    FROM ex
+    """,
+    doc="HTML main-content extraction (WET/trafilatura stage 0): strip "
+    "script/style, remove boilerplate chrome (nav, footer, ad divs), "
+    "strip tags, decode entities, normalize whitespace — emitting the "
+    "byte-exact extracted main text plus a boilerplate-permille column "
+    "(visible-but-removed share of the page). Raw HTML is synthesized "
+    "deterministically around the fixture text with every noise class "
+    "planted (entity-encoded body, head scripts, chrome, doc_id-gated "
+    "ads); the extractor is real parsing that never consults the "
+    "synthesis. Pure zero-exchange scan projection (dialect-shared RE2 "
+    "regexes + plain replaces) — the shape that streams through 100 TB "
+    "of WARC shards with no shuffle.",
+    tags=("text", "crawl", "llm"),
+)
+def html_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{_html_raw_expr(SPARK)} as html")
+        .selectExpr(
+            "doc_id",
+            f"{_html_visible_expr(SPARK, 'html', True)} as main_text",
+            f"{_html_visible_expr(SPARK, 'html', False)} as visible_text",
+        )
+        .selectExpr(
+            "doc_id",
+            "main_text",
+            "cast(length(main_text) as bigint) as n_main_chars",
+            "cast((1000 * (length(visible_text) - length(main_text)))"
+            " div greatest(length(visible_text), 1) as bigint)"
+            " as boilerplate_permille",
+        )
+    )
+
+
+def _html_main_para_expr(d: str) -> str:
+    """Cascade stage-0 content: synthesize the raw HTML page, extract the
+    main <p> paragraph content (headings/chrome are page furniture for
+    dedup purposes — the CCNet paragraph-level convention), decode
+    entities, normalize whitespace. Used by dedup_cascade_verdict so the
+    whole cascade runs over EXTRACTED text, the production shape; the
+    oracle recomputes the same extraction, so an extraction bug breaks
+    the cascade gate."""
+    x = f"regexp_extract({_html_raw_expr(d)}, " + (
+        "'(?s)<p>(.*?)</p>', 1)" if d == DUCK else "'(?s)<p>(.*?)</p>', 1)"
+    )
+    x = (
+        f"replace(replace(replace({x}, '&lt;', '<'),"
+        " '&gt;', '>'), '&amp;', '&')"
+    )
+    x = D.regexp_replace_all(d, x, r"\s+", " ")
+    return f"trim({x})"
