@@ -4405,35 +4405,34 @@ def phrase_topk_docs(raw_docs: DataFrame) -> DataFrame:
     base = 1 << b
     # token-mass bin boundaries from the cached vocab: cumulative count
     # over rank order, two-level (rank-space bins are balanced for the
-    # VOCAB frame since ranks are dense 1..V; offsets are literals from
-    # a <= nparts collect)
+    # VOCAB frame since ranks are dense 1..V; per-bin offsets stay
+    # IN-PLAN — a <= nparts-row window + broadcast join — so the whole
+    # boundary derivation costs ONE driver job, not three; every driver
+    # job here is ~0.3-0.5 s of fixed scheduling latency, the measured
+    # prologue cost of this query)
     rb = F.expr(f"cast(((wr - 1) * {nparts}) div {V} as int)")
+    btf = wrank.groupBy(rb.alias("rb")).agg(F.sum("cnt").alias("bt"))
+    # bounded window: btf has <= nparts rows (one per rank-space bin),
+    # so the constant-partition global order is a single tiny task
+    woff = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_f = btf.withColumn(
+        "off", F.coalesce(F.sum("bt").over(woff), F.lit(0))
+    ).select("rb", "off")
     loc = wrank.withColumn("rb", rb).withColumn(
         "lcum", F.sum("cnt").over(Window.partitionBy("rb").orderBy("wr"))
-    )
-    btot = (
-        wrank.groupBy(rb.alias("rb"))
-        .agg(F.sum("cnt").alias("bt"))
-        .collect()
-    )  # bounded: <= nparts rows
-    btot.sort(key=lambda rw: rw["rb"])
-    offs, acc = {}, 0
-    for rw in btot:
-        offs[rw["rb"]] = acc
-        acc += int(rw["bt"])
-    off_map = (
-        F.create_map(
-            *[F.lit(v) for rb_, o in offs.items() for v in (rb_, o)]
-        )
-        if offs
-        else F.create_map(F.lit(0), F.lit(0))
     )
     # rows crossing a threshold i*T/nparts (i = 1..nparts-1): integer
     # arithmetic, q = number of thresholds inside this word's mass run
     hi = f"least(cast((cum * {nparts}) div {T} as int), {nparts - 1})"
     lo = f"least(cast(((cum - cnt) * {nparts}) div {T} as int), {nparts - 1})"
     crows = (
-        loc.withColumn("cum", off_map[F.col("rb")] + F.col("lcum"))
+        # bounded: off_f has <= nparts rows
+        loc.join(F.broadcast(off_f), "rb")
+        .withColumn("cum", F.col("off") + F.col("lcum"))
         .selectExpr("wr", "cnt", "cum", f"({hi}) - ({lo}) as q")
         .where("q > 0")
         .select("wr", "q")
@@ -4474,41 +4473,100 @@ def phrase_topk_docs(raw_docs: DataFrame) -> DataFrame:
     # the j*k+i < cap guard zeroes the m*k - cap surplus fields of the
     # last limb: packing words past the cap would order ties by word
     # 31+, diverging from the capped oracle order
-    pack = (
-        f"transform(sequence(0, {m - 1}), j -> "
+    # One SCALAR BIGINT column per limb (k0..k{m-1}) instead of an
+    # array<bigint> key: sorting by an array column drops the window
+    # sort into interpreted per-element comparators (measured as the
+    # dominant cost once the pack ran wide), while m scalar columns
+    # keep the sort on flat fixed-width keys. Values are identical to
+    # the former array elements — order, adjacency and every LCP are
+    # unchanged.
+    #
+    # The limbs come from ONE per-document window array wa, where
+    # wa[i] packs the k ranks starting at word i (big-endian, missing
+    # words pack as 0 which sorts below every real rank —
+    # shorter-prefix-first, matching list comparison in the oracle).
+    # Every suffix's limb j is then wa[pos + j*k]: O(1) lookups per
+    # suffix instead of re-aggregating k fields per limb per suffix —
+    # the interpreted-lambda pack work drops from m*k steps per SUFFIX
+    # to k steps per POSITION (3x here), which was the dominant
+    # executor cost. The last limb would pack m*k - cap words past the
+    # cap (ordering ties by word cap+1..m*k, diverging from the capped
+    # oracle order), so its surplus low fields are zeroed with one
+    # div/mul — exact integer arithmetic, no per-field guard.
+    wa_expr = (
+        f"transform(sequence(1, size(ws)), i -> "
         f"aggregate(sequence(0, {k - 1}), cast(0 as bigint), "
-        f"(acc, i) -> acc * cast({base} as bigint) + "
-        f"if(j * {k} + i < {_SA_LCP_CAP}, coalesce("
-        f"try_element_at(ws, cast(pos + j * {k} + i as int)), "
-        f"cast(0 as bigint)), cast(0 as bigint))))"
+        f"(acc, t) -> acc * cast({base} as bigint) + coalesce("
+        f"try_element_at(ws, cast(i + t as int)), cast(0 as bigint))))"
     )
+    surplus = base ** (m * k - _SA_LCP_CAP)
+
+    def _limb(j: int) -> str:
+        v = (
+            f"coalesce(try_element_at(wa, cast(pos + {j * k} as int)),"
+            " cast(0 as bigint))"
+        )
+        if j == m - 1 and surplus > 1:
+            return f"(({v}) div {surplus}) * {surplus}"
+        return v
+
+    kc = [f"k{j}" for j in range(m)]
+    # AQE coalesces the doc-level regroup to 1-2 partitions (its BYTES
+    # are tiny) — but the downstream explode+pack is CPU-bound per row,
+    # so those 2 tasks become the whole query's critical path. The
+    # explicit ROUND-ROBIN repartition costs one tiny doc-level exchange
+    # (~MBs) and restores full-width parallelism for the pack. (A
+    # doc_id-keyed repartition would NOT work: the agg output is already
+    # hash(doc_id)-partitioned, so Catalyst elides it as redundant and
+    # AQE then coalesces the remaining agg exchange by bytes.)
+    nparts_pack = spark.sparkContext.defaultParallelism
     s = (
-        enc.select(
-            "doc_id", "ws", F.posexplode_outer("ws").alias("p0", "wr")
+        enc.repartition(nparts_pack)
+        .selectExpr("doc_id", "ws", f"{wa_expr} as wa")
+        .select(
+            "doc_id",
+            "ws",
+            "wa",
+            F.posexplode_outer("ws").alias("p0", "wr"),
         )
         .where(F.col("wr").isNotNull())
         .select(
             "doc_id",
             (F.col("p0") + 1).cast("bigint").alias("pos"),
             "ws",
+            "wa",
         )
         .selectExpr(
             "doc_id",
             "pos",
-            f"{pack} as key",
+            *[f"{_limb(j)} as k{j}" for j in range(m)],
             f"cast(least({_SA_LCP_CAP}, size(ws) - pos + 1) as bigint)"
             " as la",
         )
     )
     # bin id: pure function of the packed first limb — ONE bigint
     # compare per boundary, monotone in suffix order, ties share a bin
-    sk = F.col("key").getItem(0)
+    sk = F.col("k0")
     part_expr = F.lit(0)
     for bd in bounds:
         part_expr = part_expr + F.when(sk >= F.lit(bd), 1).otherwise(0)
     part_expr = part_expr.cast("int")
-    sp = s.withColumn("part", part_expr)
-    cols = [F.col("key"), F.col("doc_id"), F.col("pos"), F.col("la")]
+    # ONE materialization of the packed corpus for BOTH consumers: the
+    # lead() window and the extrema branch need identical input, but
+    # their differing projections defeat Spark's ReusedExchange (two
+    # separate exchanges each recomputed the explode+join+regroup+pack
+    # lineage — measured as duplicated map stages; a LAZY checkpoint
+    # still double-computes, because both consumer stages launch
+    # concurrently and race the block store). The eager checkpoint
+    # pins the ~few-BIGINTs-per-suffix frame exactly once; both
+    # branches then read executor-local blocks.
+    sp = s.withColumn("part", part_expr).localCheckpoint(eager=True)
+    cols = [
+        *[F.col(c) for c in kc],
+        F.col("doc_id"),
+        F.col("pos"),
+        F.col("la"),
+    ]
     # LCP from packed limbs: equal limbs match k whole fields, the
     # first non-zero XOR pins the mismatch field by its bit length,
     # and min(la, lb) clamps away matches inside the 0-padding.
@@ -4516,12 +4574,12 @@ def phrase_topk_docs(raw_docs: DataFrame) -> DataFrame:
     # the projection stays inside whole-stage codegen.
     lcp_f = "cast(0 as bigint)"
     for j in reversed(range(m)):
-        zj = f"(ka[{j}] ^ kb[{j}])"
+        zj = f"(ka{j} ^ kb{j})"
         lcp_f = (
             f"if({zj} = 0, cast({k} as bigint) + {lcp_f}, "
             f"cast(({k * b} - length(bin({zj}))) div {b} as bigint))"
         )
-    w = Window.partitionBy("part").orderBy("key", "doc_id", "pos")
+    w = Window.partitionBy("part").orderBy(*kc, "doc_id", "pos")
     wp = (
         sp.select(
             F.col("doc_id").alias("doc_a"),
@@ -4530,8 +4588,11 @@ def phrase_topk_docs(raw_docs: DataFrame) -> DataFrame:
             F.lead("doc_id").over(w).alias("doc_b"),
             F.lead("pos").over(w).alias("pos_b"),
             F.lead("la").over(w).alias("lb"),
-            F.col("key").alias("ka"),
-            F.lead("key").over(w).alias("kb"),
+            *[F.col(c).alias(f"ka{j}") for j, c in enumerate(kc)],
+            *[
+                F.lead(c).over(w).alias(f"kb{j}")
+                for j, c in enumerate(kc)
+            ],
         )
         .where(F.col("doc_b").isNotNull())
     )
@@ -4555,8 +4616,11 @@ def phrase_topk_docs(raw_docs: DataFrame) -> DataFrame:
             F.col("nmn.doc_id").alias("doc_b"),
             F.col("nmn.pos").alias("pos_b"),
             F.col("nmn.la").alias("lb"),
-            F.col("mx.key").alias("ka"),
-            F.col("nmn.key").alias("kb"),
+            *[F.col(f"mx.{c}").alias(f"ka{j}") for j, c in enumerate(kc)],
+            *[
+                F.col(f"nmn.{c}").alias(f"kb{j}")
+                for j, c in enumerate(kc)
+            ],
         )
     )
     pairs = wp.unionByName(bp).selectExpr(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from streamprocessors_spark.functions import money as M
 from streamprocessors_spark.plans.registry import register
+from streamprocessors_spark.session import read_table
 from streamprocessors_spark.streaming.runner import (
     run_available_now,
     stream_documents,
@@ -1193,3 +1194,148 @@ def _wire_stream_entropy_oracle() -> None:
 
 
 _wire_stream_entropy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming keep-list maintenance (VERDICT r8 #7): the online "new shard
+# arrives -> keep/drop verdicts against the standing index" deliverable.
+# ---------------------------------------------------------------------------
+
+
+def _incremental_keep_list_labels(
+    pair_stream: DataFrame, shingles: DataFrame
+):
+    """Drain a streaming candidate-pair frame, maintaining near-dup
+    cluster labels ACROSS micro-batches; returns the final (doc_id,
+    canonical) label frame (or None when no pairs survived).
+
+    Per micro-batch: (1) the batch's candidate pairs are exact-Jaccard
+    verified against the ingest-time signature store (candidates only
+    ever reference already-arrived docs, so the static store stands in
+    for the incrementally-filled one — the stream_image_phash device);
+    (2) the verified delta edges are unioned with the STANDING labels
+    re-encoded as star edges (doc -> its component min: the standard
+    inter-batch star contraction — connectivity and component minima
+    are preserved exactly), and min-label components run over that
+    compressed graph. The standing label frame is localCheckpoint-pinned
+    per batch, so batch k never replays batches 1..k-1; per-batch cost
+    is CC over (standing clusters + delta), NEVER over the corpus. The
+    corpus is touched only by the stateless band projection feeding the
+    keyed-state bucket store."""
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.advanced import _min_label_components
+    from streamprocessors_spark.plans.llm_ops import _PAIR_FILTER
+
+    import tempfile
+
+    sa = shingles.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = shingles.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    state: dict = {"labels": None}
+
+    def process(batch_df, _batch_id) -> None:
+        verified = (
+            batch_df.distinct()
+            .join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .selectExpr(
+                "doc_a",
+                "doc_b",
+                f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+                f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+            )
+            .where(_PAIR_FILTER)
+            .select("doc_a", "doc_b")
+        )
+        edges = verified
+        if state["labels"] is not None:
+            star = state["labels"].where("canonical <> doc_id").selectExpr(
+                "doc_id as doc_a", "canonical as doc_b"
+            )
+            edges = edges.unionByName(star)
+        if edges.isEmpty():
+            return
+        state["labels"] = _min_label_components(edges).localCheckpoint()
+
+    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
+    q = (
+        pair_stream.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["labels"]
+
+
+@register(
+    "stream_dedup_keep_list",
+    oracle=None,  # wired below: shares dedup_keep_list's oracle
+    doc="Streaming keep-list maintenance — the online twin of "
+    "dedup_keep_list and the production cascade's serving shape: as "
+    "shards arrive, band-bucket membership lives in keyed state "
+    "(lsh_bucket_pairs_stream), each micro-batch's NEW candidate pairs "
+    "are exact-Jaccard verified against the ingest-time signature "
+    "store, and cluster labels are maintained INCREMENTALLY across "
+    "batches — standing labels re-enter each round as star edges "
+    "(doc -> component min), so per-batch work is min-label CC over "
+    "(standing clusters + delta edges), never a corpus recluster. "
+    "Verdicts (doc_id, canonical, kept) are emitted for the whole "
+    "corpus at drain. Shares the batch dedup_keep_list oracle "
+    "pre-saturation — same divergence contract as stream_dedup_minhash "
+    "(pairs emitted before a bucket saturates stand; append streams "
+    "cannot retract). Cross-batch state pinned by "
+    "tests/test_streaming.py (near-dup pair split across micro-batches "
+    "still clusters).",
+    tags=("streaming", "dedup", "lsh", "iterative"),
+)
+def stream_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        _shingle_df,
+    )
+    from streamprocessors_spark.streaming.stateful import (
+        lsh_bucket_pairs_stream,
+    )
+
+    bands = minhash_band_stream(stream_documents(spark, sf_dir))
+    pair_stream = lsh_bucket_pairs_stream(bands, LSH_MAX_BUCKET)
+    labels = _incremental_keep_list_labels(
+        pair_stream, _shingle_df(spark, sf_dir)
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    if labels is None:
+        return docs.selectExpr(
+            "doc_id", "doc_id as canonical", "cast(1 as int) as kept"
+        )
+    # No broadcast hint: label cardinality is data-dependent (a crawl's
+    # near-dup set can be a large corpus fraction); AQE decides at runtime.
+    return (
+        docs.join(
+            labels.withColumnRenamed("doc_id", "ldoc"),
+            docs.doc_id == F.col("ldoc"),
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            "coalesce(canonical, doc_id) as canonical",
+            "cast(coalesce(canonical, doc_id) = doc_id as int) as kept",
+        )
+    )
+
+
+def _wire_stream_keep_list_oracle() -> None:
+    import streamprocessors_spark.plans.advanced  # noqa: F401
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("dedup_keep_list")
+    if batch is not None:
+        REGISTRY["stream_dedup_keep_list"].oracle = batch.oracle
+
+
+_wire_stream_keep_list_oracle()

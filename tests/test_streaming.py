@@ -672,3 +672,51 @@ def test_stream_weighted_reservoir_cross_batch_parity(spark):
     got = [(r.doc_id, r.aes_key) for r in streamed.collect()]
     want = [(r.doc_id, r.aes_key) for r in batch.collect()]
     assert got == want
+
+
+def test_stream_keep_list_clusters_across_micro_batches(spark):
+    """A near-dup pair SPLIT across micro-batches must still cluster:
+    batch 1 delivers docs 1 and 2 (identical text), batch 2 delivers doc
+    3 (same text again) plus an unrelated doc 4. The standing-label star
+    edges have to carry batch-1 clusters into batch 2, so all of 1/2/3
+    share canonical=1 while 4 keeps itself."""
+    import pandas as pd
+
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        shingle_docs,
+    )
+    from streamprocessors_spark.plans.streaming_queries import (
+        _incremental_keep_list_labels,
+        minhash_band_stream,
+    )
+    from streamprocessors_spark.streaming.stateful import (
+        lsh_bucket_pairs_stream,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    src = tempfile.mkdtemp(prefix="spgraft_klsrc_")
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [dup, dup], "lang": ["en", "en"]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+    pd.DataFrame(
+        {"doc_id": [3, 4], "text": [dup, other], "lang": ["en", "en"]}
+    ).to_parquet(os.path.join(src, "b2.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .parquet(src)
+    )
+    bands = minhash_band_stream(stream)
+    pair_stream = lsh_bucket_pairs_stream(bands, LSH_MAX_BUCKET)
+    shingles = shingle_docs(
+        spark.read.parquet(src), spark.sparkContext.defaultParallelism
+    )
+    labels = _incremental_keep_list_labels(pair_stream, shingles)
+    assert labels is not None
+    got = {int(r.doc_id): int(r.canonical) for r in labels.collect()}
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert 4 not in got  # unrelated doc never entered the pair graph
