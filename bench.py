@@ -120,6 +120,7 @@ HEADLINE = [
     "tokenized_context_packing",
     "html_extract_main_text",
     "stream_dedup_keep_list",
+    "dedup_multimodal_verdict",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

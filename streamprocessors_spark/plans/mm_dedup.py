@@ -831,3 +831,135 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(n_shared as bigint) as n_shared",
         "cast(n_min as bigint) as n_min",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal composite dedup verdict (VERDICT r8 #9 — the LAION-style
+# curation signal: a doc can be a text dup, an image dup, both, or clean)
+# ---------------------------------------------------------------------------
+
+
+def _mm_verdict_oracle() -> str:
+    """Compose the two existing cluster closures — text MinHash-LSH CC
+    and image dHash CC — into one per-document verdict. The image-side
+    CTEs are mechanically renamed (bands/bsz/cand/prs -> im_*) because
+    the MinHash machinery already owns those names in the shared WITH
+    list; everything else is the two registered oracles verbatim."""
+    import re
+
+    from streamprocessors_spark.plans.llm_ops import (
+        _MINHASH_ORACLE_CTES,
+        _MINHASH_VERIFY_SELECT,
+    )
+
+    img = f"""{_sig_cte(DUCK)},
+    {_PAIRS_ORACLE_BODY.format(bands=_bands_cte_duck())}"""
+    for name in ("bands", "bsz", "cand", "prs"):
+        img = re.sub(rf"\b{name}\b", f"im_{name}", img)
+    return f"""
+    WITH RECURSIVE {_MINHASH_ORACLE_CTES},
+    tpairs AS ({_MINHASH_VERIFY_SELECT}),
+    tedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM tpairs
+      UNION SELECT doc_b, doc_a FROM tpairs
+    ),
+    treach AS (
+      SELECT u, v FROM tedges
+      UNION
+      SELECT r.u, e.v FROM treach r JOIN tedges e ON r.v = e.u
+    ),
+    tlab AS (SELECT u AS doc_id, least(u, min(v)) AS canonical
+             FROM treach GROUP BY u),
+    {img},
+    iedges AS (
+      SELECT img_a AS u, img_b AS v FROM im_prs
+      UNION SELECT img_b, img_a FROM im_prs
+    ),
+    ireach AS (
+      SELECT u, v FROM iedges
+      UNION
+      SELECT r.u, e.v FROM ireach r JOIN iedges e ON r.v = e.u
+    ),
+    ilab AS (SELECT u AS img_id, least(u, min(v)) AS canonical
+             FROM ireach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(tl.canonical, d.doc_id) AS text_canonical,
+           CAST(CASE WHEN d.doc_id % 3 = 0
+                     THEN COALESCE(il.canonical, d.doc_id) END
+                AS BIGINT) AS image_canonical,
+           CAST(CASE
+             WHEN COALESCE(tl.canonical, d.doc_id) <> d.doc_id
+              AND d.doc_id % 3 = 0
+              AND COALESCE(il.canonical, d.doc_id) <> d.doc_id
+               THEN 'both'
+             WHEN COALESCE(tl.canonical, d.doc_id) <> d.doc_id THEN 'text'
+             WHEN d.doc_id % 3 = 0
+              AND COALESCE(il.canonical, d.doc_id) <> d.doc_id
+               THEN 'image'
+           END AS VARCHAR) AS dup_modality,
+           CAST(CASE WHEN COALESCE(tl.canonical, d.doc_id) = d.doc_id
+                      AND (d.doc_id % 3 <> 0
+                           OR COALESCE(il.canonical, d.doc_id) = d.doc_id)
+                     THEN 1 ELSE 0 END AS INT) AS kept
+    FROM documents d
+    LEFT JOIN tlab tl ON tl.doc_id = d.doc_id
+    LEFT JOIN ilab il ON il.img_id = d.doc_id
+    """
+
+
+@register(
+    "dedup_multimodal_verdict",
+    oracle=_mm_verdict_oracle(),
+    doc="Cross-modal composite dedup — the LAION-style curation signal: "
+    "one verdict row per corpus document joining its TEXT near-dup "
+    "cluster (MinHash-LSH + CC, the dedup_keep_list closure) with its "
+    "IMAGE near-dup cluster (dHash banded Hamming + CC, the "
+    "dedup_image_keep_list closure). dup_modality flags 'text' / "
+    "'image' / 'both' / NULL=clean; kept = dup in neither modality. "
+    "Docs without an image payload (doc_id % 3 <> 0) carry a NULL "
+    "image_canonical and can only be text dups. Composes the two "
+    "existing label machineries without re-implementing either; the "
+    "only new work is one more left join of (tiny) label frames onto "
+    "the corpus — both unhinted, label cardinality is data-dependent. "
+    "Oracle: the two registered closures' CTEs verbatim (image side "
+    "mechanically renamed), one WITH RECURSIVE list.",
+    tags=("dedup", "multimodal", "lsh", "iterative"),
+)
+def dedup_multimodal_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.advanced import _min_label_components
+    from streamprocessors_spark.plans.llm_ops import dedup_minhash_lsh
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    tpairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    tlab = _min_label_components(tpairs).selectExpr(
+        "doc_id as t_doc", "canonical as t_can"
+    )
+    ipairs = image_phash_pairs(_docs(spark, sf_dir)).selectExpr(
+        "img_a as doc_a", "img_b as doc_b"
+    )
+    ilab = _min_label_components(ipairs).selectExpr(
+        "doc_id as i_img", "canonical as i_can"
+    )
+    # No broadcast hints: both label frames are data-dependent-sized
+    # (near-dup membership can be a large corpus fraction); AQE decides.
+    return (
+        docs.join(tlab, docs.doc_id == F.col("t_doc"), "left")
+        .join(ilab, F.col("doc_id") == F.col("i_img"), "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(t_can, doc_id) as text_canonical",
+            "cast(case when doc_id % 3 = 0"
+            " then coalesce(i_can, doc_id) end as bigint)"
+            " as image_canonical",
+            "cast(case"
+            " when coalesce(t_can, doc_id) <> doc_id and doc_id % 3 = 0"
+            "  and coalesce(i_can, doc_id) <> doc_id then 'both'"
+            " when coalesce(t_can, doc_id) <> doc_id then 'text'"
+            " when doc_id % 3 = 0"
+            "  and coalesce(i_can, doc_id) <> doc_id then 'image'"
+            " end as string) as dup_modality",
+            "cast(case when coalesce(t_can, doc_id) = doc_id"
+            " and (doc_id % 3 <> 0 or coalesce(i_can, doc_id) = doc_id)"
+            " then 1 else 0 end as int) as kept",
+        )
+    )
