@@ -1052,3 +1052,90 @@ def test_zipf_fit_matches_independent_reference(spark, sf_dir):
     row = REGISTRY["zipf_alpha_fit"].fn(spark, sf_dir).collect()[0]
     assert (row.n_top, row.num_q2, row.den_q2) == (n, num, den)
     assert row.den_q2 > 0 and row.num_q2 < 0  # alpha = -num/den > 0
+
+
+def test_tokenized_context_packing_matches_pure_python(spark, sf_dir):
+    """Independent reference for the tokenize->pack deliverable: BPE
+    segmentation via _bpe_reference's merges, frequency-rank token ids
+    (id 0 = doc separator), per-source doc_id-ordered concat with one
+    trailing sep per doc, 256-token bins, and the Rabin-Karp fingerprint
+    from the same power table. Shares zero code with the Spark plan or
+    the DuckDB oracle."""
+    from collections import Counter, defaultdict
+
+    import duckdb as _duck
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import (
+        BPE_MERGE_ROUNDS,
+        _FP_MOD,
+        _FP_POWS,
+        _PACK_W,
+    )
+
+    rows = _duck.sql(
+        "SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    wc: Counter = Counter()
+    for _d, _s, t in rows:
+        for w in t.lower().split():
+            wc[w] += 1
+    merges = _bpe_reference(dict(wc), BPE_MERGE_ROUNDS)
+
+    def segment(word: str) -> list[str]:
+        sym = list(word)
+        for _rnd, a, b, _n in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    seg = {w: segment(w) for w in wc}
+    freq: Counter = Counter()
+    for w, c in wc.items():
+        for sy in seg[w]:
+            freq[sy] += c
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    sym_id = {sy: i + 1 for i, (sy, _c) in enumerate(ordered)}
+
+    per_source: dict = defaultdict(list)
+    for doc_id, source, t in rows:  # already doc_id-ordered
+        ids = [
+            sym_id[sy] for w in t.lower().split() for sy in seg[w]
+        ]
+        ids.append(0)  # doc separator
+        per_source[source].append((doc_id, ids))
+
+    expected = {}
+    for source, docs in per_source.items():
+        gpos = 0
+        bins: dict = defaultdict(lambda: [0, set(), 0, 0])
+        for doc_id, ids in docs:
+            for tok in ids:
+                bn = gpos // _PACK_W
+                cell = bins[bn]
+                cell[0] += 1
+                cell[1].add(doc_id)
+                if tok == 0:
+                    cell[2] += 1
+                cell[3] = (
+                    cell[3] + tok * _FP_POWS[gpos % _PACK_W]
+                ) % _FP_MOD
+                gpos += 1
+        for bn, (n_tok, dset, n_sep, fp) in bins.items():
+            expected[(source, bn)] = (n_tok, len(dset), n_sep, fp)
+
+    got = {
+        (r.source, r.bin): (r.n_tokens, r.n_docs, r.n_seps, r.fp)
+        for r in REGISTRY["tokenized_context_packing"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
