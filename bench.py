@@ -121,6 +121,7 @@ HEADLINE = [
     "html_extract_main_text",
     "stream_dedup_keep_list",
     "dedup_multimodal_verdict",
+    "stream_html_extract",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

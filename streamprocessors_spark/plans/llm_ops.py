@@ -7628,8 +7628,15 @@ def _html_visible_expr(d: str, html: str, main_only: bool) -> str:
     content is never visible), optionally drop boilerplate containers
     (nav / footer / ad divs — the trafilatura-class chrome heuristic),
     strip remaining tags, decode entities (&amp; LAST, per the standard
-    order), collapse whitespace runs, trim."""
-    x = D.regexp_replace_all(d, html, r"(?s)<script[^>]*>.*?</script>", " ")
+    order), collapse whitespace runs, trim.
+
+    The whole <head> block goes first — a browser never renders head
+    content, so <title> text is NOT visible text (a hypothesis property
+    test caught the title leaking into main_text before this strip);
+    script/style are additionally stripped on their own because both
+    may also appear inside <body>."""
+    x = D.regexp_replace_all(d, html, r"(?s)<head>.*?</head>", " ")
+    x = D.regexp_replace_all(d, x, r"(?s)<script[^>]*>.*?</script>", " ")
     x = D.regexp_replace_all(d, x, r"(?s)<style[^>]*>.*?</style>", " ")
     if main_only:
         x = D.regexp_replace_all(d, x, r"(?s)<nav>.*?</nav>", " ")

@@ -1339,3 +1339,54 @@ def _wire_stream_keep_list_oracle() -> None:
 
 
 _wire_stream_keep_list_oracle()
+
+
+@register(
+    "stream_html_extract",
+    oracle=None,  # wired below: shares html_extract_main_text's oracle
+    doc="Streaming twin of html_extract_main_text — extraction at INGEST, "
+    "where every production crawl pipeline runs it (the WET stage is "
+    "applied per fetched page, not as a batch pass). Pure stateless "
+    "projection over the document stream: the same dialect-shared "
+    "synthesis + strip/decode/normalize expressions, zero state, zero "
+    "exchanges; the memory sink collects per-micro-batch results and "
+    "the batch oracle gates the union. The trivial twin is the point: "
+    "stage 0 of the cascade composes into a continuous query unchanged.",
+    tags=("streaming", "text", "crawl"),
+)
+def stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import (
+        _html_raw_expr,
+        _html_visible_expr,
+    )
+
+    docs = stream_documents(spark, sf_dir)
+    ex = (
+        docs.selectExpr("doc_id", f"{_html_raw_expr('spark')} as html")
+        .selectExpr(
+            "doc_id",
+            f"{_html_visible_expr('spark', 'html', True)} as main_text",
+            f"{_html_visible_expr('spark', 'html', False)} as visible_text",
+        )
+        .selectExpr(
+            "doc_id",
+            "main_text",
+            "cast(length(main_text) as bigint) as n_main_chars",
+            "cast((1000 * (length(visible_text) - length(main_text)))"
+            " div greatest(length(visible_text), 1) as bigint)"
+            " as boilerplate_permille",
+        )
+    )
+    return run_available_now(ex, output_mode="append")
+
+
+def _wire_stream_html_oracle() -> None:
+    import streamprocessors_spark.plans.llm_ops  # noqa: F401
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("html_extract_main_text")
+    if batch is not None:
+        REGISTRY["stream_html_extract"].oracle = batch.oracle
+
+
+_wire_stream_html_oracle()

@@ -284,3 +284,42 @@ def test_repeated_ngram_spans_hand_fixture(spark, monkeypatch):
         (3, 1, 5, 1),
         (3, 6, 10, 1),
     }, got
+
+
+def test_html_extraction_recovers_text_property(spark):
+    """Property: for ANY body text (printable ASCII + whitespace,
+    including &, <, >, quotes and newlines), the extraction pipeline
+    recovers exactly 'Doc {id} heading' + the whitespace-normalized
+    text — entity round-trip and tag stripping must never eat or invent
+    characters. Alphabet excludes \\x0b/\\x0c: Java's \\s matches
+    vertical tab, RE2's does not, and the production fixture gate only
+    guarantees ASCII space classes shared by both engines."""
+    from hypothesis import given, settings, strategies as st
+
+    from streamprocessors_spark.plans.llm_ops import (
+        _html_raw_expr,
+        _html_visible_expr,
+    )
+
+    alphabet = st.sampled_from(
+        list("abcXYZ09 &<>\"'/=.\t\n\r") + ["&amp;", "<p>", "</p>"]
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(alphabet, max_size=40).map("".join))
+    def check(text):
+        df = spark.createDataFrame(
+            [(7, text)], "doc_id bigint, text string"
+        ).selectExpr(
+            "doc_id", f"{_html_raw_expr('spark')} as html"
+        ).selectExpr(
+            f"{_html_visible_expr('spark', 'html', True)} as main_text"
+        )
+        got = df.collect()[0].main_text
+        import re as _re
+
+        norm = _re.sub(r"[ \t\n\r\f]+", " ", text).strip()
+        expected = ("Doc 7 heading " + norm).strip()
+        assert got == expected, (text, got, expected)
+
+    check()
