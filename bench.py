@@ -122,6 +122,7 @@ HEADLINE = [
     "stream_dedup_keep_list",
     "dedup_multimodal_verdict",
     "stream_html_extract",
+    "bpe_vocab_table",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

@@ -1966,6 +1966,10 @@ def _bpe_apply_merges(
 
 
 def _bpe_seq0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_seq0_docs(_docs(spark, sf_dir))
+
+
+def _bpe_seq0_docs(docs: DataFrame) -> DataFrame:
     """(word, seq, cnt): the vocabulary with per-character seed sequences.
 
     localCheckpoint: the corpus collapses to the vocabulary exactly ONCE;
@@ -1973,7 +1977,7 @@ def _bpe_seq0(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the lineage (measured 10 s -> ~1.5 s at sf0.1)."""
     US = _US
     vocab = (
-        _docs(spark, sf_dir)
+        docs
         .selectExpr(f"{D.words(SPARK)} as ws")
         .select(F.explode_outer("ws").alias("word"))
         .where(F.col("word").isNotNull())
@@ -7479,6 +7483,15 @@ _POW_DUCK = "[" + ",".join(str(p) for p in _FP_POWS) + "]"
 )
 def tokenized_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     _merges, seq = _bpe_trained(spark, sf_dir)
+    return tokenized_packing_docs(_docs(spark, sf_dir), seq)
+
+
+def tokenized_packing_docs(docs: DataFrame, seq: DataFrame) -> DataFrame:
+    """Docs-frame-parameterized core of tokenized_context_packing
+    (shared with tools/scale_smoke.py so the smoke tracks the
+    production plan). ``seq`` is the trained (word, seq, cnt) BPE
+    encoding table for the SAME corpus the frame draws from."""
+    spark = docs.sparkSession
     # vocab-sized; localCheckpoint pins the 8-round merge lineage so the
     # two consumers below (symtab + the corpus join) don't replay it
     wsym = (
@@ -7505,7 +7518,7 @@ def tokenized_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("sym", "id")
     )
-    dw = _docs(spark, sf_dir).selectExpr(
+    dw = docs.selectExpr(
         "doc_id", "source", f"{D.words(SPARK)} as ws"
     )
     xw = dw.select(
@@ -7722,3 +7735,61 @@ def _html_main_para_expr(d: str) -> str:
     )
     x = D.regexp_replace_all(d, x, r"\s+", " ")
     return f"trim({x})"
+
+
+@register(
+    "bpe_vocab_table",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({D.words(DUCK)}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    {_bpe_seq_round_ctes()},
+    wsym AS (
+      SELECT word,
+             string_split(substr(seq, 2, length(seq) - 2), {_US} || {_US})
+               AS syms,
+             cnt
+      FROM seq{BPE_MERGE_ROUNDS}
+    )
+    SELECT sym, CAST(row_number() OVER (ORDER BY freq DESC, sym)
+                     AS BIGINT) AS id,
+           freq
+    FROM (
+      SELECT t.sym AS sym, CAST(sum(w.cnt) AS BIGINT) AS freq
+      FROM wsym w, unnest(w.syms) AS t(sym) GROUP BY t.sym
+    )
+    """,
+    doc="The tokenizer's shipped VOCAB artifact — (symbol, token id, "
+    "corpus frequency), ids dense by frequency rank with lexicographic "
+    "ties (id 0 stays reserved for the doc separator) — completing the "
+    "tokenizer artifact set: merge table (bpe_merge_sequence), vocab "
+    "file (this), per-doc encode (bpe_encode_tokens), packed contexts "
+    "(tokenized_context_packing). All ids here agree with the ids "
+    "tokenized_context_packing packs, by construction (same rank "
+    "expression). Serving path: the memoized trained merge table "
+    "applied to one vocab groupBy; the global row_number runs over the "
+    "SYMBOL table (bounded by distinct BPE symbols, << corpus).",
+    tags=("text", "llm", "tokenizer"),
+)
+def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, seq = _bpe_trained(spark, sf_dir)
+    wsym = seq.selectExpr(
+        "word",
+        f"split(substr(seq, 2, length(seq) - 2),"
+        f" concat({_US}, {_US})) as syms",
+        "cnt",
+    )
+    return (
+        wsym.selectExpr("explode(syms) as sym", "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("freq"))
+        .withColumn(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "sym"))
+            .cast("bigint"),
+        )
+        .select("sym", "id", "freq")
+    )

@@ -525,6 +525,81 @@ def main() -> None:
 
     timed("dedup_cascade_end_to_end", _cascade_count)
 
+    # tokenize->pack over the multiplied corpus, the production shape:
+    # tokenizer trained ONCE on the base corpus (the memoized merge
+    # table), applied to every new shard — packing itself must stay
+    # linear (explode + two windows + one hash aggregate)
+    from streamprocessors_spark.plans.llm_ops import (
+        _bpe_apply_merges,
+        _bpe_seq0_docs,
+        _bpe_trained,
+        tokenized_packing_docs,
+    )
+
+    def _tok_pack_count():
+        merges, _ = _bpe_trained(spark, sf_dir)
+        seq = _bpe_apply_merges(_bpe_seq0_docs(docs), merges)
+        return tokenized_packing_docs(docs, seq).count()
+
+    timed("tokenized_context_packing", _tok_pack_count)
+
+    # HTML main-content extraction: zero-exchange scan projection — the
+    # smoke pins that cost stays one linear pass at any multiplier
+    from streamprocessors_spark.plans.llm_ops import (
+        _html_raw_expr,
+        _html_visible_expr,
+    )
+
+    def _html_extract_count():
+        return (
+            docs.selectExpr("doc_id", f"{_html_raw_expr(SPARK)} as html")
+            .selectExpr(
+                "doc_id",
+                f"{_html_visible_expr(SPARK, 'html', True)} as main_text",
+            )
+            .where("length(main_text) > 0")
+            .count()
+        )
+
+    timed("html_extract_main_text", _html_extract_count)
+
+    # cross-modal verdict over the multiplied corpus: two cluster
+    # closures (text MinHash CC + image dHash CC) + two label joins
+    from streamprocessors_spark.plans.mm_dedup import image_phash_pairs
+    from streamprocessors_spark.plans.llm_ops import _PAIR_FILTER as _PF
+
+    def _mm_verdict_count():
+        sh = shingle_docs(docs, spark.sparkContext.defaultParallelism)
+        sa2 = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        tpairs = (
+            minhash_candidate_pairs(sh)
+            .join(sa2, "doc_a").join(sb2, "doc_b")
+            .selectExpr(
+                "doc_a", "doc_b",
+                f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+                f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+            )
+            .where(_PF).select("doc_a", "doc_b")
+        )
+        tlab = _min_label_components(tpairs).selectExpr(
+            "doc_id as t_doc", "canonical as t_can"
+        )
+        ipairs = image_phash_pairs(docs).selectExpr(
+            "img_a as doc_a", "img_b as doc_b"
+        )
+        ilab = _min_label_components(ipairs).selectExpr(
+            "doc_id as i_img", "canonical as i_can"
+        )
+        base = docs.select("doc_id")
+        return (
+            base.join(tlab, base.doc_id == F.col("t_doc"), "left")
+            .join(ilab, F.col("doc_id") == F.col("i_img"), "left")
+            .count()
+        )
+
+    timed("dedup_multimodal_verdict", _mm_verdict_count)
+
     result = {
         "sf_dir": sf_dir,
         "multiplier": mult,
