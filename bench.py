@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_multimodal_verdict",
     "stream_html_extract",
     "bpe_vocab_table",
+    "ann_filtered_topk",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

@@ -7793,3 +7793,70 @@ def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("sym", "id", "freq")
     )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    SELECT va, label, vb, rank, cos FROM (
+      SELECT va, label, vb, cos,
+             row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb)
+               AS rank
+      FROM (
+        SELECT q.vec_id AS va, q.label AS label, b.vec_id AS vb,
+               {D.cosine(DUCK, "q.embedding", "b.embedding")} AS cos
+        FROM embeddings q
+        JOIN embeddings b
+          ON q.vec_id <> b.vec_id AND q.label = b.label
+        WHERE q.vec_id < {ANN_N_QUERIES}
+      )
+    ) WHERE rank <= {ANN_TOPK}
+    """,
+    doc="Metadata-FILTERED vector search — the 'where label = X' "
+    "pre-filter every production vector store ships (and the case that "
+    "breaks post-filtered ANN: filtering AFTER a top-k can return fewer "
+    "than k, or nothing, when the filter is selective). The predicate "
+    "rides the broadcast-join condition, so ineligible corpus vectors "
+    "are skipped before any cosine is computed — one pass over the big "
+    "table, zero corpus shuffle, ranking a per-query window, exactly "
+    "the ann_bruteforce_topk plan plus the pushed filter. At 100 TB the "
+    "same shape applies over a label-partitioned corpus, where the "
+    "filter also prunes partitions at the scan.",
+    tags=("vector", "ann"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "label",
+        "embedding",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as nrm",
+    )
+    q = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    j = (
+        # bounded: the ANN probe batch is user-query-sized
+        F.broadcast(q)
+        .join(b, (F.col("va") != F.col("vb")) & (F.col("label") == F.col("lb")))
+        .selectExpr(
+            "va",
+            "label",
+            "vb",
+            f"{D.cosine_pre(SPARK, 'ea', 'eb', 'na', 'nb')} as cos",
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("va", "label", "vb", "rank", "cos")
+    )
