@@ -323,3 +323,23 @@ def test_html_extraction_recovers_text_property(spark):
         assert got == expected, (text, got, expected)
 
     check()
+
+
+def test_bpe_trained_cache_is_per_corpus(spark):
+    """The memoized merge table must be keyed by corpus dir: serving for
+    sf0.001 after training on sf0.01 must NOT reuse sf0.01's merges."""
+    from streamprocessors_spark.plans.llm_ops import (
+        _BPE_TRAINED_CACHE,
+        _bpe_train,
+        _bpe_trained,
+    )
+
+    _BPE_TRAINED_CACHE.clear()
+    m_small, _ = _bpe_trained(spark, "/root/testdata/sf0.001")
+    assert "/root/testdata/sf0.001" in _BPE_TRAINED_CACHE
+    assert "/root/testdata/sf0.01" not in _BPE_TRAINED_CACHE
+    # trained path returns exactly what an honest retrain returns
+    m_again, _ = _bpe_trained(spark, "/root/testdata/sf0.001")
+    assert m_again == m_small
+    m_fresh, _ = _bpe_train(spark, "/root/testdata/sf0.001")
+    assert m_fresh == m_small
