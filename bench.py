@@ -124,6 +124,7 @@ HEADLINE = [
     "stream_html_extract",
     "bpe_vocab_table",
     "ann_filtered_topk",
+    "quality_signals_table",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

@@ -145,6 +145,18 @@ _FORCE_RECHECK = {
     "dedup_image_keep_list": 8,
 }
 
+# Unverified queries DEFERRED past the green tail: this round's ~50-slot
+# driver window is exactly consumed by (7 new operators + every r4-stale
+# green row), so additions landed after that budget was committed would
+# otherwise evict a stale re-verification from the window (rule 3 puts
+# unverified entries first). Names here sort AFTER all green rows until
+# the driver verifies them (they stay registered, locally oracle-gated by
+# tests/test_oracle_parity.py and tools/sweep_sf.py like everything else);
+# next round they leave this set and take window slots as plain new rows.
+_DEFER_PAST_GREEN: frozenset[str] = frozenset({
+    "quality_signals_table",
+})
+
 
 def _driver_green_rounds() -> dict[str, int] | None:
     """{query: latest round with a hash-green row} across every
@@ -188,10 +200,13 @@ def ordered_registry() -> dict[str, Query]:
     re-verify the rows whose last driver check is oldest (a row green in
     r1 only has never been re-run against r2+ code). Rotating this way
     converts 'locally green' into the driver's own signal even though one
-    correctness pass covers only ~50 entries.
+    correctness pass covers only ~50 entries. Exception to (2):
+    _DEFER_PAST_GREEN entries sort LAST until their first green row —
+    the over-window-budget escape hatch for late-round additions.
     """
     green = _driver_green_names()
     green_rounds = _driver_green_rounds() or {}
+    deferred = _DEFER_PAST_GREEN - green  # a green row expires the deferral
     out: dict[str, Query] = {}
     for name in _DRIVER_WINDOW_FIRST:
         if name in REGISTRY and name not in green:
@@ -204,14 +219,17 @@ def ordered_registry() -> dict[str, Query]:
         ):
             out[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
-        if name not in out and name not in green:
+        if name not in out and name not in green and name not in deferred:
             out[name] = q
     reg_pos = {name: i for i, name in enumerate(REGISTRY)}
     for name in sorted(
-        (n for n in REGISTRY if n not in out),
+        (n for n in REGISTRY if n not in out and n not in deferred),
         key=lambda n: (green_rounds.get(n, 0), reg_pos[n]),
     ):
         out[name] = REGISTRY[name]
+    for name in REGISTRY:
+        if name in deferred and name not in out:
+            out[name] = REGISTRY[name]
     return out
 
 

@@ -469,3 +469,102 @@ def gopher_rules_docs(raw_docs: DataFrame) -> DataFrame:
         {_gopher_select(SPARK)} FROM w
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide per-document quality-signals table (RedPajama-V2 style: Together
+# Computer '23 releases the corpus WITH a per-document signal table and
+# lets consumers choose thresholds; CCNet/Gopher/FineWeb pipelines all
+# materialize this artifact before any filtering decision). Unlike the
+# verdict queries above, nothing here decides keep/drop — it is the raw,
+# exactly-reproducible measurement layer downstream filters consume.
+# ---------------------------------------------------------------------------
+
+
+def _signals_select(d: str) -> list[str]:
+    """The signal battery, dialect-parametric so the Spark plan and the
+    DuckDB oracle render from ONE definition (no drift). Every column is
+    an exact integer: fractional signals ship as fixed-point numerators
+    (consumers divide), entropy as the 1/1024-unit log2q numerator."""
+    from streamprocessors_spark.plans.llm_ops import STOPWORDS, _log2q
+
+    n = D.size(d, "ws")
+    dist = D.distinct(d, "ws")
+    n_distinct = D.size(d, dist)
+    n_stop = D.size(
+        d,
+        D.filter_(d, "ws", f"x -> {D.contains(d, D.str_array(d, STOPWORDS), 'x')}"),
+    )
+    sum_wlen = D.agg_sum_bigint(d, "ws", "x", "length(x)")
+    n_alpha = D.size(d, D.filter_(d, "ws", "x -> x ~ '^[a-z]+$'")) if d == DUCK \
+        else D.size(d, D.filter_(d, "ws", "x -> x rlike '^[a-z]+$'"))
+    idx = D.seq1(d, f"{n} - 1")
+    gram = f"{D.element(d, 'ws', 'i')} || ' ' || {D.element(d, 'ws', 'i + 1')}"
+    grams = D.transform(d, idx, f"i -> {gram}")
+    n_grams = D.size(d, grams)
+    n_dist_grams = D.size(d, D.distinct(d, grams))
+    occ = D.transform(
+        d, dist, f"w -> {D.size(d, D.filter_(d, 'ws', 'x -> x = w'))}"
+    )
+    sum_clog = D.agg_sum_bigint(d, occ, "c", f"c * {_log2q(d, 'c')}")
+    n_digits = D.regexp_all_count(d, "text", "[0-9]")
+    n_punct = D.regexp_all_count(d, "lower(text)", "[^a-z0-9 ]")
+    return [
+        "doc_id",
+        "lang",
+        "source",
+        "CAST(n_chars AS BIGINT) AS n_chars",
+        f"CAST({n} AS INT) AS n_words",
+        f"CAST({n_distinct} AS INT) AS n_distinct_words",
+        f"CAST({n_stop} AS INT) AS n_stopwords",
+        f"CAST({n_alpha} AS INT) AS n_alpha_words",
+        f"CAST({sum_wlen} AS BIGINT) AS sum_word_len",
+        # mean word length in 1/1000 units (floor division of exact ints)
+        f"CAST(({sum_wlen} * 1000) {'div' if d == SPARK else '//'} {n}"
+        " AS BIGINT) AS mean_wlen_milli",
+        f"CAST({n_grams} AS INT) AS n_2grams",
+        f"CAST({n_grams} - {n_dist_grams} AS INT) AS n_dup_2grams",
+        f"CAST({D.arr_max(d, occ)} AS INT) AS top_word_count",
+        f"CAST({n_digits} AS INT) AS n_digit_chars",
+        f"CAST({n_punct} AS INT) AS n_punct_chars",
+        # Shannon-entropy numerator, 1/1024-bit units: bits/word =
+        # ent_num_q / (1024 * n_words); 0 exactly for one-word-repeated
+        # docs (the text_entropy_score construction, here join-free)
+        f"CAST({n} * {_log2q(d, n)} - {sum_clog} AS BIGINT) AS ent_num_q",
+    ]
+
+
+@register(
+    "quality_signals_table",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, source, n_chars, text, {D.words(DUCK)} AS ws
+      FROM documents
+    )
+    SELECT {", ".join(_signals_select(DUCK))}
+    FROM w WHERE {D.size(DUCK, "ws")} >= 2
+    """,
+    doc="The wide per-document signal table a curation pipeline "
+    "materializes NEXT TO the corpus before any filtering decision "
+    "(RedPajama-V2's quality_signals artifact; CCNet's per-shard stats): "
+    "word/type/stopword/alpha-word counts, word-length mass, duplicate-"
+    "2-gram count, top-word count, digit/punctuation character counts, "
+    "and the word-distribution entropy numerator — 13 signals, every one "
+    "an exact integer (fractions ship as fixed-point numerators, entropy "
+    "in 1/1024-bit log2q units), so the table is bit-identical on any "
+    "engine at any parallelism. Scale shape: a pure projection — zero "
+    "exchanges, no joins, no windows; at 100 TB it pipelines inside the "
+    "parquet scan and writes column-pruned signal files. Spark and the "
+    "oracle render from ONE _signals_select definition (no drift).",
+    tags=("text", "quality", "llm"),
+)
+def quality_signals_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "lang", "source", "n_chars", "text",
+                    f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
+        .selectExpr(
+            *[c.replace(" AS ", " as ") for c in _signals_select(SPARK)]
+        )
+    )

@@ -48,7 +48,12 @@ def test_unverified_precede_green(monkeypatch):
     green = {n: 4 for n in names[: len(names) // 2]}
     order = _ordered_with(monkeypatch, green)
     pos = {n: i for i, n in enumerate(order)}
-    worst_unverified = max(pos[n] for n in names if n not in green)
+    # _DEFER_PAST_GREEN names are the documented exception to this rule
+    worst_unverified = max(
+        pos[n]
+        for n in names
+        if n not in green and n not in plans._DEFER_PAST_GREEN
+    )
     # the force-recheck pins are the only green rows allowed ahead
     allowed_ahead = {n for n, since in plans._FORCE_RECHECK.items() if since > 4}
     best_plain_green = min(
@@ -75,3 +80,23 @@ def test_every_query_present_exactly_once(monkeypatch):
     assert sorted(order) == sorted(plans.REGISTRY)
     order2 = _ordered_with(monkeypatch, {n: 2 for n in plans.REGISTRY})
     assert sorted(order2) == sorted(plans.REGISTRY)
+
+
+def test_deferred_unverified_sort_last_until_green(monkeypatch):
+    names = list(plans.REGISTRY)
+    victim = names[-1]
+    monkeypatch.setattr(
+        plans, "_DEFER_PAST_GREEN", frozenset({victim})
+    )
+    # unverified + deferred -> dead last, behind every green row
+    green = {n: 3 for n in names if n != victim}
+    order = _ordered_with(monkeypatch, green)
+    assert order[-1] == victim
+    assert sorted(order) == sorted(names)
+    # a green row expires the deferral: back to plain stalest-first
+    order2 = _ordered_with(monkeypatch, {**green, victim: 1})
+    pins = {
+        n for n, since in plans._FORCE_RECHECK.items() if since > 1
+    }
+    head = [n for n in order2 if n not in pins]
+    assert head[0] == victim  # round 1 is the stalest green
