@@ -125,6 +125,9 @@ HEADLINE = [
     "bpe_vocab_table",
     "ann_filtered_topk",
     "quality_signals_table",
+    "vocab_oov_curve",
+    "source_overlap_matrix",
+    "cluster_balanced_sample",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

@@ -155,6 +155,9 @@ _FORCE_RECHECK = {
 # next round they leave this set and take window slots as plain new rows.
 _DEFER_PAST_GREEN: frozenset[str] = frozenset({
     "quality_signals_table",
+    "vocab_oov_curve",
+    "source_overlap_matrix",
+    "cluster_balanced_sample",
 })
 
 

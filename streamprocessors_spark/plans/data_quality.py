@@ -568,3 +568,119 @@ def quality_signals_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[c.replace(" AS ", " as ") for c in _signals_select(SPARK)]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source content-overlap matrix: the dataset-level measurement run
+# before mixing corpora (Dodge et al. '21 measured exactly this across C4
+# and benchmark/crawl slices; any multi-source pretraining mix needs the
+# pairwise overlap numbers to set dedup and mixture policy). Documents
+# here are grouped by their `source` column; overlap is Jaccard over the
+# DISTINCT word-3-gram shingle sets of each source's concatenated corpus.
+# ---------------------------------------------------------------------------
+
+
+def _source_shingle_cte(d: str) -> str:
+    from streamprocessors_spark.functions import textprep as TP
+
+    ws = D.words(d)
+    if d == DUCK:
+        return f"""
+    w AS (SELECT source, {ws} AS ws FROM documents),
+    g AS (
+      SELECT DISTINCT source, {D.md5int(DUCK, "gram")} AS h
+      FROM (SELECT source, unnest({TP.shingles(DUCK, "ws")}) AS gram FROM w)
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+           FROM g GROUP BY source)
+    """
+    raise ValueError(d)
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_source_shingle_cte(DUCK)},
+    pr AS (SELECT a.source AS sa, b.source AS sb, a.n_sh AS n_a,
+                  b.n_sh AS n_b
+           FROM sz a JOIN sz b ON a.source < b.source),
+    iv AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT pr.sa AS source_a, pr.sb AS source_b, pr.n_a, pr.n_b,
+           CAST(coalesce(iv.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(pr.n_a + pr.n_b - coalesce(iv.n_inter, 0) AS BIGINT)
+             AS n_union,
+           {D.floor_round(DUCK,
+             "CAST(coalesce(iv.n_inter, 0) AS DOUBLE) /"
+             " CAST(pr.n_a + pr.n_b - coalesce(iv.n_inter, 0) AS DOUBLE)",
+             6)} AS jaccard
+    FROM pr LEFT JOIN iv ON iv.sa = pr.sa AND iv.sb = pr.sb
+    """,
+    doc="Pairwise content overlap between corpus sources — the "
+    "measurement a multi-source pretraining mix is planned against "
+    "(per-pair distinct word-3-gram Jaccard; Dodge et al. '21 ran this "
+    "across C4 slices): one row per unordered source pair with exact "
+    "shingle-set sizes, intersection, union, and the 6dp-floored "
+    "Jaccard; zero-overlap pairs still appear (left join against the "
+    "bounded pair spine). Scale shape: shingles hash to 60-bit ints "
+    "before the ONE corpus exchange (distinct on (source, h) — "
+    "integers, never gram strings); the pair intersection self-joins "
+    "that deduped frame on h, so a shingle shared by k sources expands "
+    "to at most k(k-1)/2 rows (k = source count, bounded); per-source "
+    "sizes and the pair spine are source-count-sized broadcasts.",
+    tags=("dq", "dedup", "corpus", "llm"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import textprep as TP
+
+    sh = (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr("source", f"{D.words(SPARK)} as ws")
+        .selectExpr("source", f"explode({TP.shingles(SPARK, 'ws')}) as gram")
+        .selectExpr("source", f"{D.md5int(SPARK, 'gram')} as h")
+        .distinct()
+    )
+    # bounded: sz is one row per source (the fixture has a handful; any
+    # real lake has at most thousands of named sources)
+    sz = F.broadcast(
+        sh.groupBy("source").agg(
+            F.expr("cast(count(*) as bigint)").alias("n_sh")
+        )
+    )
+    pr = (
+        sz.selectExpr("source as sa", "n_sh as n_a")
+        .join(
+            sz.selectExpr("source as sb", "n_sh as n_b"),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    iv = (
+        sh.selectExpr("source as sa", "h")
+        .join(sh.selectExpr("source as sb", "h as hb"),
+              F.col("h") == F.col("hb"))
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_inter"))
+    )
+    return (
+        pr.join(iv, ["sa", "sb"], "left")
+        .selectExpr(
+            "sa as source_a",
+            "sb as source_b",
+            "n_a",
+            "n_b",
+            "cast(coalesce(n_inter, 0) as bigint) as n_inter",
+            "cast(n_a + n_b - coalesce(n_inter, 0) as bigint) as n_union",
+            D.floor_round(
+                SPARK,
+                "cast(coalesce(n_inter, 0) as double) /"
+                " cast(n_a + n_b - coalesce(n_inter, 0) as double)",
+                6,
+            )
+            + " as jaccard",
+        )
+    )

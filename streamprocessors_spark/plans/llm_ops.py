@@ -7860,3 +7860,180 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= ANN_TOPK)
         .select("va", "label", "vb", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV curve: the tokenizer-design measurement run
+# before committing to a vocab size (SentencePiece/BPE sizing studies all
+# tabulate token coverage vs vocabulary size; the knee of this curve IS
+# the vocab-size decision). Distinct from bpe_vocab_table (which ships a
+# chosen vocabulary): this measures what any word-level vocabulary of
+# size V would cover.
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_SIZES = (16, 64, 256, 1024, 4096)
+
+
+@register(
+    "vocab_oov_curve",
+    oracle=f"""
+    WITH wx AS (
+      SELECT unnest({D.words(DUCK)}) AS word FROM documents
+    ),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM wx GROUP BY word),
+    rk AS (
+      SELECT word, c,
+             row_number() OVER (ORDER BY c DESC, word) AS rank
+      FROM wc
+    ),
+    vsz AS (
+      SELECT unnest([{", ".join(str(v) for v in OOV_VOCAB_SIZES)}])
+        AS vocab_size
+    ),
+    cv AS (
+      SELECT vocab_size,
+             CAST(sum(CASE WHEN rank <= vocab_size THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_types_used,
+             CAST(sum(CASE WHEN rank <= vocab_size THEN c ELSE 0 END)
+               AS BIGINT) AS covered_tokens
+      FROM rk CROSS JOIN vsz GROUP BY vocab_size
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM wc)
+    SELECT CAST(vocab_size AS INT) AS vocab_size,
+           n_types_used,
+           covered_tokens,
+           CAST(tot.n_tokens - covered_tokens AS BIGINT) AS oov_tokens,
+           {D.floor_round(DUCK,
+             "CAST(covered_tokens AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)",
+             6)} AS coverage
+    FROM cv CROSS JOIN tot
+    """,
+    doc="Token-coverage vs vocabulary-size curve (the OOV measurement a "
+    "tokenizer design signs off on): for each candidate vocab size V in "
+    f"{OOV_VOCAB_SIZES}, how many corpus tokens the top-V words by "
+    "frequency cover and how many fall out-of-vocabulary. Ranking ties "
+    "break lexicographically so the curve is deterministic. Scale shape: "
+    "one map-side-combined word count, then a TakeOrdered top-max(V) "
+    "(never a global sort — Spark plans orderBy().limit(k) as "
+    "TakeOrderedAndProject, driver holds only 4096 rows), ranked by a "
+    "window over that bounded frame; totals are a 1-row aggregate. The "
+    "corpus is touched exactly once.",
+    tags=("text", "tokenizer", "llm"),
+)
+def vocab_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        _docs(spark, sf_dir)
+        .selectExpr(f"explode({D.words(SPARK)}) as word")
+        .groupBy("word")
+        .agg(F.expr("cast(count(*) as bigint)").alias("c"))
+    )
+    top = wc.orderBy(F.col("c").desc(), "word").limit(max(OOV_VOCAB_SIZES))
+    # bounded: `top` is at most max(OOV_VOCAB_SIZES) = 4096 rows
+    rk = F.broadcast(
+        top.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), "word")
+            ),
+        )
+    )
+    vsz = spark.sql(
+        "SELECT explode(array({})) AS vocab_size".format(
+            ", ".join(str(v) for v in OOV_VOCAB_SIZES)
+        )
+    )
+    cv = (
+        # bounded: vsz is a literal frame of len(OOV_VOCAB_SIZES) = 5 rows
+        rk.crossJoin(F.broadcast(vsz))
+        .groupBy("vocab_size")
+        .agg(
+            F.expr(
+                "cast(sum(case when rank <= vocab_size then 1 else 0 end)"
+                " as bigint)"
+            ).alias("n_types_used"),
+            F.expr(
+                "cast(sum(case when rank <= vocab_size then c else 0 end)"
+                " as bigint)"
+            ).alias("covered_tokens"),
+        )
+    )
+    tot = wc.agg(F.expr("cast(sum(c) as bigint)").alias("n_tokens"))
+    return (
+        # bounded: tot is a single-row aggregate
+        cv.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cast(vocab_size as int) as vocab_size",
+            "n_types_used",
+            "covered_tokens",
+            "cast(n_tokens - covered_tokens as bigint) as oov_tokens",
+            D.floor_round(
+                SPARK,
+                "cast(covered_tokens as double)"
+                " / cast(n_tokens as double)",
+                6,
+            )
+            + " as coverage",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling: the diversity-aware selection pass that
+# follows embedding clustering in curation pipelines (cluster the corpus,
+# then draw evenly per cluster so head clusters cannot crowd out tail
+# topics — the selection shape used alongside SemDeDup-style pruning).
+# Reuses the trained spherical-k-means quantizer (ivf_kmeans_centroids)
+# as the clustering, so train -> assign -> select is one closed loop.
+# ---------------------------------------------------------------------------
+
+CBS_PER_CELL = 10
+
+
+def _cbs_sql(d: str, table: str = "embeddings") -> str:
+    vstr = (
+        "cast(vec_id as string)" if d == SPARK else "CAST(vec_id AS VARCHAR)"
+    )
+    skey = D.md5int(d, vstr)
+    return f"""
+    WITH {_kmeans_ctes(d, table=table)},
+    t_assign AS {_argmin_cell_sql(d, "qv", "cent2")},
+    csz AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS cell_size
+      FROM t_assign GROUP BY cell
+    ),
+    pick AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY {skey}, vec_id) AS pick
+      FROM t_assign
+    )
+    SELECT p.cell AS cell, p.vec_id AS vec_id, CAST(p.pick AS INT) AS pick,
+           z.cell_size AS cell_size
+    FROM pick p JOIN csz z ON z.cell = p.cell
+    WHERE p.pick <= {CBS_PER_CELL}
+    """
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_cbs_sql(DUCK),
+    doc=f"Diversity-aware selection: the corpus is clustered by the "
+    "TRAINED spherical-k-means quantizer (the ivf_kmeans_centroids "
+    f"trajectory, reused verbatim), then exactly min({CBS_PER_CELL}, "
+    "cluster size) vectors are drawn per cluster in deterministic "
+    "md5-shuffle order (hash of vec_id, ties by vec_id) — so head "
+    "clusters cannot crowd tail topics out of the sample, the "
+    "cluster-balanced draw used alongside SemDeDup-style pruning in "
+    "embedding-space curation. Emits (cell, vec_id, pick, cell_size) "
+    "for audit. Scale shape: assignment is the map-side max_by over "
+    "broadcast centroids (N-row exchange); the per-cluster draw is a "
+    f"rank <= {CBS_PER_CELL} filter on a per-cell window, which Spark "
+    "plans as WindowGroupLimit — each map task keeps only its local "
+    f"top-{CBS_PER_CELL} per cell BEFORE the exchange, so the sort "
+    "never materializes a full cell; cluster sizes are a "
+    "cell-count-sized aggregate AQE broadcasts.",
+    tags=("vector", "ivf", "sampling", "training", "llm"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
+    return spark.sql(_cbs_sql(SPARK, table="sp_kmeans_embeddings"))
