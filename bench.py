@@ -128,6 +128,8 @@ HEADLINE = [
     "vocab_oov_curve",
     "source_overlap_matrix",
     "cluster_balanced_sample",
+    "packing_efficiency_stats",
+    "stream_tokenized_packing",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

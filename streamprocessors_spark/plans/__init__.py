@@ -158,6 +158,8 @@ _DEFER_PAST_GREEN: frozenset[str] = frozenset({
     "vocab_oov_curve",
     "source_overlap_matrix",
     "cluster_balanced_sample",
+    "packing_efficiency_stats",
+    "stream_tokenized_packing",
 })
 
 

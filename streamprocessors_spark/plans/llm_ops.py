@@ -7491,6 +7491,45 @@ def tokenized_packing_docs(docs: DataFrame, seq: DataFrame) -> DataFrame:
     (shared with tools/scale_smoke.py so the smoke tracks the
     production plan). ``seq`` is the trained (word, seq, cnt) BPE
     encoding table for the SAME corpus the frame draws from."""
+    return packing_bins(packing_positions(docs, seq))
+
+
+def packing_bins(g: DataFrame) -> DataFrame:
+    """(source, bin) contexts + Rabin-Karp fingerprint over a positioned
+    token frame (source, doc_id, gpos, id) — the cut half of the packer,
+    shared by the batch query and the streaming twin's drain read-out."""
+    return (
+        g.selectExpr(
+            "source",
+            f"cast(gpos div {_PACK_W} as bigint) as bin",
+            f"cast(gpos % {_PACK_W} as int) + 1 as pidx",
+            "id",
+            "doc_id",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.expr("if(id = 0, 1, 0)")).alias("n_seps"),
+            F.expr(
+                f"cast(sum(id * element_at({_POW_SPARK}, pidx))"
+                f" % {_FP_MOD} as bigint)"
+            ).alias("fp"),
+        )
+    )
+
+
+def packing_positions(
+    docs: DataFrame,
+    seq: DataFrame,
+    base_offsets: dict[str, int] | None = None,
+) -> DataFrame:
+    """(source, doc_id, gpos, id): every token of ``docs`` at its global
+    per-source stream position — the assignment half of the packer.
+    ``base_offsets`` shifts each source's positions by an already-packed
+    prefix (the streaming twin's standing per-source offset; None = 0),
+    so an arriving shard's tokens land exactly after the tokens already
+    shipped."""
     spark = docs.sparkSession
     # vocab-sized; localCheckpoint pins the 8-round merge lineage so the
     # two consumers below (symtab + the corpus join) don't replay it
@@ -7559,26 +7598,114 @@ def tokenized_packing_docs(docs: DataFrame, seq: DataFrame) -> DataFrame:
         "cast(0 as bigint) as id",
     )
     allt = tid.unionByName(seps)
-    g = allt.join(doff.select("doc_id", "source", "start_off"), "doc_id")
-    return (
-        g.selectExpr(
-            "source",
-            f"cast((start_off + pos_in_doc) div {_PACK_W} as bigint) as bin",
-            f"cast((start_off + pos_in_doc) % {_PACK_W} as int) + 1 as pidx",
-            "id",
-            "doc_id",
+    doffb = doff.select("doc_id", "source", "start_off")
+    if base_offsets:
+        base = spark.createDataFrame(
+            list(base_offsets.items()), "source string, base bigint"
         )
-        .groupBy("source", "bin")
+        # bounded: base is one row per already-seen source
+        doffb = (
+            doffb.join(F.broadcast(base), "source", "left")
+            .selectExpr(
+                "doc_id", "source",
+                "cast(start_off + coalesce(base, 0) as bigint)"
+                " as start_off",
+            )
+        )
+    g = allt.join(doffb, "doc_id")
+    return g.selectExpr(
+        "source",
+        "doc_id",
+        "cast(start_off + pos_in_doc as bigint) as gpos",
+        "id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency accounting: once tokenized_context_packing emits the
+# training artifact, the pipeline signs off on it with a waste report —
+# fill rate, padding in the per-source tail bin, separator overhead, and
+# how many document spans each context mixes (the cross-contamination
+# knob attention-masking decisions hang on; T5/GPT-3 packing appendices
+# tabulate exactly these numbers before a run is launched).
+# ---------------------------------------------------------------------------
+
+
+def _packing_oracle() -> str:
+    """The tokenized_context_packing oracle, reused verbatim as a
+    subquery so the efficiency report measures the EXACT artifact the
+    packing query ships (one definition, no drift)."""
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    return REGISTRY["tokenized_context_packing"].oracle
+
+
+@register(
+    "packing_efficiency_stats",
+    oracle=None,  # wired below: wraps the packing oracle as a subquery
+    doc=f"Packing waste report over the tokenized_context_packing "
+    "artifact, per source: bin counts, full-bin counts, token totals, "
+    f"padding implied by the partial tail bin (bins hold {_PACK_W} "
+    "tokens; only the last per-source bin can be short), separator "
+    "overhead, and document-span mixing (sum/max of distinct docs per "
+    "context — the attention-mask cross-contamination signal). fill_q "
+    "is the 6dp-floored fill fraction. Composes the registered packing "
+    "query unchanged, then collapses it with one source-keyed "
+    "aggregate over the bins frame (bins ~ tokens/W rows, map-side "
+    "partials) — the report costs one aggregate more than the "
+    "artifact itself.",
+    tags=("pack", "llm", "quality"),
+)
+def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bins = tokenized_context_packing(spark, sf_dir)
+    return (
+        bins.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum(F.expr("if(id = 0, 1, 0)")).alias("n_seps"),
+            F.expr("cast(count(*) as bigint)").alias("n_bins"),
             F.expr(
-                f"cast(sum(id * element_at({_POW_SPARK}, pidx))"
-                f" % {_FP_MOD} as bigint)"
-            ).alias("fp"),
+                f"cast(sum(if(n_tokens = {_PACK_W}, 1, 0)) as bigint)"
+            ).alias("n_full_bins"),
+            F.expr("cast(sum(n_tokens) as bigint)").alias("n_tokens"),
+            F.expr(
+                f"cast(sum({_PACK_W} - n_tokens) as bigint)"
+            ).alias("pad_tokens"),
+            F.expr("cast(sum(n_seps) as bigint)").alias("sep_tokens"),
+            F.expr("cast(sum(n_docs) as bigint)").alias("n_doc_spans"),
+            F.expr("cast(max(n_docs) as bigint)").alias("max_docs_bin"),
+            F.expr(
+                D.floor_round(
+                    SPARK,
+                    "cast(sum(n_tokens) as double)"
+                    f" / cast(count(*) * {_PACK_W} as double)",
+                    6,
+                )
+            ).alias("fill_q"),
         )
     )
+
+
+def _wire_packing_stats_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    REGISTRY["packing_efficiency_stats"].oracle = f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(CASE WHEN n_tokens = {_PACK_W} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_full_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum({_PACK_W} - n_tokens) AS BIGINT) AS pad_tokens,
+           CAST(sum(n_seps) AS BIGINT) AS sep_tokens,
+           CAST(sum(n_docs) AS BIGINT) AS n_doc_spans,
+           CAST(max(n_docs) AS BIGINT) AS max_docs_bin,
+           {D.floor_round(DUCK,
+             "CAST(sum(n_tokens) AS DOUBLE) /"
+             f" CAST(count(*) * {_PACK_W} AS DOUBLE)", 6)} AS fill_q
+    FROM ({_packing_oracle()}) pk
+    GROUP BY source
+    """
+
+
+_wire_packing_stats_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -1390,3 +1390,81 @@ def _wire_stream_html_oracle() -> None:
 
 
 _wire_stream_html_oracle()
+
+
+@register(
+    "stream_tokenized_packing",
+    oracle=None,  # wired below: shares tokenized_context_packing's oracle
+    doc="Streaming twin of tokenized_context_packing — pack AT INGEST, "
+    "the final pipeline stage run continuously: the BPE encoding table "
+    "is batch-trained on the existing corpus (the memoized trained-"
+    "tokenizer artifact every serving path shares), and each arriving "
+    "shard's tokens are assigned their GLOBAL per-source stream "
+    "positions immediately — a per-source token offset carried across "
+    "micro-batches (source-count-sized driver state; the batch's "
+    "positioned tokens are localCheckpoint-pinned so batch k never "
+    "replays 1..k-1) — which is exactly what lets full contexts ship "
+    "the moment a bin fills instead of waiting for the corpus to "
+    "close. Bins + Rabin-Karp fingerprints are the drain read-out over "
+    "the positioned union (the packing_bins half, shared verbatim with "
+    "the batch query). Divergence contract: hash-matches the batch "
+    "oracle when shards arrive in doc_id order per source (file order "
+    "here); out-of-order arrival packs the tokens at the offsets of "
+    "their arrival, as a real ingest-time packer must. Cross-batch "
+    "offset continuity pinned by tests/test_streaming.py.",
+    tags=("streaming", "pack", "llm", "tokenizer"),
+)
+def stream_tokenized_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from streamprocessors_spark.plans.llm_ops import (
+        _bpe_trained,
+        packing_bins,
+        packing_positions,
+    )
+
+    _merges, seq = _bpe_trained(spark, sf_dir)
+    state: dict = {"offsets": {}, "frames": []}
+
+    def process(batch_df, _batch_id) -> None:
+        if batch_df.isEmpty():
+            return
+        g = packing_positions(
+            batch_df, seq, base_offsets=dict(state["offsets"])
+        ).localCheckpoint()
+        state["frames"].append(g)
+        # bounded collect: one row per source present in the batch —
+        # the standing next-offset per source
+        for r in g.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect():
+            state["offsets"][r["source"]] = (
+                state["offsets"].get(r["source"], 0) + r["n"]
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
+    q = (
+        stream_documents(spark, sf_dir)
+        .writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    g = state["frames"][0]
+    for f in state["frames"][1:]:
+        g = g.unionByName(f)
+    return packing_bins(g)
+
+
+def _wire_stream_packing_oracle() -> None:
+    import streamprocessors_spark.plans.llm_ops  # noqa: F401
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("tokenized_context_packing")
+    if batch is not None:
+        REGISTRY["stream_tokenized_packing"].oracle = batch.oracle
+
+
+_wire_stream_packing_oracle()

@@ -720,3 +720,62 @@ def test_stream_keep_list_clusters_across_micro_batches(spark):
     got = {int(r.doc_id): int(r.canonical) for r in labels.collect()}
     assert got[1] == 1 and got[2] == 1 and got[3] == 1
     assert 4 not in got  # unrelated doc never entered the pair graph
+
+
+def test_stream_packing_cross_batch_offset_parity(spark):
+    """The streaming packer's per-source offset state must make a corpus
+    split across micro-batches pack IDENTICALLY to the one-shot batch
+    packer (shards arriving in doc_id order — the twin's divergence
+    contract): same bins, same token/sep counts, same Rabin-Karp
+    fingerprints."""
+    import pandas as pd
+
+    from streamprocessors_spark.plans.llm_ops import (
+        packing_bins,
+        packing_positions,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en", "srcA"),
+        (2, "beta gamma delta epsilon", "en", "srcA"),
+        (3, "alpha alpha beta beta gamma", "en", "srcB"),
+        (4, "delta epsilon zeta eta theta iota", "en", "srcB"),
+        (5, "gamma gamma gamma alpha", "en", "srcA"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    )
+    # a tiny trained encode table: every distinct word maps to itself
+    # (identity segmentation) with its corpus count — offset arithmetic,
+    # not BPE, is what this test pins
+    us = "\x1f"
+    seq = (
+        docs.selectExpr("explode(split(lower(text), ' ')) as word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr("word", f"concat('{us}', word, '{us}') as seq", "cnt")
+    )
+    batch = {
+        (r.source, r.bin): (r.n_tokens, r.n_docs, r.n_seps, r.fp)
+        for r in packing_bins(packing_positions(docs, seq)).collect()
+    }
+    # replay as two "micro-batches" through the incremental device
+    offsets: dict = {}
+    frames = []
+    for lo, hi in ((1, 3), (4, 5)):
+        b = docs.where(F.col("doc_id").between(lo, hi))
+        g = packing_positions(b, seq, base_offsets=dict(offsets))
+        g = g.localCheckpoint()
+        frames.append(g)
+        for r in g.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect():
+            offsets[r["source"]] = offsets.get(r["source"], 0) + r["n"]
+    inc = frames[0]
+    for f in frames[1:]:
+        inc = inc.unionByName(f)
+    streamed = {
+        (r.source, r.bin): (r.n_tokens, r.n_docs, r.n_seps, r.fp)
+        for r in packing_bins(inc).collect()
+    }
+    assert streamed == batch
