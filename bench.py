@@ -130,6 +130,9 @@ HEADLINE = [
     "cluster_balanced_sample",
     "packing_efficiency_stats",
     "stream_tokenized_packing",
+    "token_budget_plan",
+    "doc_token_length_histogram",
+    "cascade_stage_attrition",
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

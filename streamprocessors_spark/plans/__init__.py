@@ -160,6 +160,9 @@ _DEFER_PAST_GREEN: frozenset[str] = frozenset({
     "cluster_balanced_sample",
     "packing_efficiency_stats",
     "stream_tokenized_packing",
+    "token_budget_plan",
+    "doc_token_length_histogram",
+    "cascade_stage_attrition",
 })
 
 

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streamprocessors_spark.functions import dialect as D
+from streamprocessors_spark.functions.dialect import DUCK, SPARK
 from streamprocessors_spark.plans.registry import register
 from streamprocessors_spark.session import read_table
 
@@ -685,3 +687,82 @@ def dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "then 1 else 0 end as int) as kept",
         )
     )
+
+
+@register(
+    "cascade_stage_attrition",
+    oracle=None,  # wired below: wraps dedup_cascade_verdict's oracle
+    doc="The attrition table every dedup paper publishes (RefinedWeb "
+    "Table 2 shape): per source x cascade stage, how many documents "
+    "and how much character mass each stage removed, with 'kept' as "
+    "the surviving row and a 6dp-floored per-source drop fraction. "
+    "Composes the registered dedup_cascade_verdict unchanged (the "
+    "oracle wraps the cascade's WITH RECURSIVE SQL as a subquery) "
+    "joined back to the corpus metadata, then one (source, stage) "
+    "aggregate — the report costs one broadcast-joined aggregate more "
+    "than the cascade itself. At 100 TB the verdict frame is the "
+    "already-materialized cascade output; the rollup is map-side "
+    "partials to sources x 4 cells.",
+    tags=("dedup", "crawl", "profile", "llm"),
+)
+def cascade_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = dedup_cascade_verdict(spark, sf_dir).select("doc_id", "dropped_by")
+    meta = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    per = (
+        v.join(meta, "doc_id")
+        .selectExpr(
+            "source",
+            "coalesce(dropped_by, 'kept') as stage",
+            "n_chars",
+        )
+        .groupBy("source", "stage")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(n_chars) as bigint)").alias("n_chars"),
+        )
+    )
+    stot = per.groupBy("source").agg(
+        F.expr("cast(sum(n_docs) as bigint)").alias("src_docs")
+    )
+    # bounded: stot is one row per source
+    return per.join(F.broadcast(stot), "source").selectExpr(
+        "source",
+        "stage",
+        "n_docs",
+        "n_chars",
+        D.floor_round(
+            SPARK, "cast(n_docs as double) / cast(src_docs as double)", 6
+        )
+        + " as stage_frac",
+    )
+
+
+def _wire_attrition_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    REGISTRY["cascade_stage_attrition"].oracle = f"""
+    WITH v AS (
+      {_cascade_oracle()}
+    ),
+    per AS (
+      SELECT d.source, COALESCE(v.dropped_by, 'kept') AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+      FROM v JOIN documents d ON d.doc_id = v.doc_id
+      GROUP BY d.source, COALESCE(v.dropped_by, 'kept')
+    ),
+    stot AS (
+      SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+      FROM per GROUP BY source
+    )
+    SELECT p.source, p.stage, p.n_docs, p.n_chars,
+           {D.floor_round(DUCK,
+             "CAST(p.n_docs AS DOUBLE) / CAST(s.src_docs AS DOUBLE)", 6)}
+             AS stage_frac
+    FROM per p JOIN stot s ON s.source = p.source
+    """
+
+
+_wire_attrition_oracle()

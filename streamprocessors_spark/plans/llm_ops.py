@@ -8164,3 +8164,148 @@ def _cbs_sql(d: str, table: str = "embeddings") -> str:
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
     return spark.sql(_cbs_sql(SPARK, table="sp_kmeans_embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget planning (the data-constrained-scaling table, Muennighoff
+# et al. '23: given a training token budget and temperature-scaled source
+# weights, how many tokens each source contributes and how many EPOCHS of
+# it that implies — repeat factors are the go/no-go number for a mix) and
+# the document token-length histogram (the context-length design input:
+# packing/window decisions read this distribution first).
+# ---------------------------------------------------------------------------
+
+PLAN_TOKEN_BUDGET = 10_000_000  # training tokens to allocate across sources
+
+
+@register(
+    "token_budget_plan",
+    oracle=f"""
+    WITH cnt AS MATERIALIZED (
+      SELECT source,
+             CAST(sum({D.regexp_all_count(DUCK, "lower(text)", _BPE_PATTERN)})
+               AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    c0 AS MATERIALIZED (
+      SELECT source, n_tok, n_tok * {TEMP_SCALE} AS x,
+             CAST(sqrt(CAST(n_tok * {TEMP_SCALE} AS DOUBLE)) AS BIGINT)
+               AS c0
+      FROM cnt
+    ),
+    sq AS MATERIALIZED (
+      SELECT source, n_tok, {_isqrt_sql("duck", "x", "c0")} AS sqrt_q
+      FROM c0
+    ),
+    tot AS MATERIALIZED (SELECT sum(sqrt_q) AS t FROM sq)
+    SELECT s.source, s.n_tok,
+           CAST(s.sqrt_q AS BIGINT) AS sqrt_q,
+           CAST(({PLAN_TOKEN_BUDGET} * s.sqrt_q) // tot.t AS BIGINT)
+             AS budget_tok,
+           CAST(((({PLAN_TOKEN_BUDGET} * s.sqrt_q) // tot.t) * 1000)
+                // s.n_tok AS BIGINT) AS epochs_milli
+    FROM sq s CROSS JOIN tot
+    """,
+    doc=f"The mixture's token-budget plan (data-constrained scaling, "
+    "Muennighoff '23): per-source available tokens (the BPE-ish regex "
+    "count), temperature-scaled allocation weights (alpha = 1/2 via the "
+    "exact integer square root device lang_temperature_weights "
+    f"introduced), each source's slice of a {PLAN_TOKEN_BUDGET:,}-token "
+    "training budget, and the implied repeat factor in 1/1000 epochs "
+    "(epochs_milli > 1000 means that source will be seen more than "
+    "once — the number a mix is approved or reworked on). All exact "
+    "integers. Scale shape: one map-side-combined groupBy(source) over "
+    "the token-count projection; everything after is source-count-sized "
+    "with a 1-row total broadcast.",
+    tags=("sample", "llm", "pipeline"),
+)
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "source",
+            f"cast({D.regexp_all_count(SPARK, 'lower(text)', _BPE_PATTERN)}"
+            " as bigint) as tok",
+        )
+        .groupBy("source")
+        .agg(F.expr("cast(sum(tok) as bigint)").alias("n_tok"))
+        .selectExpr(
+            "source",
+            "n_tok",
+            f"n_tok * {TEMP_SCALE} as x",
+            f"cast(sqrt(cast(n_tok * {TEMP_SCALE} as double)) as bigint)"
+            " as c0",
+        )
+        .selectExpr(
+            "source", "n_tok",
+            f"{_isqrt_sql('spark', 'x', 'c0')} as sqrt_q",
+        )
+    )
+    tot = cnt.agg(F.sum("sqrt_q").alias("t"))
+    return (
+        # bounded: tot is a single-row aggregate (the weight-sum scalar)
+        cnt.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_tok",
+            "cast(sqrt_q as bigint) as sqrt_q",
+            f"cast(({PLAN_TOKEN_BUDGET} * sqrt_q) div t as bigint)"
+            " as budget_tok",
+            f"cast(((({PLAN_TOKEN_BUDGET} * sqrt_q) div t) * 1000)"
+            " div n_tok as bigint) as epochs_milli",
+        )
+    )
+
+
+@register(
+    "doc_token_length_histogram",
+    oracle=f"""
+    WITH tk AS (
+      SELECT CAST({D.regexp_all_count(DUCK, "lower(text)", _BPE_PATTERN)}
+               AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tok, {_log2q(DUCK, "n_tok")} // 1024 AS bucket
+      FROM tk WHERE n_tok > 0
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST((1::BIGINT << bucket) AS BIGINT) AS lo_tok,
+           CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS hi_tok,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
+    FROM b GROUP BY bucket
+    """,
+    doc="Document token-length histogram in power-of-two buckets (the "
+    "context-length design input: pack-vs-truncate and window-size "
+    "decisions read this distribution before anything trains). Bucket "
+    "index is floor(log2(tokens)) computed with the shared log2q "
+    "integer device (identical bit arithmetic both engines), so bucket "
+    "edges are exact; emits doc counts and token mass per bucket. "
+    "Scale shape: a stateless projection plus one map-side-combined "
+    "aggregate to ~log2(max doc length) cells — no joins, no windows.",
+    tags=("text", "llm", "profile"),
+)
+def doc_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            f"cast({D.regexp_all_count(SPARK, 'lower(text)', _BPE_PATTERN)}"
+            " as bigint) as n_tok"
+        )
+        .where("n_tok > 0")
+        .selectExpr("n_tok", f"{_log2q(SPARK, 'n_tok')} div 1024 as bucket")
+        .groupBy("bucket")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(n_tok) as bigint)").alias("sum_tok"),
+        )
+        .selectExpr(
+            "cast(bucket as int) as bucket",
+            "cast(shiftleft(1L, cast(bucket as int)) as bigint) as lo_tok",
+            "cast(shiftleft(1L, cast(bucket as int) + 1) - 1 as bigint)"
+            " as hi_tok",
+            "n_docs",
+            "sum_tok",
+        )
+    )
