@@ -133,6 +133,11 @@ HEADLINE = [
     "token_budget_plan",
     "doc_token_length_histogram",
     "cascade_stage_attrition",
+    "lang_id_confusion_matrix",
+    "stream_quality_signals",
+    # dedup_minhash_precision stays OUT of the headline with the other
+    # measurement gates (its ground-truth-ish candidate count rides the
+    # production path, but the 1-row report isn't a throughput number)
     # dedup_minhash_recall stays OUT of the headline on the same policy
     # as the ANN recall gates: measurement ops run a quadratic ground
     # truth by design and would dominate the wall-clock number without

@@ -163,6 +163,9 @@ _DEFER_PAST_GREEN: frozenset[str] = frozenset({
     "token_budget_plan",
     "doc_token_length_histogram",
     "cascade_stage_attrition",
+    "dedup_minhash_precision",
+    "lang_id_confusion_matrix",
+    "stream_quality_signals",
 })
 
 

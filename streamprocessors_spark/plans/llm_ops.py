@@ -8309,3 +8309,118 @@ def doc_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_tok",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Measurement closures: candidate-stage precision of the LSH pipeline
+# (the verification-cost knob) and the lang-id confusion matrix (the
+# classifier-eval artifact a filtering threshold is chosen from).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_precision",
+    oracle=f"""
+    WITH {_MINHASH_ORACLE_CTES},
+    ver AS ({_MINHASH_VERIFY_SELECT})
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM ver) AS BIGINT) AS n_verified,
+           {D.floor_round(DUCK,
+             "CAST((SELECT count(*) FROM ver) AS DOUBLE) /"
+             " greatest((SELECT count(*) FROM cand), 1)", 6)}
+             AS precision
+    FROM (SELECT 1) one
+    """,
+    doc="The other half of the MinHash-LSH measurement contract next to "
+    "dedup_minhash_recall: CANDIDATE-stage precision — what fraction of "
+    "the banding's candidate pairs survive exact-Jaccard verification. "
+    "Emitted pairs are verified, so final precision is 1.0 by "
+    "construction; candidate precision is the knob that prices the "
+    "verification joins (low precision at 100 TB means the band/row "
+    "split or the bucket cap needs retuning BEFORE the corpus-sized "
+    "verify pass is paid). Reuses the registered candidate generator "
+    "and verify filter unchanged; cost is the production path plus two "
+    "1-row counts.",
+    tags=("dedup", "lsh", "quality"),
+)
+def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_df(spark, sf_dir)
+    cand = minhash_candidate_pairs(s)
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nv = dedup_minhash_lsh(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_verified")
+    )
+    return (
+        # bounded: nc and nv are single-row aggregates
+        nc.crossJoin(F.broadcast(nv))
+        .selectExpr(
+            "cast(n_candidates as bigint) as n_candidates",
+            "cast(n_verified as bigint) as n_verified",
+            D.floor_round(
+                SPARK,
+                "cast(n_verified as double) / greatest(n_candidates, 1)",
+                6,
+            )
+            + " as precision",
+        )
+    )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=None,  # wired below: wraps nb_lang_classifier's oracle
+    doc="The classifier-eval artifact the lang-id filtering threshold "
+    "is chosen from: the (true lang x predicted lang) confusion matrix "
+    "of the trained Naive Bayes classifier over its held-out slice, "
+    "with per-true-class recall (6dp-floored). Composes the registered "
+    "nb_lang_classifier unchanged (the oracle wraps its SQL as a "
+    "subquery); the rollup is one (lang, pred_lang) aggregate to "
+    "#classes^2 cells plus a class-count-sized broadcast join — "
+    "map-side partials all the way at 100 TB.",
+    tags=("llm", "quality", "text", "profile"),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = nb_lang_classifier(spark, sf_dir).select("lang", "pred_lang")
+    cm = pred.groupBy("lang", "pred_lang").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_docs")
+    )
+    tot = cm.groupBy("lang").agg(
+        F.expr("cast(sum(n_docs) as bigint)").alias("n_true")
+    )
+    # bounded: tot is one row per true class
+    return cm.join(F.broadcast(tot), "lang").selectExpr(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        "n_true",
+        D.floor_round(
+            SPARK, "cast(n_docs as double) / cast(n_true as double)", 6
+        )
+        + " as frac",
+    )
+
+
+def _wire_confusion_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    REGISTRY["lang_id_confusion_matrix"].oracle = f"""
+    WITH cls AS (
+      {REGISTRY["nb_lang_classifier"].oracle}
+    ),
+    cm AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM cls GROUP BY lang, pred_lang
+    ),
+    ctot AS (
+      SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_true
+      FROM cm GROUP BY lang
+    )
+    SELECT c.lang, c.pred_lang, c.n_docs, t.n_true,
+           {D.floor_round(DUCK,
+             "CAST(c.n_docs AS DOUBLE) / CAST(t.n_true AS DOUBLE)", 6)}
+             AS frac
+    FROM cm c JOIN ctot t ON t.lang = c.lang
+    """
+
+
+_wire_confusion_oracle()

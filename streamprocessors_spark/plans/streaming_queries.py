@@ -1229,6 +1229,13 @@ def _incremental_keep_list_labels(
 
     import tempfile
 
+    # The signature store is consulted TWICE per micro-batch (doc_a and
+    # doc_b legs join on different keys, so the exchanges can't be
+    # reused) and once per batch thereafter — persist the tokenize+
+    # shingle computation instead of re-deriving it 2k times across k
+    # batches (corpus-shingle-sized: the same frame the batch path
+    # scans; evicted at drain).
+    shingles = shingles.persist()
     sa = shingles.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
@@ -1270,6 +1277,9 @@ def _incremental_keep_list_labels(
         .start()
     )
     q.awaitTermination()
+    # labels are localCheckpoint-materialized; nothing references the
+    # signature store after drain
+    shingles.unpersist()
     return state["labels"]
 
 
@@ -1468,3 +1478,46 @@ def _wire_stream_packing_oracle() -> None:
 
 
 _wire_stream_packing_oracle()
+
+
+@register(
+    "stream_quality_signals",
+    oracle=None,  # wired below: shares quality_signals_table's oracle
+    doc="Streaming twin of quality_signals_table: the wide per-document "
+    "signal battery computed AT INGEST — the RedPajama-V2-style signal "
+    "table materialized continuously as crawl shards land, so every "
+    "downstream threshold decision reads precomputed signals instead of "
+    "re-touching text. Stateless projection, availableNow, append mode; "
+    "hash-matches the identical batch oracle because every signal is an "
+    "exact integer.",
+    tags=("streaming", "text", "quality", "llm"),
+)
+def stream_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.data_quality import _signals_select
+
+    docs = stream_documents(spark, sf_dir)
+    scored = (
+        docs.selectExpr(
+            "doc_id", "lang", "source", "n_chars", "text",
+            f"{D.words(SPARK)} as ws",
+        )
+        .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
+        .selectExpr(
+            *[c.replace(" AS ", " as ") for c in _signals_select(SPARK)]
+        )
+    )
+    return run_available_now(scored, output_mode="append")
+
+
+def _wire_stream_signals_oracle() -> None:
+    import streamprocessors_spark.plans.data_quality  # noqa: F401
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("quality_signals_table")
+    if batch is not None:
+        REGISTRY["stream_quality_signals"].oracle = batch.oracle
+
+
+_wire_stream_signals_oracle()

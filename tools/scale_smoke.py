@@ -600,6 +600,81 @@ def main() -> None:
 
     timed("dedup_multimodal_verdict", _mm_verdict_count)
 
+    # wide per-doc signal table: must stay a zero-exchange scan projection
+    from streamprocessors_spark.plans.data_quality import _signals_select
+
+    def _signals_count():
+        return (
+            docs.selectExpr(
+                "doc_id", "lang", "source", "n_chars", "text",
+                f"{D.words(SPARK)} as ws",
+            )
+            .where(f"{D.size(SPARK, 'ws')} >= 2")
+            .selectExpr(
+                *[c.replace(" AS ", " as ") for c in _signals_select(SPARK)]
+            )
+            .count()
+        )
+
+    timed("quality_signals_table", _signals_count)
+
+    # cross-source shingle overlap: ONE distinct exchange on (source, h),
+    # pair expansion bounded by k(k-1)/2 per shared hash
+    from streamprocessors_spark.functions import textprep as TP
+
+    def _overlap_count():
+        sh = (
+            docs.selectExpr("source", f"{D.words(SPARK)} as ws")
+            .selectExpr(
+                "source", f"explode({TP.shingles(SPARK, 'ws')}) as gram"
+            )
+            .selectExpr("source", f"{D.md5int(SPARK, 'gram')} as h")
+            .distinct()
+        )
+        iv = (
+            sh.selectExpr("source as sa", "h")
+            .join(sh.selectExpr("source as sb", "h as hb"),
+                  F.col("h") == F.col("hb"))
+            .where(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .count()
+        )
+        return iv.count()
+
+    timed("source_overlap_matrix", _overlap_count)
+
+    # vocab coverage curve: corpus word count + TakeOrdered top-4096 —
+    # the driver must never hold more than max(V) rows
+    from streamprocessors_spark.plans.llm_ops import OOV_VOCAB_SIZES
+
+    def _oov_count():
+        wc = (
+            docs.selectExpr(f"explode({D.words(SPARK)}) as word")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return (
+            wc.orderBy(F.col("c").desc(), "word")
+            .limit(max(OOV_VOCAB_SIZES))
+            .count()
+        )
+
+    timed("vocab_oov_curve_topk", _oov_count)
+
+    # cluster-balanced draw over the multiplied vector corpus: the
+    # trained-kmeans assignment (broadcast centroids, map-side max_by)
+    # plus the WindowGroupLimit per-cell top-k — per-cell sort must
+    # never materialize a full cell
+    from streamprocessors_spark.plans.llm_ops import _cbs_sql
+
+    def _cbs_count():
+        embs.createOrReplaceTempView("sp_kmeans_embeddings")
+        return spark.sql(
+            _cbs_sql(SPARK, table="sp_kmeans_embeddings")
+        ).count()
+
+    timed("cluster_balanced_sample", _cbs_count)
+
     result = {
         "sf_dir": sf_dir,
         "multiplier": mult,
