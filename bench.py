@@ -135,6 +135,9 @@ HEADLINE = [
     "cascade_stage_attrition",
     "lang_id_confusion_matrix",
     "stream_quality_signals",
+    "ngram_novelty_curve",
+    "dedup_cluster_size_histogram",
+    "embedding_outlier_topk",
     # dedup_minhash_precision stays OUT of the headline with the other
     # measurement gates (its ground-truth-ish candidate count rides the
     # production path, but the 1-row report isn't a throughput number)

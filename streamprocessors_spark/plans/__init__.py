@@ -166,6 +166,9 @@ _DEFER_PAST_GREEN: frozenset[str] = frozenset({
     "dedup_minhash_precision",
     "lang_id_confusion_matrix",
     "stream_quality_signals",
+    "ngram_novelty_curve",
+    "dedup_cluster_size_histogram",
+    "embedding_outlier_topk",
 })
 
 

@@ -8424,3 +8424,214 @@ def _wire_confusion_oracle() -> None:
 
 
 _wire_confusion_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-growth novelty curve: how much NEW content each additional
+# slice of the corpus contributes (the diminishing-returns measurement
+# behind "more crawl vs more epochs" decisions — dedup papers plot
+# duplicate fraction vs crawl size; this is that curve, first-occurrence
+# framed) — plus the near-dup cluster-size histogram (the distribution
+# figure every dedup paper publishes) and a per-cluster embedding
+# outlier panel (SemDeDup-style pruning reviews exactly these rows).
+# ---------------------------------------------------------------------------
+
+NOVELTY_BINS = 10
+OUTLIER_TOPK = 10
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {D.words(DUCK)} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, {D.md5int(DUCK, "gram")} AS h
+      FROM (SELECT doc_id, unnest({TP.shingles(DUCK, "ws")}) AS gram
+            FROM w)
+    ),
+    mx AS (SELECT max(doc_id) AS mxid FROM documents),
+    per AS (
+      SELECT h, CAST((doc_id * {NOVELTY_BINS}) // (mx.mxid + 1) AS INT)
+               AS bucket
+      FROM sh CROSS JOIN mx
+    ),
+    occ AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_gram_rows
+      FROM per GROUP BY bucket
+    ),
+    nw AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_grams
+      FROM (SELECT h, min(bucket) AS bucket FROM per GROUP BY h)
+      GROUP BY bucket
+    )
+    SELECT o.bucket, o.n_gram_rows,
+           CAST(coalesce(n.n_new_grams, 0) AS BIGINT) AS n_new_grams,
+           {D.floor_round(DUCK,
+             "CAST(coalesce(n.n_new_grams, 0) AS DOUBLE) /"
+             " CAST(o.n_gram_rows AS DOUBLE)", 6)} AS novelty_frac
+    FROM occ o LEFT JOIN nw n ON n.bucket = o.bucket
+    """,
+    doc=f"Corpus-growth novelty curve: the corpus is cut into "
+    f"{NOVELTY_BINS} doc_id slices and each slice reports how many of "
+    "its distinct word-3-gram incidences are FIRST occurrences — the "
+    "diminishing-returns measurement behind more-crawl-vs-more-epochs "
+    "decisions (novelty_frac falling toward 0 means new data is mostly "
+    "repeats). Slice index is exact integer arithmetic against the "
+    "1-row max-id scalar (monotone in doc_id, so a gram's first slice "
+    "is the slice of its first document — min(bucket) needs no second "
+    "corpus pass). Scale shape: one shingle explode hashed to 60-bit "
+    "ints, one (gram) min-aggregate and one bucket count, all map-side "
+    "combined; output is NOVELTY_BINS rows.",
+    tags=("dedup", "corpus", "profile", "llm"),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        .selectExpr("doc_id", f"explode({TP.shingles(SPARK, 'ws')}) as gram")
+        .selectExpr("doc_id", f"{D.md5int(SPARK, 'gram')} as h")
+    )
+    mx = _docs(spark, sf_dir).agg(F.expr("max(doc_id)").alias("mxid"))
+    per = (
+        # bounded: mx is a single-row aggregate (the max-id scalar)
+        sh.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "h",
+            f"cast((doc_id * {NOVELTY_BINS}) div (mxid + 1) as int)"
+            " as bucket",
+        )
+    )
+    occ = per.groupBy("bucket").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_gram_rows")
+    )
+    nw = (
+        per.groupBy("h")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_new_grams"))
+    )
+    return (
+        occ.join(nw, "bucket", "left")
+        .selectExpr(
+            "bucket",
+            "n_gram_rows",
+            "cast(coalesce(n_new_grams, 0) as bigint) as n_new_grams",
+            D.floor_round(
+                SPARK,
+                "cast(coalesce(n_new_grams, 0) as double)"
+                " / cast(n_gram_rows as double)",
+                6,
+            )
+            + " as novelty_frac",
+        )
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=None,  # wired below: wraps dedup_keep_list's oracle
+    doc="Near-dup cluster-size distribution in power-of-two buckets — "
+    "the figure every dedup paper publishes (how much of the corpus "
+    "sits in 2-member pairs vs boilerplate mega-clusters decides "
+    "whether keep-first is even the right policy). Wraps the "
+    "registered dedup_keep_list verdict unchanged: cluster sizes are "
+    "one (canonical) count over its output (singletons included), the "
+    "histogram is one aggregate to ~log2(corpus) cells via the shared "
+    "log2q bucket device. At 100 TB both aggregates are map-side "
+    "partials over the already-materialized keep-list.",
+    tags=("dedup", "lsh", "profile", "llm"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.advanced import dedup_keep_list
+
+    sz = (
+        dedup_keep_list(spark, sf_dir)
+        .groupBy("canonical")
+        .agg(F.expr("cast(count(*) as bigint)").alias("csize"))
+    )
+    return (
+        sz.selectExpr(
+            "csize", f"{_log2q(SPARK, 'csize')} div 1024 as bucket"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("n_clusters"),
+            F.expr("cast(sum(csize) as bigint)").alias("n_docs"),
+        )
+        .selectExpr(
+            "cast(bucket as int) as bucket",
+            "cast(shiftleft(1L, cast(bucket as int)) as bigint) as lo_size",
+            "cast(shiftleft(1L, cast(bucket as int) + 1) - 1 as bigint)"
+            " as hi_size",
+            "n_clusters",
+            "n_docs",
+        )
+    )
+
+
+def _wire_cluster_hist_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    import streamprocessors_spark.plans.advanced as _adv  # noqa: F401
+
+    REGISTRY["dedup_cluster_size_histogram"].oracle = f"""
+    WITH kl AS (
+      {REGISTRY["dedup_keep_list"].oracle}
+    ),
+    sz AS (
+      SELECT canonical, CAST(count(*) AS BIGINT) AS csize
+      FROM kl GROUP BY canonical
+    ),
+    b AS (
+      SELECT csize, {_log2q(DUCK, "csize")} // 1024 AS bucket FROM sz
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST((1::BIGINT << bucket) AS BIGINT) AS lo_size,
+           CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS hi_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs
+    FROM b GROUP BY bucket
+    """
+
+
+def _outlier_sql(d: str, table: str = "embeddings") -> str:
+    cosq = D.cosine_ikey(d, "c.cemb", "q.embedding")
+    return f"""
+    WITH {_kmeans_ctes(d, table=table)},
+    t_assign AS {_argmin_cell_sql(d, "qv", "cent2")},
+    oc AS (
+      SELECT q.vec_id, a.cell, {cosq} AS cos_q
+      FROM qv q JOIN t_assign a ON a.vec_id = q.vec_id
+      JOIN cent2 c ON c.cell = a.cell
+    ),
+    rk AS (
+      SELECT vec_id, cell, cos_q,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cos_q, vec_id) AS outlier_rank
+      FROM oc
+    )
+    SELECT cell, vec_id, cos_q, CAST(outlier_rank AS INT) AS outlier_rank
+    FROM rk WHERE outlier_rank <= {OUTLIER_TOPK}
+    """
+
+
+@register(
+    "embedding_outlier_topk",
+    oracle=_outlier_sql(DUCK),
+    doc=f"Per-cluster embedding outlier panel: each vector's quantized "
+    "cosine to its OWN trained-k-means centroid (the assignment the IVF "
+    f"family shares), and the {OUTLIER_TOPK} least-central vectors per "
+    "cluster — the rows an embedding-space curation pass (SemDeDup-"
+    "style outlier pruning, OOD triage) actually reviews. Scale shape: "
+    "the own-centroid cosine is an N x 1 broadcast join (one dot per "
+    "vector, never N x k); the per-cluster panel is a rank filter "
+    "Spark plans as WindowGroupLimit (map-side local top-k per cell "
+    "before the exchange).",
+    tags=("vector", "ivf", "quality", "training"),
+)
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
+    return spark.sql(_outlier_sql(SPARK, table="sp_kmeans_embeddings"))
+
+
+_wire_cluster_hist_oracle()
