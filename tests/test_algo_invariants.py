@@ -1139,3 +1139,169 @@ def test_tokenized_context_packing_matches_pure_python(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_quality_signals_hand_computed(spark):
+    """Pin the wide signal table against hand-computed values on a
+    crafted two-document fixture (independent of the DuckDB oracle,
+    which renders from the same builder — this test does not)."""
+    import pandas as pd
+
+    from streamprocessors_spark.functions.dialect import SPARK as _SP
+    from streamprocessors_spark.functions import dialect as D
+    from streamprocessors_spark.plans.data_quality import _signals_select
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                # doc1: "the cat the cat" -> 4 words, 2 distinct,
+                # stopword 'the' x2, 2-grams: [the cat, cat the, the cat]
+                # -> 3 grams, 1 dup; counts {the:2, cat:2}
+                "text": ["the cat the cat", "zz zz zz"],
+                "lang": ["en", "en"],
+                "source": ["s1", "s2"],
+                "n_chars": [15, 8],
+            }
+        )
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in docs.selectExpr(
+            "doc_id", "lang", "source", "n_chars", "text",
+            f"{D.words(_SP)} as ws",
+        )
+        .selectExpr(
+            *[c.replace(" AS ", " as ") for c in _signals_select(_SP)]
+        )
+        .collect()
+    }
+    d1 = out[1]
+    assert d1["n_words"] == 4
+    assert d1["n_distinct_words"] == 2
+    assert d1["n_stopwords"] == 2
+    assert d1["n_alpha_words"] == 4
+    assert d1["sum_word_len"] == 12  # the(3)+cat(3)+the(3)+cat(3)
+    assert d1["mean_wlen_milli"] == 3000
+    assert d1["n_2grams"] == 3 and d1["n_dup_2grams"] == 1
+    assert d1["top_word_count"] == 2
+    # entropy: n=4, counts {2,2}: 4*log2q(4) - 2*(2*log2q(2))
+    # log2q(4) = 2048, log2q(2) = 1024 -> 8192 - 4096 = 4096 (= 1 bit/word)
+    assert d1["ent_num_q"] == 4096
+    d2 = out[2]
+    assert d2["n_words"] == 3 and d2["n_distinct_words"] == 1
+    assert d2["top_word_count"] == 3
+    assert d2["ent_num_q"] == 0  # single repeated word: zero entropy
+
+
+def test_vocab_oov_curve_invariants(spark, sf_dir):
+    """Coverage must be monotone in vocab size, types_used <= V, and the
+    largest-V row must cover every token the corpus has (the fixture
+    vocab is far under 4096 types)."""
+    from streamprocessors_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["vocab_oov_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    cov = [r.covered_tokens for r in rows]
+    assert cov == sorted(cov)
+    for r in rows:
+        assert r.n_types_used <= r.vocab_size
+        assert r.covered_tokens + r.oov_tokens == rows[-1].covered_tokens + rows[-1].oov_tokens
+    assert rows[-1].oov_tokens == 0
+
+
+def test_source_overlap_matrix_invariants(spark, sf_dir):
+    """Jaccard bounds and the complete pair spine: k sources must emit
+    exactly k(k-1)/2 rows, intersection <= min side, union >= max side."""
+    from streamprocessors_spark.plans import REGISTRY
+
+    rows = REGISTRY["source_overlap_matrix"].fn(spark, sf_dir).collect()
+    sources = {r.source_a for r in rows} | {r.source_b for r in rows}
+    k = len(sources)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r.n_inter <= min(r.n_a, r.n_b)
+        assert r.n_union >= max(r.n_a, r.n_b)
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_token_budget_plan_conserves_budget(spark, sf_dir):
+    """Floor allocation: per-source budgets sum to at most the plan
+    budget and within #sources of it; repeat factor consistent."""
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import PLAN_TOKEN_BUDGET
+
+    rows = REGISTRY["token_budget_plan"].fn(spark, sf_dir).collect()
+    total = sum(r.budget_tok for r in rows)
+    assert total <= PLAN_TOKEN_BUDGET
+    assert total > PLAN_TOKEN_BUDGET - len(rows) * max(
+        r.budget_tok for r in rows
+    )
+    for r in rows:
+        assert r.epochs_milli == (r.budget_tok * 1000) // r.n_tok
+
+
+def test_ngram_novelty_new_grams_sum_to_distinct(spark, sf_dir):
+    """New-gram counts across slices must sum to the corpus's distinct
+    3-gram count (every gram is 'new' in exactly one slice) — checked
+    against an independent DuckDB count; per-slice new <= incidences."""
+    import duckdb as _dd
+
+    from streamprocessors_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["ngram_novelty_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    con = _dd.connect()
+    n_distinct = con.sql(
+        f"""
+        SELECT count(DISTINCT g) FROM (
+          SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS ws
+                FROM '{sf_dir}/documents.parquet'),
+               unnest(range(1, len(ws) - 1)) AS t(i)
+        )
+        """
+    ).fetchone()[0]
+    con.close()
+    assert sum(r.n_new_grams for r in rows) == n_distinct
+    for r in rows:
+        assert 1 <= r.n_new_grams <= r.n_gram_rows
+
+
+def test_cluster_size_histogram_covers_corpus(spark, sf_dir):
+    """Per-bucket doc mass must sum to the corpus size (every document
+    is in exactly one cluster, singletons included)."""
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.session import read_table
+
+    rows = REGISTRY["dedup_cluster_size_histogram"].fn(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.lo_size <= r.hi_size
+
+
+def test_embedding_outlier_panel_shape(spark, sf_dir):
+    """Ranks are dense 1..min(topk, cell size) per cell and the panel's
+    cos_q is the cell's minimum (the least-central members)."""
+    from collections import defaultdict
+
+    from streamprocessors_spark.plans import REGISTRY
+    from streamprocessors_spark.plans.llm_ops import OUTLIER_TOPK
+
+    rows = REGISTRY["embedding_outlier_topk"].fn(spark, sf_dir).collect()
+    by_cell = defaultdict(list)
+    for r in rows:
+        by_cell[r.cell].append(r)
+    for cell, rs in by_cell.items():
+        ranks = sorted(x.outlier_rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= OUTLIER_TOPK
+        ordered = sorted(rs, key=lambda x: x.outlier_rank)
+        cqs = [x.cos_q for x in ordered]
+        assert cqs == sorted(cqs)
