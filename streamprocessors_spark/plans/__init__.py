@@ -169,6 +169,7 @@ _DEFER_PAST_GREEN: frozenset[str] = frozenset({
     "ngram_novelty_curve",
     "dedup_cluster_size_histogram",
     "embedding_outlier_topk",
+    "snapshot_delta_report",
 })
 
 

@@ -684,3 +684,89 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " as jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta report: the crawl-refresh diff every periodically-
+# re-crawled corpus computes before reprocessing (CommonCrawl dumps,
+# lakehouse CDC) — which documents a new snapshot ADDED, REMOVED,
+# CHANGED, or left identical, rolled up per source. The fixture is one
+# snapshot, so the PREVIOUS snapshot is synthesized deterministically
+# (the PII-plant/HTML-synthesis device): v0 = every doc except
+# doc_id % 5 = 0 (those are "new in v1"), minus doc_id % 11 = 3 (those
+# were "removed" -> present only in v0), with doc_id % 7 = 0 texts
+# carrying a v0-only suffix (those diff as "changed"). Both engines
+# derive v0 from the same expression text, and the DIFF LOGIC never
+# consults the synthesis rules — it is a pure full-outer-join + content
+# hash compare that works on any two snapshots.
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_v0_cte(d: str) -> str:
+    """The synthesized previous snapshot (doc_id, source, text)."""
+    return (
+        "SELECT doc_id, source,"
+        " CASE WHEN doc_id % 7 = 0 THEN text || ' [v0-revision]'"
+        " ELSE text END AS text"
+        " FROM documents"
+        " WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 3"
+    )
+
+
+@register(
+    "snapshot_delta_report",
+    oracle=f"""
+    WITH v0 AS ({_snapshot_v0_cte(DUCK)}),
+    v1 AS (SELECT doc_id, source, text FROM documents
+           WHERE doc_id % 11 <> 3),
+    d AS (
+      SELECT coalesce(v1.doc_id, v0.doc_id) AS doc_id,
+             coalesce(v1.source, v0.source) AS source,
+             CASE
+               WHEN v0.doc_id IS NULL THEN 'added'
+               WHEN v1.doc_id IS NULL THEN 'removed'
+               WHEN md5(v1.text) <> md5(v0.text) THEN 'changed'
+               ELSE 'same'
+             END AS delta
+      FROM v1 FULL OUTER JOIN v0 ON v0.doc_id = v1.doc_id
+    )
+    SELECT source, delta, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY source, delta
+    """,
+    doc="Snapshot-to-snapshot delta report (the crawl-refresh / CDC "
+    "diff run before any incremental reprocessing): per source, how "
+    "many documents the new snapshot added, removed, changed, or left "
+    "byte-identical — membership by full outer join on doc_id, change "
+    "detection by content md5 (never by trusting metadata). The "
+    "previous snapshot is synthesized deterministically from the "
+    "fixture (v1-only docs, v0-only docs, v0-revised texts — every "
+    "delta class planted); the diff logic itself is snapshot-agnostic. "
+    "Scale shape: ONE full outer sort-merge join on the id (both "
+    "sides shuffle once on doc_id — at 100 TB both snapshots are "
+    "id-bucketed so this co-locates scan-side), md5 comparison is "
+    "scan-local, and the report is a map-side-combined rollup to "
+    "sources x 4 cells.",
+    tags=("dq", "corpus", "pipeline", "llm"),
+)
+def snapshot_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("sp_snapshot_documents")
+    v0 = spark.sql(
+        _snapshot_v0_cte(SPARK).replace("FROM documents",
+                                        "FROM sp_snapshot_documents")
+    ).selectExpr("doc_id as id0", "source as src0", "md5(text) as h0")
+    v1 = docs.where("doc_id % 11 != 3").selectExpr(
+        "doc_id as id1", "source as src1", "md5(text) as h1"
+    )
+    return (
+        v1.join(v0, F.col("id1") == F.col("id0"), "full_outer")
+        .selectExpr(
+            "coalesce(src1, src0) as source",
+            "case when id0 is null then 'added'"
+            " when id1 is null then 'removed'"
+            " when h1 <> h0 then 'changed'"
+            " else 'same' end as delta",
+        )
+        .groupBy("source", "delta")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_docs"))
+    )
