@@ -1462,6 +1462,9 @@ def stream_tokenized_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if not state["frames"]:  # empty stream -> empty bins, same schema
+        empty = read_table(spark, sf_dir, "documents").limit(0)
+        return packing_bins(packing_positions(empty, seq))
     g = state["frames"][0]
     for f in state["frames"][1:]:
         g = g.unionByName(f)

@@ -675,6 +675,62 @@ def main() -> None:
 
     timed("cluster_balanced_sample", _cbs_count)
 
+    # snapshot diff: ONE full-outer sort-merge join on doc_id + scan-
+    # local md5 compare — the smoke pins that the join stays the only
+    # exchange at any snapshot size
+    def _snapshot_delta_count():
+        v0 = docs.where("doc_id % 5 <> 0 AND doc_id % 11 <> 3").selectExpr(
+            "doc_id as id0",
+            "source as src0",
+            "md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v0-revision]'"
+            " ELSE text END) as h0",
+        )
+        v1 = docs.where("doc_id % 11 != 3").selectExpr(
+            "doc_id as id1", "source as src1", "md5(text) as h1"
+        )
+        return (
+            v1.join(v0, F.col("id1") == F.col("id0"), "full_outer")
+            .selectExpr(
+                "coalesce(src1, src0) as source",
+                "case when id0 is null then 'added'"
+                " when id1 is null then 'removed'"
+                " when h1 <> h0 then 'changed' else 'same' end as delta",
+            )
+            .groupBy("source", "delta")
+            .count()
+            .count()
+        )
+
+    timed("snapshot_delta_report", _snapshot_delta_count)
+
+    # corpus novelty curve: shingle hash explode + one min-aggregate —
+    # the first-occurrence framing must not add a second corpus pass
+    from streamprocessors_spark.plans.llm_ops import NOVELTY_BINS
+
+    def _novelty_count():
+        sh = (
+            docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+            .selectExpr(
+                "doc_id", f"explode({TP.shingles(SPARK, 'ws')}) as gram"
+            )
+            .selectExpr("doc_id", f"{D.md5int(SPARK, 'gram')} as h")
+        )
+        mx = docs.agg(F.expr("max(doc_id)").alias("mxid"))
+        per = sh.crossJoin(F.broadcast(mx)).selectExpr(
+            "h",
+            f"cast((doc_id * {NOVELTY_BINS}) div (mxid + 1) as int)"
+            " as bucket",
+        )
+        return (
+            per.groupBy("h")
+            .agg(F.min("bucket").alias("bucket"))
+            .groupBy("bucket")
+            .count()
+            .count()
+        )
+
+    timed("ngram_novelty_curve", _novelty_count)
+
     result = {
         "sf_dir": sf_dir,
         "multiplier": mult,
