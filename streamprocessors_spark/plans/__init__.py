@@ -170,6 +170,7 @@ _DEFER_PAST_GREEN: frozenset[str] = frozenset({
     "dedup_cluster_size_histogram",
     "embedding_outlier_topk",
     "snapshot_delta_report",
+    "train_eval_split_leakage",
 })
 
 

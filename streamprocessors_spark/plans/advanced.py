@@ -766,3 +766,95 @@ def _wire_attrition_oracle() -> None:
 
 
 _wire_attrition_oracle()
+
+
+@register(
+    "train_eval_split_leakage",
+    oracle=None,  # wired below: wraps dedup_keep_list's oracle
+    doc="Train/eval split leakage audit — the check every held-out split "
+    "needs AFTER near-dup clustering (an eval document whose near-dup "
+    "cluster contains a train member is contaminated even though exact "
+    "dedup passed; Lee et al. '21 / GPT-3 appendix C both document this "
+    "failure class): a deterministic ~10% eval split (the md5(doc_id) "
+    "reproducible-sampling primitive), leaky = the eval doc's keep-list "
+    "canonical cluster also contains a train doc, rolled up per source "
+    "with the 6dp-floored leak fraction. Composes the registered "
+    "dedup_keep_list unchanged. Scale shape: the cluster labels are the "
+    "already-materialized keep-list; train-cluster ids are a distinct "
+    "projection; the leak test is one semi-join-shaped left join on "
+    "canonical + a sources x 1 rollup.",
+    tags=("dedup", "quality", "pipeline", "llm"),
+)
+def train_eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import _doc_hash
+    from streamprocessors_spark.functions.dialect import SPARK as _SP
+
+    labels = dedup_keep_list(spark, sf_dir).select("doc_id", "canonical")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = labels.join(docs, "doc_id").selectExpr(
+        "doc_id", "source", "canonical",
+        f"cast({_doc_hash(_SP)} % 10 = 0 as int) as is_eval",
+    )
+    train_clusters = (
+        lab.where("is_eval = 0").select("canonical").distinct()
+        .withColumnRenamed("canonical", "tcan")
+    )
+    ev = lab.where("is_eval = 1").join(
+        train_clusters, F.col("canonical") == F.col("tcan"), "left"
+    )
+    return (
+        ev.selectExpr(
+            "source", "cast(tcan is not null as int) as leaky"
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("n_eval"),
+            F.expr("cast(sum(leaky) as bigint)").alias("n_leaky"),
+        )
+        .selectExpr(
+            "source",
+            "n_eval",
+            "n_leaky",
+            D.floor_round(
+                SPARK,
+                "cast(n_leaky as double) / cast(n_eval as double)",
+                6,
+            )
+            + " as leak_frac",
+        )
+    )
+
+
+def _wire_leakage_oracle() -> None:
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    # the hash must name a qualified column here (kl x documents join)
+    ehash = D.md5int(DUCK, "k.doc_id::VARCHAR")
+    REGISTRY["train_eval_split_leakage"].oracle = f"""
+    WITH kl AS (
+      {REGISTRY["dedup_keep_list"].oracle}
+    ),
+    lab AS (
+      SELECT k.doc_id, d.source, k.canonical,
+             CAST({ehash} % 10 = 0 AS INT) AS is_eval
+      FROM kl k JOIN documents d ON d.doc_id = k.doc_id
+    ),
+    tc AS (
+      SELECT DISTINCT canonical FROM lab WHERE is_eval = 0
+    ),
+    ev AS (
+      SELECT l.source,
+             CAST(tc.canonical IS NOT NULL AS INT) AS leaky
+      FROM lab l LEFT JOIN tc ON tc.canonical = l.canonical
+      WHERE l.is_eval = 1
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(leaky) AS BIGINT) AS n_leaky,
+           {D.floor_round(DUCK,
+             "CAST(sum(leaky) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+             AS leak_frac
+    FROM ev GROUP BY source
+    """
+
+
+_wire_leakage_oracle()
