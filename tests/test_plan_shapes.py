@@ -650,3 +650,70 @@ def test_sq8_distance_scan_broadcasts_probes(spark, sf_dir):
     p = _plan(spark, sf_dir, "ann_sq8_topk")
     assert "BroadcastHashJoin" in p
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_quality_signals_zero_exchange_no_python(spark, sf_dir):
+    """The wide signal table's 100 TB contract: a pure projection that
+    pipelines inside the scan — no exchange, no Python stages."""
+    p = _plan(spark, sf_dir, "quality_signals_table")
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEvalPython" not in p
+
+
+def test_vocab_oov_topk_is_takeordered(spark, sf_dir):
+    """The coverage curve must rank via TakeOrdered(AndProject), never a
+    global Sort over the vocabulary."""
+    p = _plan(spark, sf_dir, "vocab_oov_curve")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cluster_balanced_sample_windowgrouplimit(spark, sf_dir):
+    """The per-cluster draw must push rank <= k map-side: both Partial
+    and Final WindowGroupLimit nodes present, so no task ever sorts a
+    full cell."""
+    p = _plan(spark, sf_dir, "cluster_balanced_sample")
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p and "Final" in p
+
+
+def test_embedding_outlier_windowgrouplimit(spark, sf_dir):
+    p = _plan(spark, sf_dir, "embedding_outlier_topk")
+    assert "WindowGroupLimit" in p
+
+
+def test_source_overlap_hashes_before_distinct_exchange(spark, sf_dir):
+    """The overlap matrix's corpus exchange must carry 60-bit hash ints,
+    not gram strings: the distinct's HashAggregate keys on the md5-derived
+    BIGINT column (conv(...) appears below the exchange, in the scan-side
+    projection)."""
+    p = _plan(spark, sf_dir, "source_overlap_matrix")
+    assert "conv(" in p  # the md5int projection exists scan-side
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_snapshot_delta_single_fullouter_join(spark, sf_dir):
+    """The CDC diff is ONE full-outer join on the id; md5 compares are
+    scan-local (no second join, no Python)."""
+    p = _plan(spark, sf_dir, "snapshot_delta_report")
+    # the formatted plan names the join once in the tree and once in the
+    # node detail — one physical join, two mentions
+    assert p.count("Join type: FullOuter") == 1
+    assert "Python" not in p
+
+
+def test_token_budget_plan_no_corpus_window(spark, sf_dir):
+    """The budget plan is aggregate-shaped: no window function at all
+    (the isqrt correction is pure scalar arithmetic)."""
+    p = _plan(spark, sf_dir, "token_budget_plan")
+    assert "Window" not in p
+    assert "Python" not in p
+
+
+def test_doc_token_length_histogram_single_pass(spark, sf_dir):
+    """One stateless projection + one aggregate: a single exchange (the
+    bucket groupBy), nothing else."""
+    p = _plan(spark, sf_dir, "doc_token_length_histogram")
+    assert "Python" not in p
+    # bucket rollup is the only exchange (AQE may add a read, count the
+    # shuffle writes)
+    assert p.count("Exchange hashpartitioning") <= 2
