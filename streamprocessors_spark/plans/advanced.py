@@ -710,6 +710,9 @@ def cascade_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
+    # sources x stages-sized; localCheckpoint pins it so the per-source
+    # totals and the final join share ONE cascade run instead of
+    # executing the full three-stage pipeline twice
     per = (
         v.join(meta, "doc_id")
         .selectExpr(
@@ -722,6 +725,7 @@ def cascade_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(count(*) as bigint)").alias("n_docs"),
             F.expr("cast(sum(n_chars) as bigint)").alias("n_chars"),
         )
+        .localCheckpoint()
     )
     stot = per.groupBy("source").agg(
         F.expr("cast(sum(n_docs) as bigint)").alias("src_docs")
@@ -791,10 +795,13 @@ def train_eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = dedup_keep_list(spark, sf_dir).select("doc_id", "canonical")
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # one thin row per corpus doc; localCheckpoint pins it so the
+    # train-cluster projection and the eval leg share ONE keep-list run
+    # (the "already-materialized keep-list" the doc promises)
     lab = labels.join(docs, "doc_id").selectExpr(
         "doc_id", "source", "canonical",
         f"cast({_doc_hash(_SP)} % 10 = 0 as int) as is_eval",
-    )
+    ).localCheckpoint()
     train_clusters = (
         lab.where("is_eval = 0").select("canonical").distinct()
         .withColumnRenamed("canonical", "tcan")

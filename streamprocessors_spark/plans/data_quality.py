@@ -637,12 +637,17 @@ def _source_shingle_cte(d: str) -> str:
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.functions import textprep as TP
 
+    # deduped (source, h): <= sources x shingle-vocab rows, << the raw
+    # incidences; localCheckpoint pins it so the per-source sizes and
+    # BOTH legs of the intersection self-join share ONE corpus
+    # shingle+distinct pass instead of re-running it three times
     sh = (
         read_table(spark, sf_dir, "documents")
         .selectExpr("source", f"{D.words(SPARK)} as ws")
         .selectExpr("source", f"explode({TP.shingles(SPARK, 'ws')}) as gram")
         .selectExpr("source", f"{D.md5int(SPARK, 'gram')} as h")
         .distinct()
+        .localCheckpoint()
     )
     # bounded: sz is one row per source (the fixture has a handful; any
     # real lake has at most thousands of named sources)

@@ -8048,11 +8048,15 @@ OOV_VOCAB_SIZES = (16, 64, 256, 1024, 4096)
     tags=("text", "tokenizer", "llm"),
 )
 def vocab_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocab-sized; localCheckpoint pins the corpus word count so the
+    # top-V ranking and the token total share ONE corpus scan (the
+    # counted-vocab caching device text_rarity_score introduced)
     wc = (
         _docs(spark, sf_dir)
         .selectExpr(f"explode({D.words(SPARK)}) as word")
         .groupBy("word")
         .agg(F.expr("cast(count(*) as bigint)").alias("c"))
+        .localCheckpoint()
     )
     top = wc.orderBy(F.col("c").desc(), "word").limit(max(OOV_VOCAB_SIZES))
     # bounded: `top` is at most max(OOV_VOCAB_SIZES) = 4096 rows
@@ -8240,6 +8244,9 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_tok",
             f"{_isqrt_sql('spark', 'x', 'c0')} as sqrt_q",
         )
+        # source-count-sized; pinned so the weight-sum scalar and the
+        # allocation join share one corpus token-count scan
+        .localCheckpoint()
     )
     tot = cnt.agg(F.sum("sqrt_q").alias("t"))
     return (
@@ -8345,11 +8352,24 @@ def doc_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingle_df(spark, sf_dir)
-    cand = minhash_candidate_pairs(s)
-    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nv = dedup_minhash_lsh(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("n_verified")
+    # pairs-sized; pinned so the candidate count and the verify legs
+    # share ONE banding pipeline run
+    cand = minhash_candidate_pairs(s).localCheckpoint()
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ver = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
     )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nv = ver.agg(F.count(F.lit(1)).alias("n_verified"))
     return (
         # bounded: nc and nv are single-row aggregates
         nc.crossJoin(F.broadcast(nv))
@@ -8381,8 +8401,12 @@ def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = nb_lang_classifier(spark, sf_dir).select("lang", "pred_lang")
-    cm = pred.groupBy("lang", "pred_lang").agg(
-        F.expr("cast(count(*) as bigint)").alias("n_docs")
+    # classes^2-sized; pinned so the class totals and the final join
+    # share ONE classifier run instead of re-scoring the corpus twice
+    cm = (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_docs"))
+        .localCheckpoint()
     )
     tot = cm.groupBy("lang").agg(
         F.expr("cast(sum(n_docs) as bigint)").alias("n_true")
@@ -8501,11 +8525,19 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bucket",
         )
     )
-    occ = per.groupBy("bucket").agg(
-        F.expr("cast(count(*) as bigint)").alias("n_gram_rows")
+    # ONE corpus pass collapses incidences to the (gram, bucket, count)
+    # sufficient statistic (distinct-gram x bucket rows, << incidences —
+    # the vocabulary-mass caching device); both rollups derive from it
+    hb = (
+        per.groupBy("h", "bucket")
+        .agg(F.expr("cast(count(*) as bigint)").alias("c"))
+        .localCheckpoint()
+    )
+    occ = hb.groupBy("bucket").agg(
+        F.expr("cast(sum(c) as bigint)").alias("n_gram_rows")
     )
     nw = (
-        per.groupBy("h")
+        hb.groupBy("h")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
         .agg(F.expr("cast(count(*) as bigint)").alias("n_new_grams"))

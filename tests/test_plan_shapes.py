@@ -682,13 +682,23 @@ def test_embedding_outlier_windowgrouplimit(spark, sf_dir):
 
 
 def test_source_overlap_hashes_before_distinct_exchange(spark, sf_dir):
-    """The overlap matrix's corpus exchange must carry 60-bit hash ints,
-    not gram strings: the distinct's HashAggregate keys on the md5-derived
-    BIGINT column (conv(...) appears below the exchange, in the scan-side
-    projection)."""
-    p = _plan(spark, sf_dir, "source_overlap_matrix")
-    assert "conv(" in p  # the md5int projection exists scan-side
+    """The overlap matrix's shuffled columns must be 60-bit hash ints,
+    not gram strings: the deduped (source, h) frame is computed ONCE
+    (checkpoint-pinned, so the self-join legs and the size aggregate
+    share it) and its h column is BIGINT; the pair step is a hash-based
+    equi-join."""
+    df = plans.REGISTRY["source_overlap_matrix"].fn(spark, sf_dir)
+    p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # lineage pinned: the legs read the checkpointed RDD, not 3 re-scans
+    assert "Scan ExistingRDD" in p and "Scan parquet" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # the join keys are BIGINT (the #nL attribute suffix), never strings
+    assert re.search(r"Left keys \[1\]: \[h#\d+L\]", p)
+    assert re.search(r"Right keys \[1\]: \[hb#\d+L\]", p)
 
 
 def test_snapshot_delta_single_fullouter_join(spark, sf_dir):
