@@ -623,6 +623,8 @@ def main() -> None:
     from streamprocessors_spark.functions import textprep as TP
 
     def _overlap_count():
+        # checkpoint-pinned like the registered query: ONE corpus
+        # shingle+distinct pass shared by the sizes and both join legs
         sh = (
             docs.selectExpr("source", f"{D.words(SPARK)} as ws")
             .selectExpr(
@@ -630,6 +632,7 @@ def main() -> None:
             )
             .selectExpr("source", f"{D.md5int(SPARK, 'gram')} as h")
             .distinct()
+            .localCheckpoint()
         )
         iv = (
             sh.selectExpr("source as sa", "h")
@@ -721,8 +724,15 @@ def main() -> None:
             f"cast((doc_id * {NOVELTY_BINS}) div (mxid + 1) as int)"
             " as bucket",
         )
+        # the (gram, bucket, count) sufficient statistic, pinned like
+        # the registered query, feeding both rollups
+        hb = (
+            per.groupBy("h", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
         return (
-            per.groupBy("h")
+            hb.groupBy("h")
             .agg(F.min("bucket").alias("bucket"))
             .groupBy("bucket")
             .count()
