@@ -1305,3 +1305,80 @@ def test_embedding_outlier_panel_shape(spark, sf_dir):
         ordered = sorted(rs, key=lambda x: x.outlier_rank)
         cqs = [x.cos_q for x in ordered]
         assert cqs == sorted(cqs)
+
+
+def test_cluster_balanced_sample_matches_independent_reference(spark, sf_dir):
+    """cluster_balanced_sample renders Spark and oracle from ONE SQL
+    builder, so a bug in the shared text would be green on both sides —
+    this pins the full trajectory (2 Lloyd rounds -> cent2 assignment ->
+    md5-ordered per-cell draw) against a from-scratch pure-Python
+    implementation on the N_SUB sub-corpus."""
+    import hashlib
+
+    from streamprocessors_spark.plans.llm_ops import (
+        CBS_PER_CELL,
+        _cbs_sql,
+    )
+    from streamprocessors_spark.functions.dialect import SPARK as _SP
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < {N_SUB} ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    vecs = {int(v): [float(x) for x in emb] for v, emb in rows}
+    qe = {
+        v: [_round_half_away(x * KM_SCALE) for x in emb]
+        for v, emb in vecs.items()
+    }
+
+    def assign(cents):
+        return {
+            v: max(sorted(cents), key=lambda c: (_cos_ikey(cents[c], emb), -c))
+            for v, emb in vecs.items()
+        }
+
+    def update(a):
+        sums, counts = {}, {}
+        for v, cell in a.items():
+            counts[cell] = counts.get(cell, 0) + 1
+            for dim in range(EMB_DIM):
+                sums[(cell, dim)] = sums.get((cell, dim), 0) + qe[v][dim]
+        return {
+            cell: [
+                sums[(cell, d)] / (counts[cell] * KM_SCALE)
+                for d in range(EMB_DIM)
+            ]
+            for cell in counts
+        }
+
+    cents = {c: vecs[c] for c in range(ANN_IVF_CELLS)}
+    cent1 = update(assign(cents))
+    cent2 = update(assign(cent1))
+    a3 = assign(cent2)
+
+    def skey(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    by_cell: dict[int, list[int]] = {}
+    for v, cell in a3.items():
+        by_cell.setdefault(cell, []).append(v)
+    expected = {}
+    for cell, members in by_cell.items():
+        ordered = sorted(members, key=lambda v: (skey(v), v))
+        for rank, v in enumerate(ordered[:CBS_PER_CELL], start=1):
+            expected[(cell, v)] = (rank, len(members))
+
+    from streamprocessors_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_SUB
+    ).createOrReplaceTempView("t_cbs_sub")
+    got = spark.sql(_cbs_sql(_SP, table="t_cbs_sub")).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        rank_ref, size_ref = expected[(r.cell, r.vec_id)]
+        assert r.pick == rank_ref, (r.cell, r.vec_id)
+        assert r.cell_size == size_ref, (r.cell, r.vec_id)
