@@ -1382,3 +1382,72 @@ def test_cluster_balanced_sample_matches_independent_reference(spark, sf_dir):
         rank_ref, size_ref = expected[(r.cell, r.vec_id)]
         assert r.pick == rank_ref, (r.cell, r.vec_id)
         assert r.cell_size == size_ref, (r.cell, r.vec_id)
+
+
+def test_embedding_outlier_panel_matches_independent_reference(spark, sf_dir):
+    """Same shared-SQL-builder risk as the balanced draw: recompute the
+    per-cluster outlier panel (own-centroid quantized cosine, ascending
+    top-k) from scratch in pure Python and match rows exactly."""
+    from streamprocessors_spark.plans.llm_ops import (
+        OUTLIER_TOPK,
+        _outlier_sql,
+    )
+    from streamprocessors_spark.functions.dialect import SPARK as _SP
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < {N_SUB} ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    vecs = {int(v): [float(x) for x in emb] for v, emb in rows}
+    qe = {
+        v: [_round_half_away(x * KM_SCALE) for x in emb]
+        for v, emb in vecs.items()
+    }
+
+    def assign(cents):
+        return {
+            v: max(sorted(cents), key=lambda c: (_cos_ikey(cents[c], emb), -c))
+            for v, emb in vecs.items()
+        }
+
+    def update(a):
+        sums, counts = {}, {}
+        for v, cell in a.items():
+            counts[cell] = counts.get(cell, 0) + 1
+            for dim in range(EMB_DIM):
+                sums[(cell, dim)] = sums.get((cell, dim), 0) + qe[v][dim]
+        return {
+            cell: [
+                sums[(cell, d)] / (counts[cell] * KM_SCALE)
+                for d in range(EMB_DIM)
+            ]
+            for cell in counts
+        }
+
+    cents = {c: vecs[c] for c in range(ANN_IVF_CELLS)}
+    cent2 = update(assign(update(assign(cents))))
+    a3 = assign(cent2)
+    by_cell: dict[int, list[tuple[int, int]]] = {}
+    for v, cell in a3.items():
+        by_cell.setdefault(cell, []).append(
+            (_cos_ikey(cent2[cell], vecs[v]), v)
+        )
+    expected = {}
+    for cell, scored in by_cell.items():
+        for rank, (cq, v) in enumerate(sorted(scored)[:OUTLIER_TOPK], start=1):
+            expected[(cell, v)] = (cq, rank)
+
+    from streamprocessors_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_SUB
+    ).createOrReplaceTempView("t_out_sub")
+    got = spark.sql(_outlier_sql(_SP, table="t_out_sub")).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        cq_ref, rank_ref = expected[(r.cell, r.vec_id)]
+        assert r.cos_q == cq_ref, (r.cell, r.vec_id)
+        assert r.outlier_rank == rank_ref, (r.cell, r.vec_id)
