@@ -403,6 +403,70 @@ def main() -> None:
 
     timed("stream_dedup_minhash_replay", _stream_minhash_replay)
 
+    # Ingest-time packer CATCH-UP REPLAY: the multiplied corpus lands as
+    # `mult` shard files and replays through the foreachBatch packer in
+    # bounded micro-batches — per-source token offsets carried across
+    # real batch boundaries (the stream_tokenized_packing device). Cost
+    # must stay linear in total tokens: each batch does one vocab join +
+    # two windows over ITS shard only, never a replay of earlier shards.
+    def _stream_packing_replay():
+        import shutil
+        import tempfile
+
+        from streamprocessors_spark.plans.llm_ops import (
+            _bpe_trained,
+            packing_bins,
+            packing_positions,
+        )
+
+        src = tempfile.mkdtemp(prefix="spgraft_packrep_")
+        try:
+            for k in range(mult):
+                docs0.withColumn(
+                    "doc_id", F.col("doc_id") + k * 1_000_000
+                ).coalesce(1).write.mode("append").parquet(src)
+            _m, seq = _bpe_trained(spark, sf_dir)
+            seq = seq.localCheckpoint()
+            schema = spark.read.parquet(src).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, mult // 10))
+                .parquet(src)
+            )
+            state: dict = {"offsets": {}, "frames": []}
+
+            def process(b, _i):
+                if b.isEmpty():
+                    return
+                g = packing_positions(
+                    b, seq, base_offsets=dict(state["offsets"])
+                ).localCheckpoint()
+                state["frames"].append(g)
+                for r in g.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect():
+                    state["offsets"][r["source"]] = (
+                        state["offsets"].get(r["source"], 0) + r["n"]
+                    )
+
+            ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
+            q = (
+                stream.writeStream.foreachBatch(process)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            g = state["frames"][0]
+            for f in state["frames"][1:]:
+                g = g.unionByName(f)
+            return packing_bins(g).count()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    timed("stream_tokenized_packing_replay", _stream_packing_replay)
+
     # section reassembly over the multiplied document set
     from streamprocessors_spark.operators.demux import reassemble_sections
     from streamprocessors_spark.operators.encode import document_section_streams
