@@ -232,7 +232,14 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # ONLY the stable 21-query round-1 cohort goes on the printed
+        # line: the driver captures a bounded stdout TAIL (~2 KB), and
+        # the full 110+-query map blew past it every round since r6
+        # (BENCH_r0{6,8,9}.json all record "parsed": null because the
+        # line's HEAD — metric/value — was truncated away). The full
+        # per-query map (warm + cold) lives in BENCH_LOCAL.json.
+        "queries": {n: timings[n] for n in r1_set if n in timings},
+        "n_queries": len(timings),
         "value_cold": round(sum(cold.values()), 3),
         "value_r1_set": round(
             sum(timings[n] for n in r1_set if n in timings), 3
@@ -240,20 +247,24 @@ def main() -> None:
         "calib_sec": min(calib_start, min(_calib(), _calib())),
         "sf": sf,
     }
-    # Full record (incl. per-query cold timings) goes to a file the
-    # driver's output-tail capture can't truncate; the printed line stays
-    # compact (no queries_cold, no spaces) and is emitted LAST — after
-    # spark.stop(), so no executor/AQE log lines can follow it.
+    # Full record (all warm timings + per-query cold timings) goes to a
+    # file the driver's output-tail capture can't truncate; the printed
+    # line stays compact (r1-cohort only, no spaces) and is emitted LAST
+    # — after spark.stop(), so no executor/AQE log lines can follow it.
     # (BENCH_LOCAL.json — BENCH_SELF.json is the r4-vs-r5 A/B artifact,
     # tools/bench_ab.py, which a bench run must not clobber.)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         "w",
     ) as f:
-        json.dump({**headline, "queries_cold": cold}, f, indent=1)
+        json.dump(
+            {**headline, "queries": timings, "queries_cold": cold}, f, indent=1
+        )
     spark.stop()
     sys.stdout.flush()
-    print(json.dumps(headline, separators=(",", ":")))
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 1900, f"headline line {len(line)}B risks tail truncation"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -145,33 +145,16 @@ _FORCE_RECHECK = {
     "dedup_image_keep_list": 8,
 }
 
-# Unverified queries DEFERRED past the green tail: this round's ~50-slot
-# driver window is exactly consumed by (7 new operators + every r4-stale
-# green row), so additions landed after that budget was committed would
-# otherwise evict a stale re-verification from the window (rule 3 puts
-# unverified entries first). Names here sort AFTER all green rows until
-# the driver verifies them (they stay registered, locally oracle-gated by
-# tests/test_oracle_parity.py and tools/sweep_sf.py like everything else);
-# next round they leave this set and take window slots as plain new rows.
-_DEFER_PAST_GREEN: frozenset[str] = frozenset({
-    "quality_signals_table",
-    "vocab_oov_curve",
-    "source_overlap_matrix",
-    "cluster_balanced_sample",
-    "packing_efficiency_stats",
-    "stream_tokenized_packing",
-    "token_budget_plan",
-    "doc_token_length_histogram",
-    "cascade_stage_attrition",
-    "dedup_minhash_precision",
-    "lang_id_confusion_matrix",
-    "stream_quality_signals",
-    "ngram_novelty_curve",
-    "dedup_cluster_size_histogram",
-    "embedding_outlier_topk",
-    "snapshot_delta_report",
-    "train_eval_split_leakage",
-})
+# Unverified queries DEFERRED past the green tail: an over-window-budget
+# escape hatch for additions landed after a round's ~50-slot driver
+# window is already committed (rule 3 would otherwise evict a stale
+# re-verification). Names here sort AFTER all green rows until the
+# driver verifies them (they stay registered, locally oracle-gated by
+# tests/test_oracle_parity.py and tools/sweep_sf.py like everything
+# else). EMPTY this round by design: the 17 round-9 deferrals take
+# round-10 window slots as plain never-verified rows (they sort FIRST),
+# per VERDICT r9 directive #1.
+_DEFER_PAST_GREEN: frozenset[str] = frozenset()
 
 
 def _driver_green_rounds() -> dict[str, int] | None:

@@ -481,16 +481,51 @@ def gopher_rules_docs(raw_docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _signals_occ_layers(d: str) -> list[str]:
+    """Two chained projection layers that derive the per-distinct-word
+    count array `occ` from `ws` via run-lengths over a SORTED copy:
+    O(n log n) sort + O(n) boundary scan + O(n_distinct) diffs, replacing
+    the old O(n_distinct x n) per-word filter rescan (ADVICE r9 — the
+    old shape was quadratic in document length). occ's ORDER differs
+    (sorted-word order vs first-appearance order) but both consumers
+    (arr_max, an unordered sum) are order-invariant, so every emitted
+    signal value is bit-identical to the old definition. Layered as
+    separate projections so `starts` is materialized once per row
+    (Spark's CollapseProject keeps non-cheap expressions referenced
+    more than once in their own projection, SPARK-36718; DuckDB CTE
+    layers likewise)."""
+    n = D.size(d, "ws")
+    wss = D.arr_sort(d, "ws")
+    # 1-based positions where a new run (distinct word) begins; the
+    # CASE guards element(wss, 0) from ever evaluating at i = 1
+    starts = D.filter_(
+        d,
+        D.seq1(d, n),
+        "i -> CASE WHEN i = 1 THEN true ELSE "
+        f"{D.element(d, 'wss', 'i')} <> {D.element(d, 'wss', 'i - 1')} END",
+    )
+    m = D.size(d, "starts")
+    occ = D.transform(
+        d,
+        D.seq1(d, m),
+        f"j -> (CASE WHEN j < {m} THEN {D.element(d, 'starts', 'j + 1')}"
+        f" ELSE {n} + 1 END) - {D.element(d, 'starts', 'j')}",
+    )
+    return [f"{starts} AS starts", f"{occ} AS occ"]
+
+
 def _signals_select(d: str) -> list[str]:
     """The signal battery, dialect-parametric so the Spark plan and the
     DuckDB oracle render from ONE definition (no drift). Every column is
     an exact integer: fractional signals ship as fixed-point numerators
-    (consumers divide), entropy as the 1/1024-unit log2q numerator."""
+    (consumers divide), entropy as the 1/1024-unit log2q numerator.
+    Expects the frame to carry `ws` (words), `wss` (sorted words, unused
+    here but feeds the occ layers), and `occ` (per-distinct-word counts,
+    _signals_occ_layers)."""
     from streamprocessors_spark.plans.llm_ops import STOPWORDS, _log2q
 
     n = D.size(d, "ws")
-    dist = D.distinct(d, "ws")
-    n_distinct = D.size(d, dist)
+    n_distinct = D.size(d, "occ")
     n_stop = D.size(
         d,
         D.filter_(d, "ws", f"x -> {D.contains(d, D.str_array(d, STOPWORDS), 'x')}"),
@@ -503,9 +538,7 @@ def _signals_select(d: str) -> list[str]:
     grams = D.transform(d, idx, f"i -> {gram}")
     n_grams = D.size(d, grams)
     n_dist_grams = D.size(d, D.distinct(d, grams))
-    occ = D.transform(
-        d, dist, f"w -> {D.size(d, D.filter_(d, 'ws', 'x -> x = w'))}"
-    )
+    occ = "occ"
     sum_clog = D.agg_sum_bigint(d, occ, "c", f"c * {_log2q(d, 'c')}")
     n_digits = D.regexp_all_count(d, "text", "[0-9]")
     n_punct = D.regexp_all_count(d, "lower(text)", "[^a-z0-9 ]")
@@ -534,15 +567,40 @@ def _signals_select(d: str) -> list[str]:
     ]
 
 
+def signals_docs(raw_docs: DataFrame) -> DataFrame:
+    """Docs-frame-parameterized signal pipeline (shared by the batch
+    query, the streaming twin, the scale smoke, and the hand-labeled
+    fixture test): ws -> length filter -> sorted copy -> run starts ->
+    occ -> signal battery, all chained scan-local projections."""
+    starts_def, occ_def = _signals_occ_layers(SPARK)
+    return (
+        raw_docs.selectExpr(
+            "doc_id", "lang", "source", "n_chars", "text",
+            f"{D.words(SPARK)} as ws",
+        )
+        .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
+        .selectExpr("*", f"{D.arr_sort(SPARK, 'ws')} AS wss")
+        .selectExpr("*", starts_def)
+        .selectExpr("*", occ_def)
+        .selectExpr(
+            *[c.replace(" AS ", " as ") for c in _signals_select(SPARK)]
+        )
+    )
+
+
 @register(
     "quality_signals_table",
     oracle=f"""
     WITH w AS (
       SELECT doc_id, lang, source, n_chars, text, {D.words(DUCK)} AS ws
       FROM documents
-    )
+    ),
+    w1 AS (SELECT *, {D.arr_sort(DUCK, "ws")} AS wss FROM w
+           WHERE {D.size(DUCK, "ws")} >= 2),
+    w2 AS (SELECT *, {_signals_occ_layers(DUCK)[0]} FROM w1),
+    w3 AS (SELECT *, {_signals_occ_layers(DUCK)[1]} FROM w2)
     SELECT {", ".join(_signals_select(DUCK))}
-    FROM w WHERE {D.size(DUCK, "ws")} >= 2
+    FROM w3
     """,
     doc="The wide per-document signal table a curation pipeline "
     "materializes NEXT TO the corpus before any filtering decision "
@@ -559,15 +617,7 @@ def _signals_select(d: str) -> list[str]:
     tags=("text", "quality", "llm"),
 )
 def quality_signals_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        read_table(spark, sf_dir, "documents")
-        .selectExpr("doc_id", "lang", "source", "n_chars", "text",
-                    f"{D.words(SPARK)} as ws")
-        .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
-        .selectExpr(
-            *[c.replace(" AS ", " as ") for c in _signals_select(SPARK)]
-        )
-    )
+    return signals_docs(read_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -698,9 +748,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CHANGED, or left identical, rolled up per source. The fixture is one
 # snapshot, so the PREVIOUS snapshot is synthesized deterministically
 # (the PII-plant/HTML-synthesis device): v0 = every doc except
-# doc_id % 5 = 0 (those are "new in v1"), minus doc_id % 11 = 3 (those
-# were "removed" -> present only in v0), with doc_id % 7 = 0 texts
-# carrying a v0-only suffix (those diff as "changed"). Both engines
+# doc_id % 5 = 0 (those are "new in v1"); v1 drops doc_id % 11 = 3
+# (those are "removed" -> present only in v0); doc_id % 7 = 0 texts
+# carry a v0-only suffix (those diff as "changed"). Both engines
 # derive v0 from the same expression text, and the DIFF LOGIC never
 # consults the synthesis rules — it is a pure full-outer-join + content
 # hash compare that works on any two snapshots.
@@ -708,13 +758,19 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _snapshot_v0_cte(d: str) -> str:
-    """The synthesized previous snapshot (doc_id, source, text)."""
+    """The synthesized previous snapshot (doc_id, source, text).
+
+    v0 keeps the doc_id % 11 = 3 docs that v1 EXCLUDES — those are the
+    v0-only 'removed' class (ADVICE r9: excluding them from both sides
+    made 'removed' unreachable); doc_id % 5 = 0 docs are v1-only
+    ('added'); doc_id % 7 = 0 texts carry a v0-only suffix ('changed').
+    """
     return (
         "SELECT doc_id, source,"
         " CASE WHEN doc_id % 7 = 0 THEN text || ' [v0-revision]'"
         " ELSE text END AS text"
         " FROM documents"
-        " WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 3"
+        " WHERE doc_id % 5 <> 0"
     )
 
 

@@ -1874,6 +1874,8 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("cnt").alias("n_occurrences"))
     )
+    # bounded: pairs is the adjacent-symbol-pair inventory — vocabulary-
+    # derived (distinct corpus words x within-word adjacencies), << corpus
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -4143,6 +4145,8 @@ def _rank_two_level(
     offsets = counts.withColumn(
         "off",
         F.coalesce(
+            # bounded: counts is one row per range-partition id — shuffle-
+            # partition-count-sized, independent of corpus rows
             F.sum("nk").over(
                 Window.orderBy("part").rowsBetween(
                     Window.unboundedPreceding, -1
@@ -6095,9 +6099,9 @@ def _ulm_final_pieces(vocab: DataFrame, em: DataFrame) -> DataFrame:
     """Prune to the ULM_KEEP most frequent EM pieces, then union the
     single-character fallback (chars keep their EM count, or 1 if EM
     dropped them) so every word stays segmentable (Kudo '18 coverage)."""
+    # bounded: the EM piece inventory is vocabulary-derived and already
+    # tiny; rank only to take the top ULM_KEEP
     w = Window.orderBy(F.col("cnt").desc(), "piece")
-    # bounded window: the EM piece inventory is vocabulary-derived and
-    # already tiny; rank only to take the top ULM_KEEP
     topk = (
         em.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= ULM_KEEP)
@@ -6612,6 +6616,7 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = wc.orderBy(F.desc("cnt"), "word").limit(ZIPF_TOP)
     ranked = top.withColumn(
         "rank",
+        # bounded: top is LIMIT ZIPF_TOP rows before the window
         F.row_number().over(Window.orderBy(F.desc("cnt"), "word")),
     )
     q = ranked.selectExpr(
@@ -7551,6 +7556,8 @@ def packing_positions(
         .agg(F.sum("cnt").alias("freq"))
         .withColumn(
             "id",
+            # bounded: the SYMBOL table — distinct BPE symbols, vocab-
+            # sized, << corpus; dense deterministic ids need total order
             F.row_number()
             .over(Window.orderBy(F.col("freq").desc(), "sym"))
             .cast("bigint"),
@@ -7914,6 +7921,8 @@ def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("freq"))
         .withColumn(
             "id",
+            # bounded: the SYMBOL table — distinct BPE symbols, vocab-
+            # sized, << corpus; dense deterministic ids need total order
             F.row_number()
             .over(Window.orderBy(F.col("freq").desc(), "sym"))
             .cast("bigint"),
@@ -8195,7 +8204,7 @@ PLAN_TOKEN_BUDGET = 10_000_000  # training tokens to allocate across sources
       SELECT source, n_tok, n_tok * {TEMP_SCALE} AS x,
              CAST(sqrt(CAST(n_tok * {TEMP_SCALE} AS DOUBLE)) AS BIGINT)
                AS c0
-      FROM cnt
+      FROM cnt WHERE n_tok > 0
     ),
     sq AS MATERIALIZED (
       SELECT source, n_tok, {_isqrt_sql("duck", "x", "c0")} AS sqrt_q
@@ -8233,6 +8242,13 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source")
         .agg(F.expr("cast(sum(tok) as bigint)").alias("n_tok"))
+        # zero-token sources carry no allocatable weight AND would make
+        # the epochs_milli division engine-divergent (Spark: NULL,
+        # DuckDB: error); x = n_tok * 1e6 bounds n_tok < ~9.2e12 per
+        # source before BIGINT overflow — ~37 TB of 4-byte tokens in ONE
+        # named source, documented as the supported ceiling (same device
+        # as lang_temperature_weights, whose doc-count analogue is safe)
+        .where("n_tok > 0")
         .selectExpr(
             "source",
             "n_tok",

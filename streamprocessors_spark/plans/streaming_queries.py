@@ -1402,6 +1402,144 @@ def _wire_stream_html_oracle() -> None:
 _wire_stream_html_oracle()
 
 
+def ingest_packed_bins(
+    stream_df: DataFrame, seq: DataFrame, state: dict | None = None
+) -> DataFrame:
+    """Run a document stream through the bounded-state ingest packer and
+    return the drained (source, bin, n_tokens, n_docs, n_seps, fp) frame.
+
+    State across micro-batches is BOUNDED (VERDICT r9 #3 — the old shape
+    appended every batch's positioned frame and unioned them at drain,
+    unbounded for a continuous ingest): per source, only the standing
+    token offset and the OPEN bin's partial aggregate
+    (n_tokens/n_docs/n_seps/partial_fp) survive a batch. That suffices
+    because every bin statistic is batch-accumulable — counts sum, and
+    the Rabin-Karp fingerprint sum(id*B^(gpos%W)) mod M is a mod-sum, so
+    partials from different batches ADD — and doc sets of different
+    batches are disjoint (a document arrives whole in one shard), so
+    per-bin distinct-doc counts sum too. CLOSED bins (every bin below a
+    source's open bin) are emitted to an append-only parquet sink the
+    moment their batch completes them — the true continuous-ingest
+    contract: a full context ships when it fills, and drain-time work is
+    the sink scan plus at most one literal row per source, independent
+    of how many batches replayed. The sink and checkpoint dirs are
+    removed after the drained frame is localCheckpoint-materialized (no
+    per-invocation /tmp residue). ``state`` (optional, default internal)
+    lets tests inspect the carried state and pin its boundedness."""
+    import shutil
+    import tempfile
+
+    from streamprocessors_spark.plans.llm_ops import (
+        _FP_MOD,
+        _PACK_W,
+        packing_bins,
+        packing_positions,
+    )
+
+    spark = stream_df.sparkSession
+    if state is None:
+        state = {}
+    state.update({"offsets": {}, "partials": {}, "wrote": False})
+    sink = tempfile.mkdtemp(prefix="spgraft_packsink_")
+    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
+    part_schema = (
+        "source string, bin bigint, n_tokens bigint, n_docs bigint,"
+        " n_seps bigint, fp bigint"
+    )
+
+    def _partial_rows() -> list[tuple]:
+        return [
+            (s, b, nt, nd, ns, fp)
+            for s, (b, nt, nd, ns, fp) in sorted(state["partials"].items())
+        ]
+
+    def process(batch_df, _batch_id) -> None:
+        if batch_df.isEmpty():
+            return
+        g = packing_positions(
+            batch_df, seq, base_offsets=dict(state["offsets"])
+        )
+        # per-(source, bin) partials of THIS batch — packing_bins is
+        # already the accumulable form; localCheckpoint pins it once for
+        # the three consumers below (offset roll, closed write, open
+        # collect) and truncates the per-batch lineage
+        b = packing_bins(g).localCheckpoint()
+        # bounded collect: one row per source present in the batch —
+        # the standing next-offset per source
+        for r in b.groupBy("source").agg(
+            F.sum("n_tokens").alias("n")
+        ).collect():
+            state["offsets"][r["source"]] = (
+                state["offsets"].get(r["source"], 0) + int(r["n"])
+            )
+        # fold the carried open partials into this batch's bins
+        if state["partials"]:
+            prev = spark.createDataFrame(_partial_rows(), part_schema)
+            b = (
+                b.unionByName(prev)
+                .groupBy("source", "bin")
+                .agg(
+                    F.expr("cast(sum(n_tokens) as bigint)").alias("n_tokens"),
+                    F.expr("cast(sum(n_docs) as bigint)").alias("n_docs"),
+                    F.expr("cast(sum(n_seps) as bigint)").alias("n_seps"),
+                    F.expr(f"cast(sum(fp) % {_FP_MOD} as bigint)").alias("fp"),
+                )
+            )
+        # a source's open bin is the one its next token lands in; on an
+        # exact boundary nothing is open (sentinel -1 never matches)
+        open_map = [
+            (s, (off // _PACK_W) if off % _PACK_W else -1)
+            for s, off in sorted(state["offsets"].items())
+        ]
+        # bounded: one row per named corpus source (the open-bin map)
+        om = F.broadcast(
+            spark.createDataFrame(open_map, "source string, open_bin bigint")
+        )
+        b = b.join(om, "source", "left").localCheckpoint()
+        closed = b.where("open_bin is null or bin <> open_bin").select(
+            "source", "bin", "n_tokens", "n_docs", "n_seps", "fp"
+        )
+        closed.write.mode("append").parquet(sink)
+        state["wrote"] = True
+        # bounded collect: at most one open-bin row per source
+        state["partials"] = {
+            r["source"]: (
+                int(r["bin"]), int(r["n_tokens"]), int(r["n_docs"]),
+                int(r["n_seps"]), int(r["fp"]),
+            )
+            for r in b.where("bin = open_bin").collect()
+        }
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not state["wrote"]:  # empty stream -> empty bins, same schema
+            empty = stream_df.sparkSession.createDataFrame([], part_schema)
+            return empty.select(
+                "source", "bin", "n_tokens", "n_docs", "n_seps", "fp"
+            )
+        out = spark.read.parquet(sink).select(
+            "source", "bin", "n_tokens", "n_docs", "n_seps", "fp"
+        )
+        if state["partials"]:
+            out = out.unionByName(
+                spark.createDataFrame(_partial_rows(), part_schema)
+            )
+        # bins-sized (corpus_tokens / W rows); materialize so the temp
+        # sink can be removed before the caller ever runs an action
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+
 @register(
     "stream_tokenized_packing",
     oracle=None,  # wired below: shares tokenized_context_packing's oracle
@@ -1411,13 +1549,14 @@ _wire_stream_html_oracle()
     "tokenizer artifact every serving path shares), and each arriving "
     "shard's tokens are assigned their GLOBAL per-source stream "
     "positions immediately — a per-source token offset carried across "
-    "micro-batches (source-count-sized driver state; the batch's "
-    "positioned tokens are localCheckpoint-pinned so batch k never "
-    "replays 1..k-1) — which is exactly what lets full contexts ship "
-    "the moment a bin fills instead of waiting for the corpus to "
-    "close. Bins + Rabin-Karp fingerprints are the drain read-out over "
-    "the positioned union (the packing_bins half, shared verbatim with "
-    "the batch query). Divergence contract: hash-matches the batch "
+    "micro-batches — and every CLOSED bin ships to an append-only sink "
+    "the moment its batch completes it, with only each source's OPEN "
+    "bin partial (token/doc/sep counts + the accumulable mod-sum "
+    "Rabin-Karp partial) carried as driver state, so state stays "
+    "source-count-sized and drain-time work is independent of batch "
+    "count (VERDICT r9 #3). Per-batch bins come from packing_bins, "
+    "shared verbatim with the batch query. Divergence contract: "
+    "hash-matches the batch "
     "oracle when shards arrive in doc_id order per source (file order "
     "here); out-of-order arrival packs the tokens at the offsets of "
     "their arrival, as a real ingest-time packer must. Cross-batch "
@@ -1425,50 +1564,10 @@ _wire_stream_html_oracle()
     tags=("streaming", "pack", "llm", "tokenizer"),
 )
 def stream_tokenized_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from streamprocessors_spark.plans.llm_ops import (
-        _bpe_trained,
-        packing_bins,
-        packing_positions,
-    )
+    from streamprocessors_spark.plans.llm_ops import _bpe_trained
 
     _merges, seq = _bpe_trained(spark, sf_dir)
-    state: dict = {"offsets": {}, "frames": []}
-
-    def process(batch_df, _batch_id) -> None:
-        if batch_df.isEmpty():
-            return
-        g = packing_positions(
-            batch_df, seq, base_offsets=dict(state["offsets"])
-        ).localCheckpoint()
-        state["frames"].append(g)
-        # bounded collect: one row per source present in the batch —
-        # the standing next-offset per source
-        for r in g.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect():
-            state["offsets"][r["source"]] = (
-                state["offsets"].get(r["source"], 0) + r["n"]
-            )
-
-    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
-    q = (
-        stream_documents(spark, sf_dir)
-        .writeStream.foreachBatch(process)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if not state["frames"]:  # empty stream -> empty bins, same schema
-        empty = read_table(spark, sf_dir, "documents").limit(0)
-        return packing_bins(packing_positions(empty, seq))
-    g = state["frames"][0]
-    for f in state["frames"][1:]:
-        g = g.unionByName(f)
-    return packing_bins(g)
+    return ingest_packed_bins(stream_documents(spark, sf_dir), seq)
 
 
 def _wire_stream_packing_oracle() -> None:
@@ -1496,22 +1595,11 @@ _wire_stream_packing_oracle()
     tags=("streaming", "text", "quality", "llm"),
 )
 def stream_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamprocessors_spark.functions import dialect as D
-    from streamprocessors_spark.functions.dialect import SPARK
-    from streamprocessors_spark.plans.data_quality import _signals_select
+    from streamprocessors_spark.plans.data_quality import signals_docs
 
-    docs = stream_documents(spark, sf_dir)
-    scored = (
-        docs.selectExpr(
-            "doc_id", "lang", "source", "n_chars", "text",
-            f"{D.words(SPARK)} as ws",
-        )
-        .where(F.expr(f"{D.size(SPARK, 'ws')} >= 2"))
-        .selectExpr(
-            *[c.replace(" AS ", " as ") for c in _signals_select(SPARK)]
-        )
+    return run_available_now(
+        signals_docs(stream_documents(spark, sf_dir)), output_mode="append"
     )
-    return run_available_now(scored, output_mode="append")
 
 
 def _wire_stream_signals_oracle() -> None:

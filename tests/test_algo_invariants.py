@@ -1147,9 +1147,7 @@ def test_quality_signals_hand_computed(spark):
     which renders from the same builder — this test does not)."""
     import pandas as pd
 
-    from streamprocessors_spark.functions.dialect import SPARK as _SP
-    from streamprocessors_spark.functions import dialect as D
-    from streamprocessors_spark.plans.data_quality import _signals_select
+    from streamprocessors_spark.plans.data_quality import signals_docs
 
     docs = spark.createDataFrame(
         pd.DataFrame(
@@ -1165,17 +1163,7 @@ def test_quality_signals_hand_computed(spark):
             }
         )
     )
-    out = {
-        r.doc_id: r.asDict()
-        for r in docs.selectExpr(
-            "doc_id", "lang", "source", "n_chars", "text",
-            f"{D.words(_SP)} as ws",
-        )
-        .selectExpr(
-            *[c.replace(" AS ", " as ") for c in _signals_select(_SP)]
-        )
-        .collect()
-    }
+    out = {r.doc_id: r.asDict() for r in signals_docs(docs).collect()}
     d1 = out[1]
     assert d1["n_words"] == 4
     assert d1["n_distinct_words"] == 2
@@ -1451,3 +1439,19 @@ def test_embedding_outlier_panel_matches_independent_reference(spark, sf_dir):
         cq_ref, rank_ref = expected[(r.cell, r.vec_id)]
         assert r.cos_q == cq_ref, (r.cell, r.vec_id)
         assert r.outlier_rank == rank_ref, (r.cell, r.vec_id)
+
+
+def test_snapshot_delta_all_four_classes_nonempty(spark, sf_dir):
+    """Every delta class the synthesized v0/v1 pair plants must actually
+    appear in the report (ADVICE r9: v0 and v1 both excluded the
+    doc_id % 11 = 3 docs, so 'removed' was unreachable and its branch
+    dead — v0 now keeps them)."""
+    from streamprocessors_spark import plans
+
+    plans.load_all()
+    rows = plans.REGISTRY["snapshot_delta_report"].fn(spark, sf_dir).collect()
+    by_class: dict[str, int] = {}
+    for r in rows:
+        by_class[r.delta] = by_class.get(r.delta, 0) + int(r.n_docs)
+    assert set(by_class) == {"added", "removed", "changed", "same"}
+    assert all(v > 0 for v in by_class.values())

@@ -79,3 +79,32 @@ def test_q9_source_carries_no_scaling_hints():
     q9 = src.split("def q9_product_profit", 1)[1].split("\ndef ", 1)[0]
     assert q9.count("F.broadcast") == 1
     assert "nation" in q9.split("F.broadcast", 1)[1][:60]
+
+
+def test_unannotated_global_window_fails():
+    # r9 #5: Window.orderBy with no partitionBy = single-partition window
+    root = _repo_with(
+        "w = Window.orderBy(F.col('freq').desc(), 'sym')\n"
+    )
+    probs = _annotation_hazards(root)
+    assert len(probs) == 1 and "global Window.orderBy" in probs[0]
+
+
+def test_annotated_global_window_passes():
+    root = _repo_with(
+        "# bounded: the symbol table is vocabulary-sized, << corpus\n"
+        "w = Window.orderBy(F.col('freq').desc(), 'sym')\n"
+    )
+    assert _annotation_hazards(root) == []
+
+
+def test_partitioned_window_never_flagged():
+    root = _repo_with(
+        "w = Window.partitionBy('doc_id').orderBy('wp')\n"
+    )
+    assert _annotation_hazards(root) == []
+
+
+def test_shipped_tree_passes_global_window_rule():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert [p for p in _annotation_hazards(here) if "Window" in p] == []

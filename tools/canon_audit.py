@@ -79,12 +79,26 @@ _COLLECT_RE = re.compile(r"collect_(list|set)\s*\(")
 _BROADCAST_RE = re.compile(r"\bF\.broadcast\s*\(")
 
 
+# A Window.orderBy with no partitionBy moves EVERY row of its input to ONE
+# task (WindowExec "No Partition Defined") — fine only when the input is
+# structurally bounded (a vocabulary/symbol table, a LIMIT'd top-k, a
+# partition-count frame). Every global-window site must say WHY within the
+# 6 preceding lines; SF-proportional rationales are rejected by the
+# rationale rule like everywhere else (VERDICT r9 #5).
+_GLOBAL_WINDOW_RE = re.compile(r"\bWindow\.orderBy\s*\(")
+
+
 def _annotation_hazards(root: str) -> list[str]:
     out = []
     pkg = os.path.join(root, "streamprocessors_spark")
     rules = [
         (_COLLECT_RE, "collect_list/set", "hot-key skew hazard"),
         (_BROADCAST_RE, "F.broadcast hint", "data-dependent-size hazard"),
+        (
+            _GLOBAL_WINDOW_RE,
+            "global Window.orderBy (no partitionBy)",
+            "single-partition window hazard",
+        ),
     ]
     for dirpath, _dirs, files in os.walk(pkg):
         for fn in files:

@@ -413,10 +413,9 @@ def main() -> None:
         import shutil
         import tempfile
 
-        from streamprocessors_spark.plans.llm_ops import (
-            _bpe_trained,
-            packing_bins,
-            packing_positions,
+        from streamprocessors_spark.plans.llm_ops import _bpe_trained
+        from streamprocessors_spark.plans.streaming_queries import (
+            ingest_packed_bins,
         )
 
         src = tempfile.mkdtemp(prefix="spgraft_packrep_")
@@ -433,35 +432,9 @@ def main() -> None:
                 .option("maxFilesPerTrigger", max(1, mult // 10))
                 .parquet(src)
             )
-            state: dict = {"offsets": {}, "frames": []}
-
-            def process(b, _i):
-                if b.isEmpty():
-                    return
-                g = packing_positions(
-                    b, seq, base_offsets=dict(state["offsets"])
-                ).localCheckpoint()
-                state["frames"].append(g)
-                for r in g.groupBy("source").agg(
-                    F.count(F.lit(1)).alias("n")
-                ).collect():
-                    state["offsets"][r["source"]] = (
-                        state["offsets"].get(r["source"], 0) + r["n"]
-                    )
-
-            ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
-            q = (
-                stream.writeStream.foreachBatch(process)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            g = state["frames"][0]
-            for f in state["frames"][1:]:
-                g = g.unionByName(f)
-            return packing_bins(g).count()
+            # the production bounded-state packer verbatim: closed bins
+            # ship per batch, state is per-source offset + open partial
+            return ingest_packed_bins(stream, seq).count()
         finally:
             shutil.rmtree(src, ignore_errors=True)
 
@@ -665,20 +638,10 @@ def main() -> None:
     timed("dedup_multimodal_verdict", _mm_verdict_count)
 
     # wide per-doc signal table: must stay a zero-exchange scan projection
-    from streamprocessors_spark.plans.data_quality import _signals_select
+    from streamprocessors_spark.plans.data_quality import signals_docs
 
     def _signals_count():
-        return (
-            docs.selectExpr(
-                "doc_id", "lang", "source", "n_chars", "text",
-                f"{D.words(SPARK)} as ws",
-            )
-            .where(f"{D.size(SPARK, 'ws')} >= 2")
-            .selectExpr(
-                *[c.replace(" AS ", " as ") for c in _signals_select(SPARK)]
-            )
-            .count()
-        )
+        return signals_docs(docs).count()
 
     timed("quality_signals_table", _signals_count)
 
@@ -746,7 +709,7 @@ def main() -> None:
     # local md5 compare — the smoke pins that the join stays the only
     # exchange at any snapshot size
     def _snapshot_delta_count():
-        v0 = docs.where("doc_id % 5 <> 0 AND doc_id % 11 <> 3").selectExpr(
+        v0 = docs.where("doc_id % 5 <> 0").selectExpr(
             "doc_id as id0",
             "source as src0",
             "md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v0-revision]'"
