@@ -140,6 +140,8 @@ HEADLINE = [
     "embedding_outlier_topk",
     "snapshot_delta_report",
     "train_eval_split_leakage",
+    # round 10
+    "snapshot_incremental_dedup",
     # dedup_minhash_precision stays OUT of the headline with the other
     # measurement gates (its ground-truth-ish candidate count rides the
     # production path, but the 1-row report isn't a throughput number)

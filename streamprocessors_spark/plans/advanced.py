@@ -356,6 +356,262 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inc_dedup_oracle() -> str:
+    """Full-corpus keep-list restricted to the added docs: the incremental
+    path must produce EXACTLY the verdicts a from-scratch v1 run would."""
+    from streamprocessors_spark.plans.llm_ops import (
+        _MINHASH_ORACLE_CTES,
+        _MINHASH_VERIFY_SELECT,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_ORACLE_CTES},
+    pairs AS ({_MINHASH_VERIFY_SELECT}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS doc_id, least(u, min(v)) AS canonical
+            FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(l.canonical, d.doc_id) AS canonical,
+           CAST(COALESCE(l.canonical, d.doc_id) = d.doc_id AS INT) AS kept
+    FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+    """
+
+
+@register(
+    "snapshot_incremental_dedup",
+    oracle=_inc_dedup_oracle(),
+    doc="Incremental cross-snapshot dedup — the production recrawl path: "
+    "snapshot N+1's NEW documents are deduped against the PERSISTED "
+    "MinHash artifacts of snapshot N (its band store with per-bucket "
+    "sizes, and its keep-list labels) without re-signaturing the old "
+    "corpus. The previous snapshot is synthesized as v1 minus the "
+    "doc_id % 5 = 0 docs (snapshot_delta_report's 'added' class; "
+    "changed docs are delete+re-add upserts in a doc_id-keyed store, so "
+    "adds are the general shape). Query-time work scales with the "
+    "DELTA: only new docs are shingled/minhashed; their bands probe the "
+    "store (band,bh)-keyed — at 100 TB the store is bucket-partitioned "
+    "on disk so the probe is a partition-pruned read, modeled here by a "
+    "semi-restriction to delta-touched buckets; bucket eligibility is "
+    "stored_size + delta_adds (2..LSH_MAX_BUCKET, identical to a fresh "
+    "v1 gate); candidate pairs are delta-delta plus delta-old only; and "
+    "the label merge contracts every old endpoint to its PERSISTED v0 "
+    "canonical before a delta-sized connected-components pass. "
+    "EXACTNESS: old-old pair sets are identical in v0 and v1 (adding "
+    "docs cannot create or destroy old-only pairs), every v0 cluster is "
+    "a v1-connected set whose min IS its stored canonical, so the "
+    "contracted component min equals the full-graph min — verdicts "
+    "match a from-scratch v1 keep-list exactly, which is what the "
+    "oracle checks (full keep-list SQL restricted to added docs). "
+    "Divergence contract (documented, not exercised by the fixture): if "
+    "added docs push a previously-eligible bucket PAST the cap, stale "
+    "old-old edges from that bucket persist in the stored labels while "
+    "a fresh run would drop them; tests/test_algo_invariants.py pins "
+    "that the fixture stays on the exact side at every SF.",
+    tags=("dedup", "lsh", "iterative", "pipeline", "llm"),
+)
+def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    store, old_lab = _snapshot_store(docs.where("doc_id % 5 != 0"), par)
+    return _incremental_verdicts(
+        docs, docs.where("doc_id % 5 = 0"), store, old_lab, par
+    )
+
+
+def _incremental_verdicts(
+    docs: DataFrame,
+    delta: DataFrame,
+    store: DataFrame,
+    old_lab: DataFrame,
+    par: int,
+) -> DataFrame:
+    """The delta-scaled increment of snapshot_incremental_dedup, store
+    passed in (shared with tools/scale_smoke.py, which times the
+    increment against a FIXED delta and a growing store)."""
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        _PAIR_FILTER,
+        minhash_bands,
+        shingle_docs,
+    )
+
+    s_delta = shingle_docs(delta, par)
+    b_delta = minhash_bands(s_delta)
+    w = Window.partitionBy("band", "bh")
+    bd = (
+        b_delta.repartition(par, "band", "bh")
+        .withColumn("nd", F.count(F.lit(1)).over(w))
+        # delta-bands-sized; pinned so bucket sizing, the delta-delta
+        # self-join, and the store probe share one delta minhash pass
+        .localCheckpoint()
+    )
+    # store probe: members of delta-touched buckets only (the store is
+    # (band, bh)-partitioned at scale -> partition-pruned read)
+    touched = store.join(
+        bd.select("band", "bh").distinct(), ["band", "bh"]
+    )
+    # v1 bucket size = stored size + delta adds; the 2..cap gate on that
+    # total is IDENTICAL to the gate a fresh v1 run applies
+    n0b = touched.select("band", "bh", "n0").distinct()
+    sizes = (
+        bd.select("band", "bh", "nd")
+        .distinct()
+        .join(n0b, ["band", "bh"], "left")
+        .selectExpr(
+            "band", "bh", "coalesce(n0, 0) + nd as n_total"
+        )
+        .where(f"n_total between 2 and {LSH_MAX_BUCKET}")
+        .select("band", "bh")
+    )
+    dd_a = bd.join(sizes, ["band", "bh"]).select(
+        "band", "bh", F.col("doc_id").alias("doc_a")
+    )
+    dd_b = bd.join(sizes, ["band", "bh"]).select(
+        "band", "bh", F.col("doc_id").alias("doc_b")
+    )
+    dd = (
+        dd_a.join(dd_b, ["band", "bh"])
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+    )
+    do = (
+        bd.join(sizes, ["band", "bh"])
+        .select("band", "bh", F.col("doc_id").alias("d_id"))
+        .join(touched.select("band", "bh", F.col("doc_id").alias("o_id")),
+              ["band", "bh"])
+        .selectExpr("least(d_id, o_id) as doc_a",
+                    "greatest(d_id, o_id) as doc_b")
+    )
+    # pair-sized (delta-bounded: every pair has a delta side and capped
+    # buckets bound the fan-out); pinned so the old-endpoint restriction
+    # and both verify joins share one candidate derivation
+    cand = dd.unionByName(do).distinct().localCheckpoint()
+    # exact-Jaccard verify: pair-driven content lookups. The old side is
+    # RESTRICTED to docs the candidate pairs actually name (delta-bounded)
+    # before shingling, so verify compute is delta-scaled: the corpus scan
+    # is filtered by the unhinted join (AQE broadcasts the id list when
+    # genuinely small; at 100 TB a doc_id-keyed store makes it a point
+    # lookup), and only survivors are shingled
+    old_ids = (
+        cand.selectExpr("doc_a as doc_id")
+        .unionByName(cand.selectExpr("doc_b as doc_id"))
+        .where("doc_id % 5 != 0")
+        .distinct()
+    )
+    s_old = shingle_docs(docs.join(old_ids, "doc_id"), par)
+    lookup = s_delta.select("doc_id", "sh").unionByName(
+        s_old.select("doc_id", "sh")
+    )
+    sa = lookup.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = lookup.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    vp = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
+        .select("doc_a", "doc_b")
+    )
+    # contract old endpoints to their persisted canonicals (an old doc
+    # outside any stored cluster stands for itself), then run CC on the
+    # delta-sized contracted graph. The label store is restricted to
+    # pair-named old docs FIRST (unhinted semi-restriction — AQE
+    # broadcasts the delta-bounded id list; at scale the doc_id-keyed
+    # label store makes this a point lookup), so the corpus-fraction
+    # label table is never shuffled
+    touched_lab = old_lab.join(old_ids, "doc_id")
+    la = touched_lab.selectExpr("doc_id as oa", "canonical as ca")
+    lb = touched_lab.selectExpr("doc_id as ob", "canonical as cb")
+    edges = (
+        vp.join(la, vp.doc_a == F.col("oa"), "left")
+        .join(lb, vp.doc_b == F.col("ob"), "left")
+        .selectExpr(
+            "case when doc_a % 5 = 0 then doc_a"
+            " else coalesce(ca, doc_a) end as doc_a",
+            "case when doc_b % 5 = 0 then doc_b"
+            " else coalesce(cb, doc_b) end as doc_b",
+        )
+    )
+    labels = _min_label_components(edges)
+    return (
+        delta.select("doc_id")
+        .join(labels.withColumnRenamed("doc_id", "ldoc"),
+              F.col("doc_id") == F.col("ldoc"), "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(canonical, doc_id) as canonical",
+            "cast(coalesce(canonical, doc_id) = doc_id as int) as kept",
+        )
+    )
+
+
+def _snapshot_store(v0: DataFrame, par: int) -> tuple[DataFrame, DataFrame]:
+    """The persisted snapshot-N dedup artifacts, built from the previous
+    snapshot's documents frame: (band store with per-bucket sizes, v0
+    keep-list labels). In production both are tables written at snapshot
+    time — (band, bh)-partitioned bands, doc_id-keyed labels; here they
+    are derived in-plan and localCheckpoint-pinned so the incremental
+    consumers READ them rather than re-derive (and so the scale smoke can
+    time store-build and increment separately). Shared by
+    snapshot_incremental_dedup and tools/scale_smoke.py."""
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        _PAIR_FILTER,
+        minhash_bands,
+        shingle_docs,
+    )
+
+    s0 = shingle_docs(v0, par)
+    w = Window.partitionBy("band", "bh")
+    store = (
+        minhash_bands(s0)
+        .repartition(par, "band", "bh")
+        .withColumn("n0", F.count(F.lit(1)).over(w))
+        # snapshot-N-corpus-sized BY DESIGN: this IS the persisted store
+        .localCheckpoint()
+    )
+    elig0 = store.where(
+        F.col("n0").between(2, LSH_MAX_BUCKET)
+    ).select("band", "bh", "doc_id")
+    cand0 = (
+        elig0.selectExpr("band", "bh", "doc_id as doc_a")
+        .join(elig0.selectExpr("band", "bh", "doc_id as doc_b"),
+              ["band", "bh"])
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa0 = s0.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb0 = s0.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    vp0 = (
+        cand0.join(sa0, "doc_a")
+        .join(sb0, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
+        .select("doc_a", "doc_b")
+    )
+    old_lab = _min_label_components(vp0).localCheckpoint()
+    return store, old_lab
+
+
 # Binned interval join: bucket width == window length (10 min), so every
 # window overlaps at most 2 buckets and every event exactly 1.
 _RJ_WIN_US = 600_000_000

@@ -161,6 +161,37 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_MAX_BUCKET = 50
 
 
+def minhash_bands(s: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) LSH band table of a (doc_id, sh) shingle frame —
+    the signature+banding half of minhash_candidate_pairs, factored out so
+    incremental/streaming consumers (snapshot_incremental_dedup's
+    persisted band store) reuse the exact expressions: gram hashes as
+    codegen scalars, the 16 permutation minima as map-side-combined MIN
+    aggregates, bands via posexplode."""
+    hx = s.select("doc_id", F.explode_outer("sh").alias("g")).selectExpr(
+        "doc_id", f"({D.md5int(SPARK, 'g')}) % {MH.P} as h"
+    )
+    sig = (
+        hx.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.expr(f"({a}L * h + {b}L) % {MH.P}")).alias(f"m{i}")
+                for i, (a, b) in enumerate(MH.PERMS)
+            ]
+        )
+        .selectExpr(
+            "doc_id",
+            "array(" + ", ".join(f"m{i}" for i in range(MH.K_PERMS)) + ") as sig",
+        )
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.expr("array(" + ", ".join(_band_exprs(SPARK)) + ")")).alias(
+            "band", "bh"
+        ),
+    )
+
+
 def minhash_candidate_pairs(s: DataFrame) -> DataFrame:
     """(doc_a, doc_b) MinHash-LSH candidates from a (doc_id, sh) frame.
 
@@ -178,28 +209,7 @@ def minhash_candidate_pairs(s: DataFrame) -> DataFrame:
     (band, bh) exchange, so the corpus is hashed once at runtime
     (ReusedExchange, pinned by tests/test_plan_shapes.py).
     """
-    hx = s.select("doc_id", F.explode_outer("sh").alias("g")).selectExpr(
-        "doc_id", f"({D.md5int(SPARK, 'g')}) % {MH.P} as h"
-    )
-    sig = (
-        hx.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.expr(f"({a}L * h + {b}L) % {MH.P}")).alias(f"m{i}")
-                for i, (a, b) in enumerate(MH.PERMS)
-            ]
-        )
-        .selectExpr(
-            "doc_id",
-            "array(" + ", ".join(f"m{i}" for i in range(MH.K_PERMS)) + ") as sig",
-        )
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.expr("array(" + ", ".join(_band_exprs(SPARK)) + ")")).alias(
-            "band", "bh"
-        ),
-    )
+    bands = minhash_bands(s)
     # Count-only bucket-size gate as a window over the ONE (band, bh)
     # exchange: a count(*) window buffers a partition in spillable storage
     # (O(bucket) disk for a pathological bucket, never a single-row array

@@ -1455,3 +1455,51 @@ def test_snapshot_delta_all_four_classes_nonempty(spark, sf_dir):
         by_class[r.delta] = by_class.get(r.delta, 0) + int(r.n_docs)
     assert set(by_class) == {"added", "removed", "changed", "same"}
     assert all(v > 0 for v in by_class.values())
+
+
+def test_incremental_dedup_fixture_stays_exact(spark, sf_dir):
+    """snapshot_incremental_dedup's exactness argument requires that no
+    v0-eligible LSH bucket (2..cap members) is pushed PAST the cap by the
+    added docs — otherwise the persisted v0 labels bake in old-old edges
+    a fresh v1 run would drop. Pin that the fixture stays on the exact
+    side, and that the increment actually exercises cross-snapshot
+    merges (delta docs deduped against old docs, not only other deltas)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        minhash_bands,
+        shingle_docs,
+    )
+    from streamprocessors_spark.session import read_table
+    from streamprocessors_spark import plans
+
+    plans.load_all()
+    docs = read_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    b0 = (
+        minhash_bands(shingle_docs(docs.where("doc_id % 5 != 0"), par))
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n0"))
+    )
+    bd = (
+        minhash_bands(shingle_docs(docs.where("doc_id % 5 = 0"), par))
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    crossers = (
+        b0.join(bd, ["band", "bh"])
+        .where(
+            f"n0 between 2 and {LSH_MAX_BUCKET}"
+            f" and n0 + nd > {LSH_MAX_BUCKET}"
+        )
+        .count()
+    )
+    assert crossers == 0  # the no-crossing invariant the doc promises
+
+    out = plans.REGISTRY["snapshot_incremental_dedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.kept in (0, 1) for r in rows)
+    # cross-snapshot merge evidence: some added doc canonicalizes to an
+    # OLD doc id (canonical % 5 != 0 means the cluster head is in v0)
+    assert any(r.canonical % 5 != 0 for r in rows)
