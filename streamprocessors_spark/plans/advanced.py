@@ -96,6 +96,15 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     node changed); falling out of the iteration cap un-converged RAISES —
     a partially-propagated keep-list must never ship silently.
     """
+    # pin the pair frame BEFORE the undirected doubling: the union
+    # references `pairs` twice, and its upstream (LSH candidates + the
+    # exact-Jaccard verify) is the most expensive subtree in every
+    # keep-list pipeline — without the pin the doubling re-executes it
+    # per branch (runtime exchange reuse does not reach across the
+    # union's join sides; measured 8x 377 MB duplicate signature stages
+    # at the 100x smoke, VERDICT r9 #6). Pair-graph-sized (near-dups
+    # only), like the edges checkpoint below.
+    pairs = pairs.localCheckpoint()
     edges = (
         pairs.selectExpr("doc_a as u", "doc_b as v")
         .unionByName(pairs.selectExpr("doc_b as u", "doc_a as v"))
