@@ -142,6 +142,7 @@ HEADLINE = [
     "train_eval_split_leakage",
     # round 10
     "snapshot_incremental_dedup",
+    "packed_lineage_bins",
     # dedup_minhash_precision stays OUT of the headline with the other
     # measurement gates (its ground-truth-ish candidate count rides the
     # production path, but the 1-row report isn't a throughput number)

@@ -395,6 +395,24 @@ def _gopher_exprs(d: str) -> dict[str, str]:
     }
 
 
+def gopher_keep_expr(d: str) -> str:
+    """The Gopher keep conjunction as ONE boolean expression over a frame
+    carrying (text, ws) — the scan-local filter form a composed pipeline
+    (packed_lineage_bins' cleaned-corpus pack) pushes into its scan. The
+    thresholds compare the same quantized metrics as _gopher_select, so a
+    doc passes here iff gopher_quality_rules emits passed = 1 for it."""
+    e = _gopher_exprs(d)
+    return (
+        f"({e['n']} >= {GOPHER_MIN_WORDS}"
+        f" AND {e['n']} <= {GOPHER_MAX_WORDS}"
+        f" AND {e['mean_wlen']} >= {GOPHER_MIN_WLEN}"
+        f" AND {e['mean_wlen']} <= {GOPHER_MAX_WLEN}"
+        f" AND {e['symbol_ratio']} <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {e['alpha_frac']} >= {GOPHER_MIN_ALPHA_FRAC}"
+        f" AND {e['n_stop']} >= {GOPHER_MIN_STOP_HITS})"
+    )
+
+
 def _gopher_select(d: str) -> str:
     e = _gopher_exprs(d)
     r_words = (

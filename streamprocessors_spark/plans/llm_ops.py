@@ -7534,6 +7534,183 @@ def packing_bins(g: DataFrame) -> DataFrame:
     )
 
 
+def _plb_keep(d: str) -> str:
+    from streamprocessors_spark.plans.data_quality import gopher_keep_expr
+
+    return gopher_keep_expr(d)
+
+
+_LINEAGE_TAG = "gopher_v1|bpe8|pack256"  # the transform-chain id
+
+
+def _plb_lineage(d: str) -> str:
+    """Per-token lineage string: doc version (which snapshot introduced
+    the doc, the snapshot-family convention), source, and the transform-
+    chain tag — hashed and mod-summed per DISTINCT doc inside the bin
+    aggregate, so every packed context carries an order-independent,
+    batch-accumulable fingerprint of exactly the doc VERSIONS inside it."""
+    snap = "CASE WHEN doc_id % 5 = 0 THEN 'v1' ELSE 'v0' END"
+    lin = (
+        f"concat(cast(doc_id as varchar), ':', source, ':', {snap},"
+        f" ':{_LINEAGE_TAG}')"
+        if d == DUCK
+        else f"concat(cast(doc_id as string), ':', source, ':', {snap},"
+        f" ':{_LINEAGE_TAG}')"
+    )
+    return f"{D.md5int(d, lin)} % {_FP_MOD}"
+
+
+@register(
+    "packed_lineage_bins",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({D.words(DUCK)}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    {_bpe_seq_round_ctes()},
+    wsym AS (
+      SELECT word,
+             string_split(substr(seq, 2, length(seq) - 2), {_US} || {_US})
+               AS syms,
+             cnt
+      FROM seq{BPE_MERGE_ROUNDS}
+    ),
+    symtab AS (
+      SELECT sym, CAST(row_number() OVER (ORDER BY freq DESC, sym)
+                       AS BIGINT) AS id
+      FROM (
+        SELECT t.sym AS sym, CAST(sum(w.cnt) AS BIGINT) AS freq
+        FROM wsym w, unnest(w.syms) AS t(sym) GROUP BY t.sym
+      )
+    ),
+    dw AS (
+      SELECT doc_id, source, ws FROM (
+        SELECT doc_id, source, text, {D.words(DUCK)} AS ws FROM documents
+      ) WHERE {D.size(DUCK, "ws")} > 0 AND {_plb_keep(DUCK)}
+    ),
+    xw AS (
+      SELECT doc_id, t.wp AS wp, ws[t.wp] AS word
+      FROM dw, unnest(range(1, len(ws) + 1)) AS t(wp)
+    ),
+    xj AS (
+      SELECT x.doc_id, x.wp, w.syms, len(w.syms) AS n_sym
+      FROM xw x JOIN wsym w USING (word)
+    ),
+    xo AS (
+      SELECT doc_id, wp, syms,
+             CAST(sum(n_sym) OVER (PARTITION BY doc_id ORDER BY wp
+                                   ROWS UNBOUNDED PRECEDING) - n_sym
+                  AS BIGINT) AS woff
+      FROM xj
+    ),
+    tid AS (
+      SELECT t.doc_id, t.pos_in_doc, s.id
+      FROM (
+        SELECT doc_id, woff + u.sp - 1 AS pos_in_doc, syms[u.sp] AS sym
+        FROM xo, unnest(range(1, len(syms) + 1)) AS u(sp)
+      ) t JOIN symtab s USING (sym)
+    ),
+    dsum AS (
+      SELECT d.doc_id, d.source, CAST(COALESCE(s.t, 0) + 1 AS BIGINT) AS n_tok
+      FROM (SELECT doc_id, source FROM dw) d
+      LEFT JOIN (
+        SELECT doc_id, sum(n_sym) AS t FROM xj GROUP BY doc_id
+      ) s USING (doc_id)
+    ),
+    doff AS (
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok
+                  AS BIGINT) AS start_off
+      FROM dsum
+    ),
+    allt AS (
+      SELECT doc_id, pos_in_doc, id FROM tid
+      UNION ALL
+      SELECT doc_id, n_tok - 1 AS pos_in_doc, CAST(0 AS BIGINT) AS id
+      FROM doff
+    ),
+    g AS (
+      SELECT d.source, a.doc_id, d.start_off + a.pos_in_doc AS gpos, a.id
+      FROM allt a JOIN doff d USING (doc_id)
+    )
+    SELECT source,
+           CAST(gpos // {_PACK_W} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seps,
+           CAST(sum(id * list_extract({_POW_DUCK},
+                        CAST(gpos % {_PACK_W} AS INT) + 1))
+                % {_FP_MOD} AS BIGINT) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS last_doc_id,
+           CAST(count(DISTINCT CASE WHEN doc_id % 5 = 0 THEN doc_id END)
+                AS BIGINT) AS n_v1_docs,
+           CAST(sum(DISTINCT {_plb_lineage(DUCK)}) % {_FP_MOD} AS BIGINT)
+             AS lineage_fp
+    FROM g GROUP BY 1, 2
+    """,
+    doc="Provenance-threaded packing - the audit deliverable downstream "
+    "of train_eval_split_leakage: the corpus is FILTERED by the Gopher "
+    "keep conjunction (the cascade's quality stage, scan-local), the "
+    "survivors are tokenized and packed into contexts by the shared "
+    "trained-BPE machinery, and every bin carries LINEAGE columns naming "
+    "the doc versions inside it: the contiguous [first_doc_id, "
+    "last_doc_id] span (docs are concatenated in doc_id order, so the "
+    "span IS the member list), how many members are v1-new (the "
+    "snapshot-family convention doc_id % 5 = 0), and an order-"
+    "independent lineage fingerprint - sum over DISTINCT member docs of "
+    "hash(doc_id:source:snapshot:transform-chain-tag) mod M - that "
+    "changes iff any doc VERSION inside the context changes, and is a "
+    "mod-sum, so an ingest-time packer can accumulate it per batch "
+    "exactly like the content fingerprint. Scale shape: the filter "
+    "pushes into the scan, and every lineage column rides the SAME "
+    "(source, bin) hash aggregate as the existing counts - zero extra "
+    "exchanges (multiple DISTINCT aggregates plan as one Expand in the "
+    "same stage).",
+    tags=("pack", "llm", "lineage", "quality", "tokenizer"),
+)
+def packed_lineage_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, seq = _bpe_trained(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    kept = (
+        docs.selectExpr("*", f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} > 0 and {_plb_keep(SPARK)}"))
+        .drop("ws")
+    )
+    g = packing_positions(kept, seq)
+    return (
+        g.selectExpr(
+            "source",
+            f"cast(gpos div {_PACK_W} as bigint) as bin",
+            f"cast(gpos % {_PACK_W} as int) + 1 as pidx",
+            "id",
+            "doc_id",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.expr("if(id = 0, 1, 0)")).alias("n_seps"),
+            F.expr(
+                f"cast(sum(id * element_at({_POW_SPARK}, pidx))"
+                f" % {_FP_MOD} as bigint)"
+            ).alias("fp"),
+            F.expr("cast(min(doc_id) as bigint)").alias("first_doc_id"),
+            F.expr("cast(max(doc_id) as bigint)").alias("last_doc_id"),
+            F.expr(
+                "cast(count(distinct case when doc_id % 5 = 0 then doc_id"
+                " end) as bigint)"
+            ).alias("n_v1_docs"),
+            F.expr(
+                f"cast(sum(distinct {_plb_lineage(SPARK)}) % {_FP_MOD}"
+                " as bigint)"
+            ).alias("lineage_fp"),
+        )
+    )
+
+
 def packing_positions(
     docs: DataFrame,
     seq: DataFrame,
