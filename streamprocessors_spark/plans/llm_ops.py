@@ -7673,13 +7673,26 @@ def _plb_lineage(d: str) -> str:
 )
 def packed_lineage_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     _merges, seq = _bpe_trained(spark, sf_dir)
-    docs = _docs(spark, sf_dir)
-    kept = (
+    return lineage_bins(
+        packing_positions(gopher_kept_docs(_docs(spark, sf_dir)), seq)
+    )
+
+
+def gopher_kept_docs(docs: DataFrame) -> DataFrame:
+    """The Gopher-keep filter as a scan-local projection+filter (works on
+    batch and streaming frames alike — shared by packed_lineage_bins and
+    its ingest-time twin)."""
+    return (
         docs.selectExpr("*", f"{D.words(SPARK)} as ws")
         .where(F.expr(f"{D.size(SPARK, 'ws')} > 0 and {_plb_keep(SPARK)}"))
         .drop("ws")
     )
-    g = packing_positions(kept, seq)
+
+
+def lineage_bins(g: DataFrame) -> DataFrame:
+    """packing_bins plus the lineage columns, over a positioned token
+    frame — the accumulable per-bin form shared by the batch query and
+    the ingest-time twin's per-batch partials."""
     return (
         g.selectExpr(
             "source",

@@ -1402,55 +1402,46 @@ def _wire_stream_html_oracle() -> None:
 _wire_stream_html_oracle()
 
 
-def ingest_packed_bins(
-    stream_df: DataFrame, seq: DataFrame, state: dict | None = None
+def _ingest_packer_engine(
+    stream_df: DataFrame,
+    seq: DataFrame,
+    state: dict,
+    cols: list[str],
+    batch_bins,
+    merge_exprs,
 ) -> DataFrame:
-    """Run a document stream through the bounded-state ingest packer and
-    return the drained (source, bin, n_tokens, n_docs, n_seps, fp) frame.
-
-    State across micro-batches is BOUNDED (VERDICT r9 #3 — the old shape
-    appended every batch's positioned frame and unioned them at drain,
-    unbounded for a continuous ingest): per source, only the standing
-    token offset and the OPEN bin's partial aggregate
-    (n_tokens/n_docs/n_seps/partial_fp) survive a batch. That suffices
-    because every bin statistic is batch-accumulable — counts sum, and
-    the Rabin-Karp fingerprint sum(id*B^(gpos%W)) mod M is a mod-sum, so
-    partials from different batches ADD — and doc sets of different
-    batches are disjoint (a document arrives whole in one shard), so
-    per-bin distinct-doc counts sum too. CLOSED bins (every bin below a
-    source's open bin) are emitted to an append-only parquet sink the
-    moment their batch completes them — the true continuous-ingest
-    contract: a full context ships when it fills, and drain-time work is
-    the sink scan plus at most one literal row per source, independent
-    of how many batches replayed. The sink and checkpoint dirs are
-    removed after the drained frame is localCheckpoint-materialized (no
-    per-invocation /tmp residue). ``state`` (optional, default internal)
-    lets tests inspect the carried state and pin its boundedness."""
+    """The bounded-state ingest-packer engine, parameterized by its bin
+    statistics: ``batch_bins(g)`` aggregates ONE batch's positioned
+    frame to (source, bin, *cols) partials, ``merge_exprs`` re-aggregates
+    partials from different batches (legal because every statistic used
+    here is batch-accumulable: counts/mins/maxes fold, mod-sum
+    fingerprints add, and doc sets of different batches are disjoint so
+    per-bin distinct-doc statistics sum). Closed bins ship to an
+    append-only parquet sink per batch; driver state carries only the
+    per-source offset and ONE open-bin partial (VERDICT r9 #3). The sink
+    and checkpoint dirs are removed after the drained frame is
+    localCheckpoint-materialized."""
     import shutil
     import tempfile
 
     from streamprocessors_spark.plans.llm_ops import (
-        _FP_MOD,
         _PACK_W,
-        packing_bins,
         packing_positions,
     )
 
     spark = stream_df.sparkSession
-    if state is None:
-        state = {}
     state.update({"offsets": {}, "partials": {}, "wrote": False})
     sink = tempfile.mkdtemp(prefix="spgraft_packsink_")
     ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
-    part_schema = (
-        "source string, bin bigint, n_tokens bigint, n_docs bigint,"
-        " n_seps bigint, fp bigint"
+    part_schema = "source string, bin bigint, " + ", ".join(
+        f"{c} bigint" for c in cols
     )
+    out_cols = ["source", "bin", *cols]
 
     def _partial_rows() -> list[tuple]:
         return [
-            (s, b, nt, nd, ns, fp)
-            for s, (b, nt, nd, ns, fp) in sorted(state["partials"].items())
+            (s, b, *vals)
+            for s, (b, *vals) in sorted(state["partials"].items())
         ]
 
     def process(batch_df, _batch_id) -> None:
@@ -1459,11 +1450,10 @@ def ingest_packed_bins(
         g = packing_positions(
             batch_df, seq, base_offsets=dict(state["offsets"])
         )
-        # per-(source, bin) partials of THIS batch — packing_bins is
-        # already the accumulable form; localCheckpoint pins it once for
-        # the three consumers below (offset roll, closed write, open
-        # collect) and truncates the per-batch lineage
-        b = packing_bins(g).localCheckpoint()
+        # per-(source, bin) partials of THIS batch; localCheckpoint pins
+        # them once for the three consumers below (offset roll, closed
+        # write, open collect) and truncates the per-batch lineage
+        b = batch_bins(g).localCheckpoint()
         # bounded collect: one row per source present in the batch —
         # the standing next-offset per source
         for r in b.groupBy("source").agg(
@@ -1478,12 +1468,7 @@ def ingest_packed_bins(
             b = (
                 b.unionByName(prev)
                 .groupBy("source", "bin")
-                .agg(
-                    F.expr("cast(sum(n_tokens) as bigint)").alias("n_tokens"),
-                    F.expr("cast(sum(n_docs) as bigint)").alias("n_docs"),
-                    F.expr("cast(sum(n_seps) as bigint)").alias("n_seps"),
-                    F.expr(f"cast(sum(fp) % {_FP_MOD} as bigint)").alias("fp"),
-                )
+                .agg(*merge_exprs())
             )
         # a source's open bin is the one its next token lands in; on an
         # exact boundary nothing is open (sentinel -1 never matches)
@@ -1497,16 +1482,13 @@ def ingest_packed_bins(
         )
         b = b.join(om, "source", "left").localCheckpoint()
         closed = b.where("open_bin is null or bin <> open_bin").select(
-            "source", "bin", "n_tokens", "n_docs", "n_seps", "fp"
+            *out_cols
         )
         closed.write.mode("append").parquet(sink)
         state["wrote"] = True
         # bounded collect: at most one open-bin row per source
         state["partials"] = {
-            r["source"]: (
-                int(r["bin"]), int(r["n_tokens"]), int(r["n_docs"]),
-                int(r["n_seps"]), int(r["fp"]),
-            )
+            r["source"]: tuple(int(r[c]) for c in ["bin", *cols])
             for r in b.where("bin = open_bin").collect()
         }
 
@@ -1520,13 +1502,8 @@ def ingest_packed_bins(
         )
         q.awaitTermination()
         if not state["wrote"]:  # empty stream -> empty bins, same schema
-            empty = stream_df.sparkSession.createDataFrame([], part_schema)
-            return empty.select(
-                "source", "bin", "n_tokens", "n_docs", "n_seps", "fp"
-            )
-        out = spark.read.parquet(sink).select(
-            "source", "bin", "n_tokens", "n_docs", "n_seps", "fp"
-        )
+            return spark.createDataFrame([], part_schema).select(*out_cols)
+        out = spark.read.parquet(sink).select(*out_cols)
         if state["partials"]:
             out = out.unionByName(
                 spark.createDataFrame(_partial_rows(), part_schema)
@@ -1538,6 +1515,78 @@ def ingest_packed_bins(
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
+
+def ingest_packed_bins(
+    stream_df: DataFrame, seq: DataFrame, state: dict | None = None
+) -> DataFrame:
+    """Run a document stream through the bounded-state ingest packer and
+    return the drained (source, bin, n_tokens, n_docs, n_seps, fp) frame
+    — the engine above with the tokenized_context_packing statistics
+    (packing_bins is the per-batch accumulable form). ``state`` (optional,
+    default internal) lets tests inspect the carried state and pin its
+    boundedness."""
+    from streamprocessors_spark.plans.llm_ops import _FP_MOD, packing_bins
+
+    def merge():
+        return [
+            F.expr("cast(sum(n_tokens) as bigint)").alias("n_tokens"),
+            F.expr("cast(sum(n_docs) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(n_seps) as bigint)").alias("n_seps"),
+            F.expr(f"cast(sum(fp) % {_FP_MOD} as bigint)").alias("fp"),
+        ]
+
+    return _ingest_packer_engine(
+        stream_df,
+        seq,
+        state if state is not None else {},
+        ["n_tokens", "n_docs", "n_seps", "fp"],
+        packing_bins,
+        merge,
+    )
+
+
+def ingest_packed_lineage_bins(
+    stream_df: DataFrame, seq: DataFrame, state: dict | None = None
+) -> DataFrame:
+    """Lineage twin of ingest_packed_bins: per-batch partials come from
+    packed_lineage_bins' aggregate (content fingerprint PLUS the lineage
+    columns), and every lineage statistic folds across batches exactly —
+    doc-id spans by min/max, the v1-member count by sum (doc sets of
+    different batches are disjoint), and the lineage fingerprint by its
+    mod-sum construction. This is the design claim the batch query makes
+    ("accumulates per batch like the content fingerprint"), exercised."""
+    from streamprocessors_spark.plans.llm_ops import (
+        _FP_MOD,
+        lineage_bins,
+    )
+
+    def merge():
+        return [
+            F.expr("cast(sum(n_tokens) as bigint)").alias("n_tokens"),
+            F.expr("cast(sum(n_docs) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(n_seps) as bigint)").alias("n_seps"),
+            F.expr(f"cast(sum(fp) % {_FP_MOD} as bigint)").alias("fp"),
+            F.expr("cast(min(first_doc_id) as bigint)").alias(
+                "first_doc_id"
+            ),
+            F.expr("cast(max(last_doc_id) as bigint)").alias("last_doc_id"),
+            F.expr("cast(sum(n_v1_docs) as bigint)").alias("n_v1_docs"),
+            F.expr(f"cast(sum(lineage_fp) % {_FP_MOD} as bigint)").alias(
+                "lineage_fp"
+            ),
+        ]
+
+    return _ingest_packer_engine(
+        stream_df,
+        seq,
+        state if state is not None else {},
+        [
+            "n_tokens", "n_docs", "n_seps", "fp",
+            "first_doc_id", "last_doc_id", "n_v1_docs", "lineage_fp",
+        ],
+        lineage_bins,
+        merge,
+    )
 
 
 @register(
@@ -1580,6 +1629,47 @@ def _wire_stream_packing_oracle() -> None:
 
 
 _wire_stream_packing_oracle()
+
+
+@register(
+    "stream_packed_lineage",
+    oracle=None,  # wired below: shares packed_lineage_bins' oracle
+    doc="Streaming twin of packed_lineage_bins — provenance-threaded "
+    "packing AT INGEST: arriving shards pass the scan-local Gopher keep "
+    "filter, survivors are tokenized/positioned against the batch-"
+    "trained BPE artifact, and every CLOSED context ships with its "
+    "lineage columns the moment it fills. The lineage statistics fold "
+    "across micro-batches exactly — doc-id spans by min/max, the v1-"
+    "member count by sum (doc sets of different batches are disjoint), "
+    "and the lineage fingerprint by its mod-sum construction — so the "
+    "bounded-state packer engine (per-source offset + ONE open partial) "
+    "carries provenance at zero extra state. Divergence contract: "
+    "hash-matches the batch oracle when shards arrive in doc_id order "
+    "per source (file order here).",
+    tags=("streaming", "pack", "llm", "lineage", "quality"),
+)
+def stream_packed_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import (
+        _bpe_trained,
+        gopher_kept_docs,
+    )
+
+    _merges, seq = _bpe_trained(spark, sf_dir)
+    return ingest_packed_lineage_bins(
+        gopher_kept_docs(stream_documents(spark, sf_dir)), seq
+    )
+
+
+def _wire_stream_lineage_oracle() -> None:
+    import streamprocessors_spark.plans.llm_ops  # noqa: F401
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("packed_lineage_bins")
+    if batch is not None:
+        REGISTRY["stream_packed_lineage"].oracle = batch.oracle
+
+
+_wire_stream_lineage_oracle()
 
 
 @register(
