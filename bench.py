@@ -144,6 +144,7 @@ HEADLINE = [
     "snapshot_incremental_dedup",
     "packed_lineage_bins",
     "stream_packed_lineage",
+    "stream_snapshot_delta",
     # dedup_minhash_precision stays OUT of the headline with the other
     # measurement gates (its ground-truth-ish candidate count rides the
     # production path, but the 1-row report isn't a throughput number)

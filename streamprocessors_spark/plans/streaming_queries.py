@@ -1673,6 +1673,114 @@ _wire_stream_lineage_oracle()
 
 
 @register(
+    "stream_snapshot_delta",
+    oracle=None,  # wired below: shares snapshot_delta_report's oracle
+    doc="CDC at ingest — the streaming twin of snapshot_delta_report: "
+    "the NEW snapshot arrives as a stream, each micro-batch classifies "
+    "its documents against the PERSISTED previous-snapshot content-hash "
+    "store (doc_id -> md5, a point lookup at scale; one broadcast-"
+    "probed store scan per batch here) and appends per-document "
+    "added/changed/same verdicts to a sink the moment they are known — "
+    "a recrawl monitor reads these live. 'removed' cannot be observed "
+    "from arrivals (an absent doc never arrives): the drain read-out "
+    "anti-joins the store against the SINK's seen ids — disk-backed, "
+    "zero driver state — the end-of-snapshot reconciliation pass every "
+    "CDC deletion detector needs. The drained per-source delta rollup "
+    "hash-matches the batch oracle exactly.",
+    tags=("streaming", "dq", "corpus", "pipeline", "llm"),
+)
+def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamprocessors_spark.functions.dialect import SPARK
+    from streamprocessors_spark.plans.data_quality import _snapshot_v0_cte
+
+    # the persisted snapshot-N artifact: doc_id -> (source, content md5);
+    # snapshot-N-corpus-sized BY DESIGN (this IS the store)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sp_snapshot_documents_stream"
+    )
+    store = spark.sql(
+        _snapshot_v0_cte(SPARK).replace(
+            "FROM documents", "FROM sp_snapshot_documents_stream"
+        )
+    ).selectExpr(
+        "doc_id as id0", "source as src0", "md5(text) as h0"
+    ).localCheckpoint()
+
+    v1 = stream_documents(spark, sf_dir).where("doc_id % 11 != 3")
+    sink = tempfile.mkdtemp(prefix="spgraft_cdcsink_")
+    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
+    state = {"wrote": False}
+
+    def process(batch_df, _batch_id) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.selectExpr(
+            "doc_id as id1", "source as src1", "md5(text) as h1"
+        )
+        verdicts = (
+            b.join(store, F.col("id1") == F.col("id0"), "left")
+            .selectExpr(
+                "id1 as doc_id",
+                "src1 as source",
+                "case when id0 is null then 'added'"
+                " when h1 <> h0 then 'changed'"
+                " else 'same' end as delta",
+            )
+        )
+        verdicts.write.mode("append").parquet(sink)
+        state["wrote"] = True
+
+    try:
+        q = (
+            v1.writeStream.foreachBatch(process)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["wrote"]:
+            seen = spark.read.parquet(sink)
+        else:  # empty stream: every stored doc is 'removed'
+            seen = spark.createDataFrame(
+                [], "doc_id bigint, source string, delta string"
+            )
+        # end-of-snapshot reconciliation: stored docs never seen arriving
+        # were removed — left_anti against the disk-backed sink, so the
+        # deletion pass costs zero driver state
+        removed = store.join(
+            seen.select(F.col("doc_id").alias("id1")),
+            F.col("id0") == F.col("id1"),
+            "left_anti",
+        ).selectExpr("id0 as doc_id", "src0 as source", "'removed' as delta")
+        out = (
+            seen.unionByName(removed)
+            .groupBy("source", "delta")
+            .agg(F.expr("cast(count(*) as bigint)").alias("n_docs"))
+        )
+        # sources x 4 cells; materialize so the temp sink can be removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _wire_stream_snapshot_oracle() -> None:
+    import streamprocessors_spark.plans.data_quality  # noqa: F401
+    from streamprocessors_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY.get("snapshot_delta_report")
+    if batch is not None:
+        REGISTRY["stream_snapshot_delta"].oracle = batch.oracle
+
+
+_wire_stream_snapshot_oracle()
+
+
+@register(
     "stream_quality_signals",
     oracle=None,  # wired below: shares quality_signals_table's oracle
     doc="Streaming twin of quality_signals_table: the wide per-document "
