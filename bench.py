@@ -145,6 +145,7 @@ HEADLINE = [
     "packed_lineage_bins",
     "stream_packed_lineage",
     "stream_snapshot_delta",
+    "ann_ivf_append",
     # dedup_minhash_precision stays OUT of the headline with the other
     # measurement gates (its ground-truth-ish candidate count rides the
     # production path, but the 1-row report isn't a throughput number)

@@ -1058,6 +1058,116 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_APPEND_DELTA = f"(vec_id % 7 = 3 AND vec_id >= {ANN_IVF_CELLS})"
+
+
+@register(
+    "ann_ivf_append",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cemb
+      FROM embeddings WHERE vec_id < {ANN_IVF_CELLS}
+    ),
+    a AS (
+      SELECT vec_id, cell, cosq FROM (
+        SELECT b.vec_id, c.cell,
+               {D.cosine(DUCK, "c.cemb", "b.embedding")} AS cosq,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {D.cosine(DUCK, "c.cemb", "b.embedding")} DESC,
+                          c.cell
+               ) AS rn
+        FROM embeddings b CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    oldc AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_old FROM a
+      WHERE NOT {_IVF_APPEND_DELTA} GROUP BY cell
+    ),
+    newc AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_new FROM a
+      WHERE {_IVF_APPEND_DELTA} GROUP BY cell
+    )
+    SELECT a.vec_id, a.cell, a.cosq AS cos,
+           CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+           n.n_new,
+           CAST(COALESCE(o.n_old, 0) + n.n_new AS BIGINT) AS n_total
+    FROM a JOIN newc n USING (cell) LEFT JOIN oldc o USING (cell)
+    WHERE {_IVF_APPEND_DELTA}
+    """,
+    doc="Incremental IVF index maintenance — the ANN analog of "
+    "snapshot_incremental_dedup: NEW vectors (the append slice; the "
+    "centroid coreset predates them by construction) are assigned to "
+    "the EXISTING index's cells without touching the stored lists, and "
+    "each appended vector ships with its cell, its quantized cosine to "
+    "the centroid (the assignment-quality audit number), the cell's "
+    "stored list size before the append, the append count, and the new "
+    "total — the row an index-growth monitor consumes, and the signal "
+    "for when a cell has drifted enough to warrant re-training. Scale "
+    "shape: ONLY the delta is assigned at append time (map-side max_by "
+    "over the broadcast centroid table, N_delta-row exchange); the "
+    "stored per-cell sizes are the persisted inverted-list lengths, "
+    "derived in-plan here by the same one-pass assignment the index "
+    "build ran (the _snapshot_store convention). Oracle: the DuckDB "
+    "row_number formulation of the argmin, deliberately different from "
+    "Spark's packed-key max_by (oracle independence).",
+    tags=("vector", "ann", "ivf", "pipeline"),
+)
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "embedding",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+    )
+    cents = e.where(F.col("vec_id") < ANN_IVF_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cemb"),
+        F.col("qnorm").alias("cnorm"),
+    )
+    cdot = D.dot_double(SPARK, "cemb", "embedding")
+    akey = (
+        f"cast(floor(({cdot} / sqrt(cnorm * qnorm)) * 1000000) as bigint)"
+        f" * {KM_CELL_SPAN} - cell"
+    )
+    # ONE assignment pass (map-side max_by, N-row exchange) serves both
+    # the stored-list sizes and the delta rows
+    assign = (
+        # bounded: cents is the k-row centroid table
+        e.crossJoin(F.broadcast(cents))
+        .selectExpr("vec_id", "cell", f"{akey} as akey")
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cell, akey)").alias("cell"))
+        .localCheckpoint()
+    )
+    oldc = (
+        assign.where(f"not {_IVF_APPEND_DELTA}")
+        .groupBy("cell")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_old"))
+    )
+    newv = assign.where(_IVF_APPEND_DELTA)
+    newc = newv.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_new")
+    )
+    ccos6 = D.cosine_pre(SPARK, "cemb", "embedding", "cnorm", "qnorm")
+    return (
+        newv.join(e, "vec_id")
+        # bounded: cents is the k-row centroid table
+        .join(F.broadcast(cents.withColumnRenamed("cell", "ccell")),
+              F.col("cell") == F.col("ccell"))
+        .selectExpr("vec_id", "cell", f"{ccos6} as cos")
+        .join(newc, "cell")
+        .join(oldc, "cell", "left")
+        .selectExpr(
+            "vec_id",
+            "cell",
+            "cos",
+            "cast(coalesce(n_old, 0) as bigint) as n_old",
+            "n_new",
+            "cast(coalesce(n_old, 0) + n_new as bigint) as n_total",
+        )
+    )
+
+
 @register(
     "ann_lsh_recall",
     oracle=f"""
