@@ -1503,3 +1503,24 @@ def test_incremental_dedup_fixture_stays_exact(spark, sf_dir):
     # cross-snapshot merge evidence: some added doc canonicalizes to an
     # OLD doc id (canonical % 5 != 0 means the cluster head is in v0)
     assert any(r.canonical % 5 != 0 for r in rows)
+
+
+def test_ann_ivf_append_counts_are_consistent(spark, sf_dir):
+    """The append audit rows must be internally consistent: every delta
+    vector appears exactly once, per-cell n_new equals the number of
+    delta rows landing in that cell, n_total = n_old + n_new, and the
+    delta slice never touches the centroid coreset (vec_id < cells)."""
+    from streamprocessors_spark import plans
+    from streamprocessors_spark.plans.llm_ops import ANN_IVF_CELLS
+
+    plans.load_all()
+    rows = plans.REGISTRY["ann_ivf_append"].fn(spark, sf_dir).collect()
+    assert rows
+    per_cell: dict = {}
+    for r in rows:
+        assert r.vec_id % 7 == 3 and r.vec_id >= ANN_IVF_CELLS
+        assert r.n_total == r.n_old + r.n_new
+        per_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in per_cell.items():
+        assert len({r.vec_id for r in rs}) == len(rs)
+        assert all(r.n_new == len(rs) for r in rs)

@@ -793,3 +793,83 @@ def test_stream_packing_cross_batch_offset_parity(spark, tmp_path):
     assert len(probe["partials"]) <= 2
     for s, (b, nt, nd, ns, fp) in probe["partials"].items():
         assert nt == probe["offsets"][s] % _PACK_W  # exactly the open tail
+
+
+def test_stream_lineage_packing_cross_batch_parity(spark, tmp_path):
+    """The lineage twin must fold provenance across REAL micro-batches
+    exactly: spans by min/max, v1-member counts by disjoint-doc sums,
+    the lineage fingerprint by its mod-sum — drained bins equal the
+    batch lineage aggregation bin-for-bin, and the carried state stays
+    per-source-bounded like the plain packer's."""
+    import pandas as pd
+
+    from streamprocessors_spark.plans.llm_ops import (
+        lineage_bins,
+        packing_positions,
+    )
+    from streamprocessors_spark.plans.streaming_queries import (
+        ingest_packed_lineage_bins,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(1, 9):
+        words = [vocab[(i * 7 + k) % len(vocab)] for k in range(95 + i)]
+        rows.append((i, " ".join(words), "en", "srcA" if i % 2 else "srcB"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    )
+    us = "\x1f"
+    seq = (
+        docs.selectExpr("explode(split(lower(text), ' ')) as word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr("word", f"concat('{us}', word, '{us}') as seq", "cnt")
+        .localCheckpoint()
+    )
+    batch = {
+        (r.source, r.bin): (
+            r.n_tokens, r.n_docs, r.n_seps, r.fp,
+            r.first_doc_id, r.last_doc_id, r.n_v1_docs, r.lineage_fp,
+        )
+        for r in lineage_bins(packing_positions(docs, seq)).collect()
+    }
+    src = str(tmp_path / "shards")
+    for lo, hi in ((1, 2), (3, 4), (5, 6), (7, 8)):
+        docs.where(F.col("doc_id").between(lo, hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    probe: dict = {}
+    out = ingest_packed_lineage_bins(stream, seq, state=probe)
+    streamed = {
+        (r.source, r.bin): (
+            r.n_tokens, r.n_docs, r.n_seps, r.fp,
+            r.first_doc_id, r.last_doc_id, r.n_v1_docs, r.lineage_fp,
+        )
+        for r in out.collect()
+    }
+    assert streamed == batch
+    assert len(probe["partials"]) <= 2  # one open partial per source max
+
+
+def test_stream_snapshot_delta_emits_all_four_classes(spark):
+    """The CDC twin must detect 'removed' via the drain-time store-vs-
+    sink reconciliation (absent docs never arrive), alongside the
+    arrival-classified added/changed/same."""
+    from streamprocessors_spark import plans
+
+    plans.load_all()
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = plans.REGISTRY["stream_snapshot_delta"].fn(spark, sf_dir).collect()
+    by_class: dict = {}
+    for r in rows:
+        by_class[r.delta] = by_class.get(r.delta, 0) + int(r.n_docs)
+    assert set(by_class) == {"added", "removed", "changed", "same"}
+    assert all(v > 0 for v in by_class.values())
