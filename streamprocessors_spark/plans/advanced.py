@@ -439,11 +439,15 @@ _SNAPSHOT_STORE_CACHE: dict = {}
 def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    if sf_dir not in _SNAPSHOT_STORE_CACHE:
-        _SNAPSHOT_STORE_CACHE[sf_dir] = _snapshot_store(
+    # keyed by application id too (unlike the collected-scalar caches,
+    # these entries are checkpointed FRAMES — dead if the session that
+    # pinned them has been stopped and a new one started in-process)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SNAPSHOT_STORE_CACHE:
+        _SNAPSHOT_STORE_CACHE[key] = _snapshot_store(
             docs.where("doc_id % 5 != 0"), par
         )
-    store, old_lab = _SNAPSHOT_STORE_CACHE[sf_dir]
+    store, old_lab = _SNAPSHOT_STORE_CACHE[key]
     return _incremental_verdicts(
         docs, docs.where("doc_id % 5 = 0"), store, old_lab, par
     )
