@@ -7741,25 +7741,41 @@ def _plb_lineage(d: str) -> str:
       SELECT doc_id, n_tok - 1 AS pos_in_doc, CAST(0 AS BIGINT) AS id
       FROM doff
     ),
-    g AS (
+    g AS MATERIALIZED (
+      -- MATERIALIZED: tb and lb both read g; DuckDB's default inlining
+      -- would re-run the whole tokenize+position chain per consumer
       SELECT d.source, a.doc_id, d.start_off + a.pos_in_doc AS gpos, a.id
       FROM allt a JOIN doff d USING (doc_id)
+    ),
+    pd AS (
+      SELECT source, CAST(gpos // {_PACK_W} AS BIGINT) AS bin, doc_id
+      FROM g GROUP BY 1, 2, 3
+    ),
+    lb AS (
+      SELECT source, bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+             CAST(max(doc_id) AS BIGINT) AS last_doc_id,
+             CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v1_docs,
+             CAST(sum({_plb_lineage(DUCK)}) % {_FP_MOD} AS BIGINT)
+               AS lineage_fp
+      FROM pd GROUP BY 1, 2
+    ),
+    tb AS (
+      SELECT source,
+             CAST(gpos // {_PACK_W} AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seps,
+             CAST(sum(id * list_extract({_POW_DUCK},
+                          CAST(gpos % {_PACK_W} AS INT) + 1))
+                  % {_FP_MOD} AS BIGINT) AS fp
+      FROM g GROUP BY 1, 2
     )
-    SELECT source,
-           CAST(gpos // {_PACK_W} AS BIGINT) AS bin,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seps,
-           CAST(sum(id * list_extract({_POW_DUCK},
-                        CAST(gpos % {_PACK_W} AS INT) + 1))
-                % {_FP_MOD} AS BIGINT) AS fp,
-           CAST(min(doc_id) AS BIGINT) AS first_doc_id,
-           CAST(max(doc_id) AS BIGINT) AS last_doc_id,
-           CAST(count(DISTINCT CASE WHEN doc_id % 5 = 0 THEN doc_id END)
-                AS BIGINT) AS n_v1_docs,
-           CAST(sum(DISTINCT {_plb_lineage(DUCK)}) % {_FP_MOD} AS BIGINT)
-             AS lineage_fp
-    FROM g GROUP BY 1, 2
+    SELECT tb.source, tb.bin, tb.n_tokens, lb.n_docs, tb.n_seps, tb.fp,
+           lb.first_doc_id, lb.last_doc_id, lb.n_v1_docs, lb.lineage_fp
+    FROM tb JOIN lb USING (source, bin)
     """,
     doc="Provenance-threaded packing - the audit deliverable downstream "
     "of train_eval_split_leakage: the corpus is FILTERED by the Gopher "
@@ -7770,15 +7786,18 @@ def _plb_lineage(d: str) -> str:
     "last_doc_id] span (docs are concatenated in doc_id order, so the "
     "span IS the member list), how many members are v1-new (the "
     "snapshot-family convention doc_id % 5 = 0), and an order-"
-    "independent lineage fingerprint - sum over DISTINCT member docs of "
+    "independent lineage fingerprint - sum over member docs of "
     "hash(doc_id:source:snapshot:transform-chain-tag) mod M - that "
     "changes iff any doc VERSION inside the context changes, and is a "
     "mod-sum, so an ingest-time packer can accumulate it per batch "
     "exactly like the content fingerprint. Scale shape: the filter "
-    "pushes into the scan, and every lineage column rides the SAME "
-    "(source, bin) hash aggregate as the existing counts - zero extra "
-    "exchanges (multiple DISTINCT aggregates plan as one Expand in the "
-    "same stage).",
+    "pushes into the scan; lineage aggregates come from a per-(source, "
+    "bin, doc) pre-aggregate (a doc's tokens collapse to one row map-"
+    "side) folded into the bin level - plain sums/mins, NO distinct "
+    "aggregates (an Expand would triple the token frame and add an "
+    "exchange), so the plan's exchange count matches the base packer's. "
+    "Oracle derives the same numbers via a join of two independent "
+    "aggregates.",
     tags=("pack", "llm", "lineage", "quality", "tokenizer"),
 )
 def packed_lineage_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7802,8 +7821,18 @@ def gopher_kept_docs(docs: DataFrame) -> DataFrame:
 def lineage_bins(g: DataFrame) -> DataFrame:
     """packing_bins plus the lineage columns, over a positioned token
     frame — the accumulable per-bin form shared by the batch query and
-    the ingest-time twin's per-batch partials."""
-    return (
+    the ingest-time twin's per-batch partials.
+
+    Two-level aggregation (doc-within-bin, then bin) instead of distinct
+    aggregates: count(DISTINCT doc)/sum(DISTINCT hash) would plan an
+    Expand that triples the token frame and adds an exchange; the
+    per-(source, bin, doc_id) pre-aggregate IS the distinct set (a doc's
+    tokens within a bin collapse to one row map-side), so the bin level
+    is plain sums/mins/maxes and the exchange count matches the base
+    packer's single-distinct shape. Every value is identical to the
+    distinct-aggregate formulation (the oracle keeps that form —
+    independent derivations, same numbers)."""
+    per_doc = (
         g.selectExpr(
             "source",
             f"cast(gpos div {_PACK_W} as bigint) as bin",
@@ -7811,23 +7840,30 @@ def lineage_bins(g: DataFrame) -> DataFrame:
             "id",
             "doc_id",
         )
-        .groupBy("source", "bin")
+        .groupBy("source", "bin", "doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum(F.expr("if(id = 0, 1, 0)")).alias("n_seps"),
+            F.count(F.lit(1)).alias("n_tok_d"),
+            F.sum(F.expr("if(id = 0, 1, 0)")).alias("n_seps_d"),
             F.expr(
                 f"cast(sum(id * element_at({_POW_SPARK}, pidx))"
                 f" % {_FP_MOD} as bigint)"
-            ).alias("fp"),
+            ).alias("fp_d"),
+        )
+    )
+    return (
+        per_doc.groupBy("source", "bin")
+        .agg(
+            F.expr("cast(sum(n_tok_d) as bigint)").alias("n_tokens"),
+            F.expr("cast(count(*) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(n_seps_d) as bigint)").alias("n_seps"),
+            F.expr(f"cast(sum(fp_d) % {_FP_MOD} as bigint)").alias("fp"),
             F.expr("cast(min(doc_id) as bigint)").alias("first_doc_id"),
             F.expr("cast(max(doc_id) as bigint)").alias("last_doc_id"),
             F.expr(
-                "cast(count(distinct case when doc_id % 5 = 0 then doc_id"
-                " end) as bigint)"
+                "cast(sum(if(doc_id % 5 = 0, 1, 0)) as bigint)"
             ).alias("n_v1_docs"),
             F.expr(
-                f"cast(sum(distinct {_plb_lineage(SPARK)}) % {_FP_MOD}"
+                f"cast(sum({_plb_lineage(SPARK)}) % {_FP_MOD}"
                 " as bigint)"
             ).alias("lineage_fp"),
         )

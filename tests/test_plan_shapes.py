@@ -727,3 +727,37 @@ def test_doc_token_length_histogram_single_pass(spark, sf_dir):
     # bucket rollup is the only exchange (AQE may add a read, count the
     # shuffle writes)
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_incremental_dedup_reads_store_not_rebuild(spark, sf_dir):
+    """snapshot_incremental_dedup's serving plan must READ the persisted
+    snapshot-N artifacts (checkpointed frames -> Scan ExistingRDD), never
+    re-derive them from the corpus, and stay JVM-only with no nested-loop
+    degeneration anywhere in the delta pipeline."""
+    p = _plan(spark, sf_dir, "snapshot_incremental_dedup")
+    assert "Scan ExistingRDD" in p  # the store + labels are read, not rebuilt
+    assert "NestedLoop" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_lineage_bins_adds_no_exchange_over_base_packing(spark, sf_dir):
+    """packed_lineage_bins' zero-extra-exchanges claim: the lineage
+    columns come from a per-(source, bin, doc) pre-aggregate folded into
+    the bin level — NO distinct aggregates (an Expand would triple the
+    token frame and add an exchange), so the plan's exchange count
+    matches the base packer's exactly."""
+    base = _plan(spark, sf_dir, "tokenized_context_packing")
+    lin = _plan(spark, sf_dir, "packed_lineage_bins")
+    assert lin.count("Exchange") <= base.count("Exchange")
+    assert "Expand" not in lin
+    assert "Python" not in lin and "ArrowEval" not in lin
+
+
+def test_ann_ivf_append_broadcasts_centroids(spark, sf_dir):
+    """The append assignment must be the map-side max_by over BROADCAST
+    centroids (delta-sized exchange), never a shuffled or nested-loop
+    product with the corpus."""
+    p = _plan(spark, sf_dir, "ann_ivf_append")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "max_by" in p
+    assert "Python" not in p and "ArrowEval" not in p
