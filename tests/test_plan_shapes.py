@@ -754,10 +754,12 @@ def test_lineage_bins_adds_no_exchange_over_base_packing(spark, sf_dir):
 
 
 def test_ann_ivf_append_broadcasts_centroids(spark, sf_dir):
-    """The append assignment must be the map-side max_by over BROADCAST
-    centroids (delta-sized exchange), never a shuffled or nested-loop
-    product with the corpus."""
+    """The serving plan reads the assignment from its checkpoint (the
+    persisted index, Scan ExistingRDD — the max_by assignment ran once
+    at store-build time) and joins the k-row centroid table broadcast;
+    no nested-loop product, no Python anywhere."""
     p = _plan(spark, sf_dir, "ann_ivf_append")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    assert "max_by" in p
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
     assert "Python" not in p and "ArrowEval" not in p
