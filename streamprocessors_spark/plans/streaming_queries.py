@@ -1690,9 +1690,6 @@ _wire_stream_lineage_oracle()
     tags=("streaming", "dq", "corpus", "pipeline", "llm"),
 )
 def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from streamprocessors_spark.functions.dialect import SPARK
     from streamprocessors_spark.plans.data_quality import _snapshot_v0_cte
 
@@ -1708,8 +1705,19 @@ def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id as id0", "source as src0", "md5(text) as h0"
     ).localCheckpoint()
-
     v1 = stream_documents(spark, sf_dir).where("doc_id % 11 != 3")
+    return cdc_delta_report(store, v1)
+
+
+def cdc_delta_report(store: DataFrame, stream_df: DataFrame) -> DataFrame:
+    """The CDC classify+reconcile core of stream_snapshot_delta, store
+    passed in (shared with tools/scale_smoke.py): per-batch verdicts to
+    an append-only sink, drain-time anti-join for removals. ``store``
+    must carry (id0, src0, h0)."""
+    import shutil
+    import tempfile
+
+    spark = stream_df.sparkSession
     sink = tempfile.mkdtemp(prefix="spgraft_cdcsink_")
     ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
     state = {"wrote": False}
@@ -1735,7 +1743,7 @@ def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         q = (
-            v1.writeStream.foreachBatch(process)
+            stream_df.writeStream.foreachBatch(process)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)

@@ -738,6 +738,120 @@ def main() -> None:
         _inc_delta = docs0.where("doc_id % 5 = 0")
         timed("snapshot_incremental_dedup_delta", _inc_dedup_increment)
 
+    # CDC catch-up replay: the multiplied new snapshot lands as `mult`
+    # shard files and replays through the classify+reconcile core
+    # against a store built from the multiplied v0 (untimed — persisted
+    # at snapshot time). Cost must be linear in arrivals: each batch is
+    # one broadcast-probed store join + a sink append; the removal
+    # anti-join runs once at drain.
+    def _cdc_replay():
+        import shutil
+        import tempfile
+
+        from streamprocessors_spark.plans.streaming_queries import (
+            cdc_delta_report,
+        )
+
+        src = tempfile.mkdtemp(prefix="spgraft_cdcrep_")
+        try:
+            v1 = docs.where("doc_id % 11 != 3")
+            for k in range(10):  # 10 shard files regardless of mult
+                v1.where(f"doc_id % 10 = {k}").coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            store = docs.where("doc_id % 5 <> 0").selectExpr(
+                "doc_id as id0",
+                "source as src0",
+                "md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v0-revision]'"
+                " ELSE text END) as h0",
+            ).localCheckpoint()
+            schema = spark.read.parquet(src).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            return cdc_delta_report(store, stream).count()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    timed("stream_snapshot_delta_replay", _cdc_replay)
+
+    # lineage-threaded packing over the multiplied corpus: the lineage
+    # columns must cost no extra exchange (per-doc pre-aggregate folds
+    # into the bin level) — time should track tokenized_context_packing
+    def _lineage_pack_count():
+        return lineage_bins(
+            packing_positions(gopher_kept_docs(docs), _lin_seq)
+        ).count()
+
+    if only is None or "packed_lineage_bins" in only:
+        from streamprocessors_spark.plans.llm_ops import (
+            _bpe_trained,
+            gopher_kept_docs,
+            lineage_bins,
+            packing_positions,
+        )
+
+        # pin the trained encode table like the packer replay smoke does
+        # (the 8-round merge chain re-executes per call otherwise)
+        _lin_seq = _bpe_trained(spark, sf_dir)[1].localCheckpoint()
+        timed("packed_lineage_bins", _lineage_pack_count)
+
+    # IVF append at a FIXED delta against a growing stored index: the
+    # index (old assignments) is built untimed; append-time cost is the
+    # delta assignment + k-cell joins and must stay ~flat as mult grows
+    def _ivf_append_delta():
+        from streamprocessors_spark.functions import dialect as DD
+        from streamprocessors_spark.plans.llm_ops import (
+            _ivf_assign,
+            _ivf_cents,
+        )
+
+        e = embs.selectExpr(
+            "vec_id",
+            "embedding",
+            f"{DD.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+        )
+        delta = _ivf_delta_frame(e)
+        newv = _ivf_assign(delta, _ivf_append_cents)
+        return newv.groupBy("cell").count().count()
+
+    def _ivf_delta_frame(e):
+        # base-corpus delta only (fixed size across mult)
+        from streamprocessors_spark.plans.llm_ops import (
+            ANN_IVF_CELLS,
+        )
+
+        return e.where(
+            f"vec_id % 7 = 3 and vec_id >= {ANN_IVF_CELLS}"
+            " and vec_id < 1000000"
+        )
+
+    if only is None or "ann_ivf_append_delta" in only:
+        from streamprocessors_spark.functions import dialect as DD
+        from streamprocessors_spark.plans.llm_ops import (
+            _ivf_assign,
+            _ivf_cents,
+        )
+
+        _e_all = embs.selectExpr(
+            "vec_id",
+            "embedding",
+            f"{DD.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+        )
+        _ivf_append_cents = _ivf_cents(_e_all).localCheckpoint()
+        # the stored index: every non-delta vector assigned, untimed
+        _ivf_assign(
+            _e_all.join(
+                _ivf_delta_frame(_e_all).select("vec_id"),
+                "vec_id",
+                "left_anti",
+            ),
+            _ivf_append_cents,
+        ).localCheckpoint()
+        timed("ann_ivf_append_delta", _ivf_append_delta)
+
     # snapshot diff: ONE full-outer sort-merge join on doc_id + scan-
     # local md5 compare — the smoke pins that the join stays the only
     # exchange at any snapshot size
