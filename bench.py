@@ -146,6 +146,7 @@ HEADLINE = [
     "stream_packed_lineage",
     "stream_snapshot_delta",
     "ann_ivf_append",
+    "snapshot_quality_drift",
     # dedup_minhash_precision stays OUT of the headline with the other
     # measurement gates (its ground-truth-ish candidate count rides the
     # production path, but the 1-row report isn't a throughput number)

@@ -792,6 +792,109 @@ def _snapshot_v0_cte(d: str) -> str:
     )
 
 
+def _drift_cols(d: str) -> list[str]:
+    """Per-document signal expressions for the drift rollup, over a frame
+    carrying (snapshot, source, text, ws) — dialect-shared."""
+    from streamprocessors_spark.plans.llm_ops import STOPWORDS
+
+    n = D.size(d, "ws")
+    nd = D.size(d, D.distinct(d, "ws"))
+    nstop = D.size(
+        d,
+        D.filter_(d, "ws", f"x -> {D.contains(d, D.str_array(d, STOPWORDS), 'x')}"),
+    )
+    ndig = D.regexp_all_count(d, "text", "[0-9]")
+    npunct = D.regexp_all_count(d, "lower(text)", "[^a-z0-9 ]")
+    return [
+        f"CAST({n} AS BIGINT) AS n_words",
+        f"CAST({nd} AS BIGINT) AS n_distinct",
+        f"CAST({nstop} AS BIGINT) AS n_stop",
+        f"CAST({ndig} AS BIGINT) AS n_digit",
+        f"CAST({npunct} AS BIGINT) AS n_punct",
+    ]
+
+
+def _drift_rollup(d: str) -> str:
+    """The per-(snapshot, source) rollup: doc counts, exact signal sums,
+    and exact-integer milli-means (sum*1000 floor-div docs)."""
+    div = "div" if d == SPARK else "//"
+    cols = []
+    for c in ("n_words", "n_distinct", "n_stop", "n_digit", "n_punct"):
+        cols.append(f"CAST(sum({c}) AS BIGINT) AS sum_{c[2:]}")
+        cols.append(
+            f"CAST((sum({c}) * 1000) {div} count(*) AS BIGINT)"
+            f" AS mean_{c[2:]}_milli"
+        )
+    return (
+        "SELECT snapshot, source, CAST(count(*) AS BIGINT) AS n_docs, "
+        + ", ".join(cols)
+    )
+
+
+@register(
+    "snapshot_quality_drift",
+    oracle=f"""
+    WITH v0 AS ({_snapshot_v0_cte(DUCK)}),
+    v1 AS (SELECT doc_id, source, text FROM documents
+           WHERE doc_id % 11 <> 3),
+    u AS (
+      SELECT 'v0' AS snapshot, source, text FROM v0
+      UNION ALL
+      SELECT 'v1' AS snapshot, source, text FROM v1
+    ),
+    w AS (SELECT snapshot, source, text, {D.words(DUCK)} AS ws FROM u),
+    g AS (
+      SELECT snapshot, source, {", ".join(_drift_cols(DUCK))}
+      FROM w WHERE {D.size(DUCK, "ws")} > 0
+    )
+    {_drift_rollup(DUCK)} FROM g GROUP BY snapshot, source
+    """,
+    doc="Recrawl quality-drift report — the monitor a periodic crawl "
+    "refresh is judged by BEFORE reprocessing: per (snapshot, source), "
+    "document counts plus exact signal sums and milli-means "
+    "(words, distinct words, stopwords, digit chars, punctuation chars "
+    "per document) for the previous and the new snapshot side by side; "
+    "a source whose new crawl suddenly shortens, de-duplicates, or "
+    "fills with digits/punctuation shows here before it poisons a "
+    "training mix. Every column is an exact integer (sums, and "
+    "floor-divided milli-means), so the table is engine-stable. Scale "
+    "shape: ONE unioned scan of the two snapshots (the v0 synthesis is "
+    "scan-local expression work), per-document signals pipeline inside "
+    "the scan, and a map-side-combined rollup to 2 x sources cells — "
+    "zero joins, zero windows.",
+    tags=("dq", "quality", "corpus", "pipeline", "llm"),
+)
+def snapshot_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("sp_snapdrift_documents")
+    v0 = spark.sql(
+        _snapshot_v0_cte(SPARK).replace("FROM documents",
+                                        "FROM sp_snapdrift_documents")
+    ).selectExpr("'v0' as snapshot", "source", "text")
+    v1 = docs.where("doc_id % 11 != 3").selectExpr(
+        "'v1' as snapshot", "source", "text"
+    )
+    return (
+        v0.unionByName(v1)
+        .selectExpr("snapshot", "source", "text", f"{D.words(SPARK)} as ws")
+        .where(F.expr(f"{D.size(SPARK, 'ws')} > 0"))
+        .selectExpr("snapshot", "source", *_drift_cols(SPARK))
+        .groupBy("snapshot", "source")
+        .agg(*[F.expr(c) for c in _drift_agg_exprs()])
+    )
+
+
+def _drift_agg_exprs() -> list[str]:
+    cols = ["cast(count(*) as bigint) as n_docs"]
+    for c in ("n_words", "n_distinct", "n_stop", "n_digit", "n_punct"):
+        cols.append(f"cast(sum({c}) as bigint) as sum_{c[2:]}")
+        cols.append(
+            f"cast((sum({c}) * 1000) div count(*) as bigint)"
+            f" as mean_{c[2:]}_milli"
+        )
+    return cols
+
+
 @register(
     "snapshot_delta_report",
     oracle=f"""
