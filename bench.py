@@ -270,7 +270,14 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     line = json.dumps(headline, separators=(",", ":"))
-    assert len(line) < 1900, f"headline line {len(line)}B risks tail truncation"
+    if len(line) >= 1900:
+        # Degrade, don't die (ADVICE r10): an oversized line risks tail
+        # truncation, but asserting BEFORE print would emit nothing at
+        # all — a worse failure. Drop the per-query map (the full map is
+        # in BENCH_LOCAL.json anyway) and print the still-parseable core.
+        headline["queries"] = {}
+        headline["queries_dropped"] = "line overflow; see BENCH_LOCAL.json"
+        line = json.dumps(headline, separators=(",", ":"))
     print(line)
 
 

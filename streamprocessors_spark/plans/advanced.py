@@ -103,7 +103,11 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     # per branch (runtime exchange reuse does not reach across the
     # union's join sides; measured 8x 377 MB duplicate signature stages
     # at the 100x smoke, VERDICT r9 #6). Pair-graph-sized (near-dups
-    # only), like the edges checkpoint below.
+    # only), like the edges checkpoint below. Accepted trade-off
+    # (ADVICE r10): this makes every keep-list DataFrame CONSTRUCTION
+    # eager — callers that only build/explain the plan execute the
+    # LSH+verify subtree here; callers that need lazy construction must
+    # pass an already-pinned pairs frame.
     pairs = pairs.localCheckpoint()
     edges = (
         pairs.selectExpr("doc_a as u", "doc_b as v")
@@ -145,7 +149,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # the sum past int64; a wrapped sum could fake convergence
         total = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        ).collect()[0][0]  # control-plane convergence scalar
         if total == prev_total:
             converged = True
             break
@@ -442,7 +446,10 @@ def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by application id too (unlike the collected-scalar caches,
     # these entries are checkpointed FRAMES — dead if the session that
     # pinned them has been stopped and a new one started in-process)
+    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
+
     key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_app_entries(_SNAPSHOT_STORE_CACHE, key[0])
     if key not in _SNAPSHOT_STORE_CACHE:
         _SNAPSHOT_STORE_CACHE[key] = _snapshot_store(
             docs.where("doc_id % 5 != 0"), par

@@ -1064,6 +1064,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict = {}
 
 
+def evict_stale_app_entries(cache: dict, app_id: str) -> None:
+    """Drop (applicationId, ...)-keyed cache entries whose session is not
+    the current one: entries hold localCheckpoint-pinned frames, which are
+    dead references once the session that pinned them stops — and a
+    long-lived process that cycles sessions/corpora would otherwise grow
+    these dicts unboundedly (ADVICE r10). One live app per process."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
 def _ivf_cents(e: DataFrame) -> DataFrame:
     return e.where(F.col("vec_id") < ANN_IVF_CELLS).select(
         F.col("vec_id").alias("cell"),
@@ -1156,6 +1166,7 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (keyed by application id — checkpointed frames die with their
     # session) — append-time work below touches ONLY the delta
     key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_app_entries(_IVF_INDEX_CACHE, key[0])
     if key not in _IVF_INDEX_CACHE:
         _IVF_INDEX_CACHE[key] = (
             _ivf_assign(e.where(f"not {_IVF_APPEND_DELTA}"), cents)
@@ -2185,6 +2196,7 @@ def _bpe_train(
             .groupBy("a", "b")
             .agg(F.sum("cnt").alias("n"))
         )
+        # bounded: LIMIT 1 — one winning pair row per BPE merge round
         top = agg.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
         if not top:
             break
@@ -3743,7 +3755,7 @@ def _ivfpq_trained(spark: SparkSession, sf_dir: str):
                 for j in range(IVFPQ_SUB)
             ]
         )
-        .collect()
+        .collect()  # bounded: <= IVFPQ codebook rows (2048), per comment above
     )
     out = (cent_rows, cqa_rows, [tuple(r) for r in cb_rows])
     _IVFPQ_INDEX_CACHE[key] = out
@@ -4250,7 +4262,7 @@ def _rank_two_level(
                     F.countDistinct(*cols) if dense else F.count(F.lit(1))
                 ).alias("nk"),
             )
-            .collect()
+            .collect()  # bounded: one row per suffix-rank partition (fixed count)
         )
         rows.sort(key=lambda rw: rw["part"])
         part_expr = F.lit(0)
@@ -4436,7 +4448,7 @@ def suffix_ranks(raw_docs: DataFrame, max_prefix: int | None = None) -> DataFram
             .localCheckpoint(eager=False)  # cut the per-round lineage
         )
         k += shifts[-1]  # = min(4k, target)
-        row = cur.agg(F.sum("r"), F.max("r")).collect()[0]
+        row = cur.agg(F.sum("r"), F.max("r")).collect()[0]  # control-plane scalar probe
         new_sum, rmax = int(row[0] or 0), int(row[1] or 1)
         if new_sum == prev_sum:
             break
@@ -5030,7 +5042,7 @@ def _bloom_bits(spark: SparkSession, sf_dir: str) -> list[int]:
     rows = (
         bench_grams.selectExpr(f"explode(array({poss})) as pos")
         .distinct()
-        .collect()
+        .collect()  # bounded: distinct Bloom bit positions (<= filter size constant)
     )
     words = [0] * _BLOOM_WORDS
     for r in rows:
@@ -5530,8 +5542,9 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " SELECT * FROM s"
     )
     # class index for the packed argmax key: lang-ASC positions, frozen
-    # from a control-plane collect bounded by the number of LANGUAGES
-    # (single digits), never corpus size — the _kmeans_trained pattern
+    # from a collect that is control-plane sized:
+    # bounded: one row per LANGUAGE (single digits), never corpus size —
+    # the _kmeans_trained pattern
     langs = sorted(
         r["lang"]
         for r in s.select("lang").distinct().collect()
@@ -5677,7 +5690,7 @@ def _top_pc_trained(spark: SparkSession, sf_dir: str):
     rows = (
         embedding_cov(_embs(spark, sf_dir))
         .select("di", "dj", "cov_num")
-        .collect()
+        .collect()  # bounded: EMB_DIM^2 covariance cells (fixed dimensionality)
     )
     m: dict = {}
     for r in rows:
@@ -6174,7 +6187,7 @@ def _ulm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wcnt"))
         .localCheckpoint()
     )
-    maxlen = int(vocab.agg(F.max(F.length("word"))).collect()[0][0] or 0)
+    maxlen = int(vocab.agg(F.max(F.length("word"))).collect()[0][0] or 0)  # control-plane scalar
     if maxlen > ULM_WLEN_CAP:
         raise ValueError(
             f"ulm: word length {maxlen} exceeds ULM_WLEN_CAP="

@@ -174,7 +174,7 @@ class InputSupervisor:
                 self.store.read().where(F.col("sys_id") == self.sys_id)
             )
             .select("input_url")
-            .collect()
+            .collect()  # bounded: one config row per sys_id
         )
         return rows[0].input_url if rows else None
 

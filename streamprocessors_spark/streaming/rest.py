@@ -204,6 +204,7 @@ def config_store_routes(server: StateRestServer, store) -> None:
             try:
                 return {
                     int(r.sys_id): (int(r.seq), r.doc)
+                    # bounded: one row per configured system (config store)
                     for r in store.read().collect()
                 }
             except Exception as e:  # noqa: BLE001 — classify below

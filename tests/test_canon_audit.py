@@ -108,3 +108,50 @@ def test_partitioned_window_never_flagged():
 def test_shipped_tree_passes_global_window_rule():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     assert [p for p in _annotation_hazards(here) if "Window" in p] == []
+
+
+def test_unannotated_driver_collect_fails():
+    root = _repo_with("rows = df.groupBy('k').count().collect()\n")
+    probs = _annotation_hazards(root)
+    assert len(probs) == 1 and ".collect()/.toPandas()" in probs[0]
+
+
+def test_unannotated_topandas_fails():
+    root = _repo_with("pdf = df.toPandas()\n")
+    probs = _annotation_hazards(root)
+    assert len(probs) == 1 and ".collect()/.toPandas()" in probs[0]
+
+
+def test_control_plane_collect_passes():
+    root = _repo_with(
+        "total = labels.agg(F.sum('x')).collect()[0][0]"
+        "  # control-plane scalar\n"
+    )
+    assert _annotation_hazards(root) == []
+
+
+def test_bounded_collect_passes_and_rationale_scanned():
+    root = _repo_with(
+        "# bounded collect: one row per source\n"
+        "rows = b.groupBy('source').count().collect()\n"
+    )
+    assert _annotation_hazards(root) == []
+    assert _rationale_hazards(root) == []
+
+
+def test_sf_proportional_collect_rationale_fails():
+    root = _repo_with(
+        "# bounded: the frame scales with the corpus (small at sf0.01)\n"
+        "rows = df.collect()\n"
+    )
+    assert _annotation_hazards(root) == []  # annotated, so rule 1 passes
+    assert _rationale_hazards(root)  # ...but the rationale is rejected
+
+
+def test_collect_list_not_confused_with_driver_collect():
+    # collect_list( has its own rule; the driver rule must not double-flag
+    root = _repo_with(
+        "# bounded: protocol caps group size at 16\n"
+        "x = df.agg(F.collect_list('v'))\n"
+    )
+    assert _annotation_hazards(root) == []

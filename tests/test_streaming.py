@@ -857,16 +857,13 @@ def test_stream_lineage_packing_cross_batch_parity(spark, tmp_path):
     assert len(probe["partials"]) <= 2  # one open partial per source max
 
 
-def test_stream_snapshot_delta_emits_all_four_classes(spark):
+def test_stream_snapshot_delta_emits_all_four_classes(spark, sf_dir):
     """The CDC twin must detect 'removed' via the drain-time store-vs-
     sink reconciliation (absent docs never arrive), alongside the
     arrival-classified added/changed/same."""
     from streamprocessors_spark import plans
 
     plans.load_all()
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
-    )
     rows = plans.REGISTRY["stream_snapshot_delta"].fn(spark, sf_dir).collect()
     by_class: dict = {}
     for r in rows:

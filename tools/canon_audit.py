@@ -88,16 +88,42 @@ _BROADCAST_RE = re.compile(r"\bF\.broadcast\s*\(")
 _GLOBAL_WINDOW_RE = re.compile(r"\bWindow\.orderBy\s*\(")
 
 
+# .collect()/.toPandas() materialize a frame ON THE DRIVER — the operator
+# stops being distributed at that point, and an SF-proportional frame
+# becomes a driver OOM at 100 TB. Legitimate uses are (a) structurally
+# bounded frames (one-row aggregates, per-source maps, k-row tables) and
+# (b) control-plane scalars (convergence probes, loop bounds). Every call
+# site must say which, via '# bounded:'/'# bounded collect:' or
+# '# control-plane' within the 6 preceding lines (VERDICT r10 #7); the
+# rationale rule rejects SF-proportional excuses like everywhere else.
+_DRIVER_COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(\s*\)")
+
+_BOUNDED_MARKERS = ("# bounded",)
+_COLLECT_MARKERS = ("# bounded", "# control-plane")
+
+
 def _annotation_hazards(root: str) -> list[str]:
     out = []
     pkg = os.path.join(root, "streamprocessors_spark")
     rules = [
-        (_COLLECT_RE, "collect_list/set", "hot-key skew hazard"),
-        (_BROADCAST_RE, "F.broadcast hint", "data-dependent-size hazard"),
+        (_COLLECT_RE, "collect_list/set", "hot-key skew hazard", _BOUNDED_MARKERS),
+        (
+            _BROADCAST_RE,
+            "F.broadcast hint",
+            "data-dependent-size hazard",
+            _BOUNDED_MARKERS,
+        ),
         (
             _GLOBAL_WINDOW_RE,
             "global Window.orderBy (no partitionBy)",
             "single-partition window hazard",
+            _BOUNDED_MARKERS,
+        ),
+        (
+            _DRIVER_COLLECT_RE,
+            ".collect()/.toPandas() driver materialization",
+            "driver-memory hazard",
+            _COLLECT_MARKERS,
         ),
     ]
     for dirpath, _dirs, files in os.walk(pkg):
@@ -109,15 +135,15 @@ def _annotation_hazards(root: str) -> list[str]:
                 lines = fh.readlines()
             for i, line in enumerate(lines):
                 code = line.split("#")[0]
-                for rx, what, why in rules:
+                for rx, what, why, markers in rules:
                     if not rx.search(code):
                         continue
                     window = "".join(lines[max(0, i - 6) : i + 1])
-                    if "# bounded:" not in window:
+                    if not any(m in window for m in markers):
                         rel = os.path.relpath(path, root)
                         out.append(
                             f"{rel}:{i + 1}: {what} without a"
-                            f" '# bounded:' size rationale ({why})"
+                            f" {'/'.join(markers)!r} size rationale ({why})"
                         )
     return out
 
@@ -145,10 +171,18 @@ def _rationale_hazards(root: str) -> list[str]:
             with open(path) as fh:
                 lines = fh.readlines()
             for i, line in enumerate(lines):
-                if "# bounded:" not in line:
+                marker = next(
+                    (
+                        m
+                        for m in ("# bounded", "# control-plane")
+                        if m in line
+                    ),
+                    None,
+                )
+                if marker is None:
                     continue
                 # the rationale may wrap over following comment lines
-                block = [line.split("# bounded:", 1)[1]]
+                block = [line.split(marker, 1)[1]]
                 j = i + 1
                 while j < len(lines) and lines[j].lstrip().startswith("#"):
                     block.append(lines[j].lstrip().lstrip("#"))
