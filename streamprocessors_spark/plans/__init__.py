@@ -151,10 +151,28 @@ _FORCE_RECHECK = {
 # re-verification). Names here sort AFTER all green rows until the
 # driver verifies them (they stay registered, locally oracle-gated by
 # tests/test_oracle_parity.py and tools/sweep_sf.py like everything
-# else). EMPTY this round by design: the 17 round-9 deferrals take
-# round-10 window slots as plain never-verified rows (they sort FIRST),
-# per VERDICT r9 directive #1.
-_DEFER_PAST_GREEN: frozenset[str] = frozenset()
+# else). Round 11: every r11 addition is deferred BY DESIGN — VERDICT
+# r10 #2 dedicates the whole window to the 67-row stale tail (19 r5 +
+# oldest r6), so new queries ride the local sweep until round 12.
+_DEFER_PAST_GREEN: frozenset[str] = frozenset({
+    "snapshot_removal_dedup",
+    "ann_ivf_remove",
+    "drift_remediation_plan",
+})
+
+# The driver-window scheduling constants (SURVEY.md §10 rotation split,
+# formalized per VERDICT r10 #8). The driver's one correctness pass has
+# covered exactly 50 rows every round since r1; entries green and
+# code-untouched (no active force-recheck pin) for >= STABLE_AFTER_ROUNDS
+# are 'stable' — their per-round verification is delegated to the local
+# full-registry oracle sweep (the same comparator), and the driver window
+# re-checks them as a stalest-first trickle plus whatever residual slots
+# remain after pins + new entries. STALE_TRICKLE is the guaranteed floor:
+# even a flood of new additions cannot evict the 10 stalest rows from the
+# window (new entries beyond budget - trickle sort AFTER the trickle).
+DRIVER_WINDOW_BUDGET = 50
+STABLE_AFTER_ROUNDS = 3
+STALE_TRICKLE = 10
 
 
 def _driver_green_rounds() -> dict[str, int] | None:
@@ -189,19 +207,46 @@ def _driver_green_names() -> frozenset[str]:
     return frozenset(rounds) if rounds is not None else _R01_DRIVER_GREEN
 
 
+def stable_names() -> frozenset[str]:
+    """Entries tagged ``stable``: driver-green, no active force-recheck
+    pin, and untouched for >= STABLE_AFTER_ROUNDS rounds (their last
+    green row is that many rounds behind the latest correctness file).
+    Stable entries are verified every round by the local full-registry
+    sweep; the driver window re-checks them only via the stalest-first
+    trickle + residual slots (SURVEY.md §10 / VERDICT r10 #8)."""
+    green_rounds = _driver_green_rounds() or {}
+    if not green_rounds:
+        return frozenset()
+    current = max(green_rounds.values())
+    return frozenset(
+        n
+        for n, rnd in green_rounds.items()
+        if n in REGISTRY
+        and rnd <= current - STABLE_AFTER_ROUNDS
+        and green_rounds.get(n, 0) >= _FORCE_RECHECK.get(n, 0)
+    )
+
+
 def ordered_registry() -> dict[str, Query]:
     """REGISTRY reordered so driver-unverified queries come first.
 
-    Order: (1) priority rows (fixed red rows + sentinels + new operators),
-    (2) everything without a driver-green row yet (registration order),
-    (3) driver-green queries, STALEST FIRST — ordered by the round of
-    their latest green row ascending, so each round's spare window slots
-    re-verify the rows whose last driver check is oldest (a row green in
-    r1 only has never been re-run against r2+ code). Rotating this way
-    converts 'locally green' into the driver's own signal even though one
-    correctness pass covers only ~50 entries. Exception to (2):
-    _DEFER_PAST_GREEN entries sort LAST until their first green row —
-    the over-window-budget escape hatch for late-round additions.
+    Order: (1) priority rows (fixed red rows + sentinels),
+    (2) active force-recheck pins (impl changed after last green row),
+    (3) everything without a driver-green row yet (registration order) —
+    but only up to DRIVER_WINDOW_BUDGET - pins - STALE_TRICKLE entries:
+    (4) the STALE_TRICKLE stalest green rows are a guaranteed floor a
+    flood of new additions can never evict (the 'stable share cap' —
+    stable entries compete for residual slots, but the trickle is
+    budgeted alongside pins + new, VERDICT r10 #8); then
+    (5) any new entries beyond the cap, then
+    (6) the remaining driver-green queries, STALEST FIRST — ordered by
+    the round of their latest green row ascending, so each round's spare
+    window slots re-verify the rows whose last driver check is oldest.
+    Rotating this way converts 'locally green' into the driver's own
+    signal even though one correctness pass covers only ~50 entries.
+    Exception to (3): _DEFER_PAST_GREEN entries sort LAST until their
+    first green row — the over-window-budget escape hatch for
+    late-round additions.
     """
     green = _driver_green_names()
     green_rounds = _driver_green_rounds() or {}
@@ -217,18 +262,72 @@ def ordered_registry() -> dict[str, Query]:
             and green_rounds.get(name, 0) < since_round
         ):
             out[name] = REGISTRY[name]
+    # (3) new entries, capped so the stale trickle always fits the window
+    new_cap = max(0, DRIVER_WINDOW_BUDGET - len(out) - STALE_TRICKLE)
+    overflow_new: list[str] = []
     for name, q in REGISTRY.items():
         if name not in out and name not in green and name not in deferred:
-            out[name] = q
+            if new_cap > 0:
+                out[name] = q
+                new_cap -= 1
+            else:
+                overflow_new.append(name)
+    # (4) the guaranteed trickle + (6) the rest of the green tail, both
+    # stalest-first — one sorted pass with the overflow spliced between
     reg_pos = {name: i for i, name in enumerate(REGISTRY)}
-    for name in sorted(
-        (n for n in REGISTRY if n not in out and n not in deferred),
+    green_tail = sorted(
+        (n for n in REGISTRY if n not in out and n in green and n not in deferred),
         key=lambda n: (green_rounds.get(n, 0), reg_pos[n]),
-    ):
+    )
+    for name in green_tail[:STALE_TRICKLE]:
+        out[name] = REGISTRY[name]
+    for name in overflow_new:
+        out[name] = REGISTRY[name]
+    for name in green_tail[STALE_TRICKLE:]:
         out[name] = REGISTRY[name]
     for name in REGISTRY:
         if name in deferred and name not in out:
             out[name] = REGISTRY[name]
+    return out
+
+
+def driver_window_projection(
+    budget: int = DRIVER_WINDOW_BUDGET,
+) -> dict[str, list[str]]:
+    """The projected driver window (the first ``budget`` names of
+    ordered_registry()), partitioned by WHY each row is in it — the
+    explicit form of the rotation split so its properties are testable:
+    'pins' (sentinels + force-recheck), 'new' (never green), 'trickle'
+    (the guaranteed stalest floor), 'residual' (further green rows,
+    stalest-first). max(projected age) for NON-stable rows stays
+    <= STABLE_AFTER_ROUNDS at current growth because pins + new always
+    lead the window."""
+    green = _driver_green_names()
+    names = list(ordered_registry())[:budget]
+    green_rounds = _driver_green_rounds() or {}
+    stable = stable_names()
+    out: dict[str, list[str]] = {
+        "pins": [],
+        "new": [],
+        "trickle": [],
+        "residual": [],
+    }
+    trickle_left = STALE_TRICKLE
+    for n in names:
+        if n not in green:
+            if n in _DRIVER_WINDOW_FIRST or green_rounds.get(
+                n, 0
+            ) < _FORCE_RECHECK.get(n, 0):
+                out["pins"].append(n)
+            else:
+                out["new"].append(n)
+        elif green_rounds.get(n, 0) < _FORCE_RECHECK.get(n, 0):
+            out["pins"].append(n)
+        elif trickle_left > 0 and n in stable:
+            out["trickle"].append(n)
+            trickle_left -= 1
+        else:
+            out["residual"].append(n)
     return out
 
 

@@ -43,23 +43,114 @@ def test_force_recheck_pins_lead_when_stale(monkeypatch):
     assert order[: len(active)] == [n for n in plans._FORCE_RECHECK if n in active]
 
 
-def test_unverified_precede_green(monkeypatch):
+def test_unverified_precede_green_up_to_trickle_cap(monkeypatch):
+    """New entries lead the window, but only up to BUDGET - pins -
+    STALE_TRICKLE of them: the guaranteed stalest floor can never be
+    flooded out (VERDICT r10 #8)."""
     names = list(plans.REGISTRY)
     green = {n: 4 for n in names[: len(names) // 2]}
     order = _ordered_with(monkeypatch, green)
     pos = {n: i for i, n in enumerate(order)}
-    # _DEFER_PAST_GREEN names are the documented exception to this rule
-    worst_unverified = max(
-        pos[n]
+    new = {
+        n
         for n in names
         if n not in green and n not in plans._DEFER_PAST_GREEN
-    )
-    # the force-recheck pins are the only green rows allowed ahead
-    allowed_ahead = {n for n, since in plans._FORCE_RECHECK.items() if since > 4}
-    best_plain_green = min(
-        pos[n] for n in green if n not in allowed_ahead
-    )
-    assert worst_unverified < best_plain_green
+    }
+    # plain green = green rows with no active force-recheck pin (a green
+    # row whose impl changed after its green round is a pin, not tail)
+    plain_green = [
+        n for n in green if plans._FORCE_RECHECK.get(n, 0) <= green[n]
+    ]
+    first_green = min(pos[n] for n in plain_green)
+    overflow = [n for n in new if pos[n] > first_green]
+    assert overflow, "this state floods the window; the cap must bind"
+    # (a) everything before the first plain-green row (new + pins +
+    # sentinels) fills the window up to exactly the trickle reservation
+    assert first_green == plans.DRIVER_WINDOW_BUDGET - plans.STALE_TRICKLE
+    # (b) exactly STALE_TRICKLE green rows precede the first overflow row
+    first_overflow = min(pos[n] for n in overflow)
+    ahead_green = [n for n in plain_green if pos[n] < first_overflow]
+    assert len(ahead_green) == plans.STALE_TRICKLE
+
+
+def test_flood_of_new_entries_cannot_evict_stale_trickle(monkeypatch):
+    """Even when new additions alone exceed the window budget, the
+    STALE_TRICKLE stalest green rows stay inside the first BUDGET
+    positions."""
+    names = list(plans.REGISTRY)
+    # leave budget+20 entries unverified (a flood), rest green at
+    # mixed staleness; neutralize pins
+    flood = plans.DRIVER_WINDOW_BUDGET + 20
+    green = {n: (i % 4) + 1 for i, n in enumerate(names[flood:], start=1)}
+    for n in plans._FORCE_RECHECK:
+        if n in green:
+            green[n] = 9
+    order = _ordered_with(monkeypatch, green)
+    window = set(order[: plans.DRIVER_WINDOW_BUDGET])
+    reg_pos = {n: i for i, n in enumerate(names)}
+    stalest = sorted(
+        (n for n in green), key=lambda n: (green[n], reg_pos[n])
+    )[: plans.STALE_TRICKLE]
+    assert all(n in window for n in stalest)
+
+
+def test_r11_window_is_the_stale_tail(monkeypatch):
+    """The round-11 state (VERDICT r10 #2): all rows green, 19 at r5 and
+    48 at r6, the rest r8-r10, r11 additions deferred. The projected
+    window must be exactly the 50 stalest rows — every r5 row plus the
+    31 oldest r6 rows."""
+    names = [n for n in plans.REGISTRY if n not in plans._DEFER_PAST_GREEN]
+    rounds = {}
+    for i, n in enumerate(names):
+        rounds[n] = 5 if i < 19 else (6 if i < 67 else 8 + (i % 3))
+    # neutralize force-recheck pins (all re-greened)
+    for n in plans._FORCE_RECHECK:
+        if n in rounds:
+            rounds[n] = max(rounds[n], plans._FORCE_RECHECK[n])
+    monkeypatch.setattr(plans, "_driver_green_rounds", lambda: dict(rounds))
+    order = list(plans.ordered_registry())
+    window = order[: plans.DRIVER_WINDOW_BUDGET]
+    assert all(rounds[n] <= 6 for n in window)
+    assert sum(1 for n in window if rounds[n] == 5) == 19
+    # deferred r11 additions sort dead last (once they are registered)
+    deferred_in_reg = plans._DEFER_PAST_GREEN & set(plans.REGISTRY)
+    if deferred_in_reg:
+        assert set(order[-len(deferred_in_reg):]) == deferred_in_reg
+
+
+def test_stable_names_definition(monkeypatch):
+    names = list(plans.REGISTRY)
+    rounds = {n: 10 for n in names}
+    old = names[5:15]
+    for n in old:
+        rounds[n] = 7  # 10 - 3 -> exactly at the stable boundary
+    rounds[names[0]] = 6
+    monkeypatch.setattr(plans, "_driver_green_rounds", lambda: dict(rounds))
+    stable = plans.stable_names()
+    expected = {
+        n
+        for n in old + [names[0]]
+        if rounds[n] >= plans._FORCE_RECHECK.get(n, 0)
+    }
+    assert stable == expected
+
+
+def test_window_projection_partitions(monkeypatch):
+    names = [n for n in plans.REGISTRY if n not in plans._DEFER_PAST_GREEN]
+    rounds = {n: 5 if i < 30 else 9 for i, n in enumerate(names)}
+    for n in plans._FORCE_RECHECK:
+        if n in rounds:
+            rounds[n] = max(rounds[n], plans._FORCE_RECHECK[n])
+    monkeypatch.setattr(plans, "_driver_green_rounds", lambda: dict(rounds))
+    proj = plans.driver_window_projection()
+    all_rows = [n for part in proj.values() for n in part]
+    assert len(all_rows) == plans.DRIVER_WINDOW_BUDGET
+    assert len(set(all_rows)) == len(all_rows)
+    # no pins/new in this state: window = trickle + residual, all stale
+    assert proj["pins"] == [] and proj["new"] == []
+    assert len(proj["trickle"]) == plans.STALE_TRICKLE
+    stable = plans.stable_names()
+    assert all(n in stable for n in proj["trickle"])
 
 
 def test_green_tail_is_stalest_first(monkeypatch):
