@@ -1203,7 +1203,10 @@ _wire_stream_entropy_oracle()
 
 
 def _incremental_keep_list_labels(
-    pair_stream: DataFrame, shingles: DataFrame
+    pair_stream: DataFrame,
+    shingles: DataFrame,
+    workdir: str | None = None,
+    fault=None,
 ):
     """Drain a streaming candidate-pair frame, maintaining near-dup
     cluster labels ACROSS micro-batches; returns the final (doc_id,
@@ -1221,13 +1224,34 @@ def _incremental_keep_list_labels(
     per batch, so batch k never replays batches 1..k-1; per-batch cost
     is CC over (standing clusters + delta), NEVER over the corpus. The
     corpus is touched only by the stateless band projection feeding the
-    keyed-state bucket store."""
+    keyed-state bucket store.
+
+    EXACTLY-ONCE under micro-batch replay (VERDICT r10 #1): the standing
+    labels are written per batch to a batch_id=N overwrite directory —
+    the frame-valued state snapshot. A replayed batch reloads labels
+    N-1 (never its own possibly-half-written N) and recomputes; the
+    recomputation is idempotent anyway because re-merging a batch's
+    edges into labels that already absorbed them is a connectivity
+    no-op and min-labels are deterministic. The bucket-membership keyed
+    state upstream recovers through Spark's own state-store checkpoint.
+    """
     from streamprocessors_spark.functions import dialect as D
     from streamprocessors_spark.functions.dialect import SPARK
     from streamprocessors_spark.plans.advanced import _min_label_components
     from streamprocessors_spark.plans.llm_ops import _PAIR_FILTER
+    from streamprocessors_spark.streaming import exactly_once as XO
 
+    import os
+    import shutil
     import tempfile
+
+    spark = pair_stream.sparkSession
+    own_dirs = workdir is None
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="spgraft_klst_")
+    labdir = os.path.join(workdir, "labels")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(labdir, exist_ok=True)
 
     # The signature store is consulted TWICE per micro-batch (doc_a and
     # doc_b legs join on different keys, so the exchanges can't be
@@ -1242,9 +1266,21 @@ def _incremental_keep_list_labels(
     sb = shingles.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
-    state: dict = {"labels": None}
+    state: dict = {"labels": None, "last_batch": None}
 
-    def process(batch_df, _batch_id) -> None:
+    def _load_labels(before_batch: int) -> None:
+        d = XO.latest_batch_dir(labdir, before_batch)
+        state["labels"] = (
+            spark.read.parquet(d).localCheckpoint() if d else None
+        )
+
+    def process(batch_df, batch_id) -> None:
+        last = state["last_batch"]
+        if last is None or last >= batch_id:
+            # driver restart or replay: standing labels come from the
+            # newest snapshot STRICTLY BEFORE this batch
+            _load_labels(batch_id)
+        XO.maybe_fault(fault, batch_id)
         verified = (
             batch_df.distinct()
             .join(sa, "doc_a")
@@ -1264,23 +1300,32 @@ def _incremental_keep_list_labels(
                 "doc_id as doc_a", "canonical as doc_b"
             )
             edges = edges.unionByName(star)
-        if edges.isEmpty():
-            return
-        state["labels"] = _min_label_components(edges).localCheckpoint()
+        if not edges.isEmpty():
+            state["labels"] = _min_label_components(edges).localCheckpoint()
+            # idempotent frame snapshot: batch_id=N overwrite
+            XO.write_batch_output(state["labels"], labdir, batch_id)
+        XO.mark_done(state, batch_id)
 
-    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
-    q = (
-        pair_stream.writeStream.foreachBatch(process)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # labels are localCheckpoint-materialized; nothing references the
-    # signature store after drain
-    shingles.unpersist()
-    return state["labels"]
+    try:
+        q = (
+            pair_stream.writeStream.foreachBatch(process)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["labels"] is None:
+            # restart where every batch was already committed: the final
+            # labels live in the newest snapshot, not this process
+            _load_labels(1 << 62)
+        # labels are localCheckpoint-materialized; nothing references the
+        # signature store after drain
+        return state["labels"]
+    finally:
+        shingles.unpersist()
+        if own_dirs:
+            shutil.rmtree(workdir, ignore_errors=True)
 
 
 @register(
@@ -1409,6 +1454,8 @@ def _ingest_packer_engine(
     cols: list[str],
     batch_bins,
     merge_exprs,
+    workdir: str | None = None,
+    fault=None,
 ) -> DataFrame:
     """The bounded-state ingest-packer engine, parameterized by its bin
     statistics: ``batch_bins(g)`` aggregates ONE batch's positioned
@@ -1416,11 +1463,21 @@ def _ingest_packer_engine(
     partials from different batches (legal because every statistic used
     here is batch-accumulable: counts/mins/maxes fold, mod-sum
     fingerprints add, and doc sets of different batches are disjoint so
-    per-bin distinct-doc statistics sum). Closed bins ship to an
-    append-only parquet sink per batch; driver state carries only the
-    per-source offset and ONE open-bin partial (VERDICT r9 #3). The sink
-    and checkpoint dirs are removed after the drained frame is
-    localCheckpoint-materialized."""
+    per-bin distinct-doc statistics sum). Driver state carries only the
+    per-source offset and ONE open-bin partial (VERDICT r9 #3).
+
+    EXACTLY-ONCE under micro-batch replay (VERDICT r10 #1): closed bins
+    ship to a per-``batch_id`` overwrite directory (a replayed batch
+    replaces its own output instead of appending a duplicate), and the
+    offsets+partials state is snapshotted per batch — when a restarted
+    driver replays batch N, the state is rebuilt from snapshot N-1, so
+    the replay recomputes exactly what the crashed attempt computed
+    (streamprocessors_spark/streaming/exactly_once.py). Passing
+    ``workdir`` makes the run restartable (dirs survive a failure and a
+    second call resumes from the checkpoint); the default temp workdir
+    is removed after the drained frame is materialized. ``fault`` is a
+    test-only hook invoked with each batch_id to plant crashes."""
+    import os
     import shutil
     import tempfile
 
@@ -1428,24 +1485,42 @@ def _ingest_packer_engine(
         _PACK_W,
         packing_positions,
     )
+    from streamprocessors_spark.streaming import exactly_once as XO
 
     spark = stream_df.sparkSession
-    state.update({"offsets": {}, "partials": {}, "wrote": False})
-    sink = tempfile.mkdtemp(prefix="spgraft_packsink_")
-    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
+    own_dirs = workdir is None
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="spgraft_packer_")
+    sink = os.path.join(workdir, "bins")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(sink, exist_ok=True)
     part_schema = "source string, bin bigint, " + ", ".join(
         f"{c} bigint" for c in cols
     )
     out_cols = ["source", "bin", *cols]
+    init = {"offsets": {}, "partials": {}}
+    state.setdefault("offsets", {})
+    state.setdefault("partials", {})
+    state.setdefault("last_batch", None)
 
-    def _partial_rows() -> list[tuple]:
+    def _partial_rows(partials: dict) -> list[tuple]:
         return [
-            (s, b, *vals)
-            for s, (b, *vals) in sorted(state["partials"].items())
+            (s, *[int(v) for v in vals]) for s, vals in sorted(partials.items())
         ]
 
-    def process(batch_df, _batch_id) -> None:
+    def process(batch_df, batch_id) -> None:
+        # rebuild offsets+partials from the last committed snapshot when
+        # this process is not warm from batch_id-1 (driver restart /
+        # replayed batch); in-run sequential batches take the warm path
+        XO.recover_state(state, batch_id, workdir, init)
+        XO.maybe_fault(fault, batch_id)
         if batch_df.isEmpty():
+            XO.write_state_snapshot(
+                workdir,
+                batch_id,
+                {"offsets": state["offsets"], "partials": state["partials"]},
+            )
+            XO.mark_done(state, batch_id)
             return
         g = packing_positions(
             batch_df, seq, base_offsets=dict(state["offsets"])
@@ -1454,17 +1529,18 @@ def _ingest_packer_engine(
         # them once for the three consumers below (offset roll, closed
         # write, open collect) and truncates the per-batch lineage
         b = batch_bins(g).localCheckpoint()
+        offsets = dict(state["offsets"])
         # bounded collect: one row per source present in the batch —
         # the standing next-offset per source
         for r in b.groupBy("source").agg(
             F.sum("n_tokens").alias("n")
         ).collect():
-            state["offsets"][r["source"]] = (
-                state["offsets"].get(r["source"], 0) + int(r["n"])
-            )
+            offsets[r["source"]] = offsets.get(r["source"], 0) + int(r["n"])
         # fold the carried open partials into this batch's bins
         if state["partials"]:
-            prev = spark.createDataFrame(_partial_rows(), part_schema)
+            prev = spark.createDataFrame(
+                _partial_rows(state["partials"]), part_schema
+            )
             b = (
                 b.unionByName(prev)
                 .groupBy("source", "bin")
@@ -1474,7 +1550,7 @@ def _ingest_packer_engine(
         # exact boundary nothing is open (sentinel -1 never matches)
         open_map = [
             (s, (off // _PACK_W) if off % _PACK_W else -1)
-            for s, off in sorted(state["offsets"].items())
+            for s, off in sorted(offsets.items())
         ]
         # bounded: one row per named corpus source (the open-bin map)
         om = F.broadcast(
@@ -1484,13 +1560,21 @@ def _ingest_packer_engine(
         closed = b.where("open_bin is null or bin <> open_bin").select(
             *out_cols
         )
-        closed.write.mode("append").parquet(sink)
-        state["wrote"] = True
+        # idempotent: batch_id=N overwrite — a replay replaces, not appends
+        XO.write_batch_output(closed, sink, batch_id)
         # bounded collect: at most one open-bin row per source
-        state["partials"] = {
-            r["source"]: tuple(int(r[c]) for c in ["bin", *cols])
+        partials = {
+            r["source"]: [int(r[c]) for c in ["bin", *cols]]
             for r in b.where("bin = open_bin").collect()
         }
+        state["offsets"] = offsets
+        state["partials"] = partials
+        # snapshot AFTER the output write: a crash between the two makes
+        # the replay rebuild from N-1 and overwrite both, still exact
+        XO.write_state_snapshot(
+            workdir, batch_id, {"offsets": offsets, "partials": partials}
+        )
+        XO.mark_done(state, batch_id)
 
     try:
         q = (
@@ -1501,23 +1585,30 @@ def _ingest_packer_engine(
             .start()
         )
         q.awaitTermination()
-        if not state["wrote"]:  # empty stream -> empty bins, same schema
-            return spark.createDataFrame([], part_schema).select(*out_cols)
-        out = spark.read.parquet(sink).select(*out_cols)
+        # a restart where every batch was already committed never calls
+        # process(): reconcile the final state from the newest snapshot
+        XO.recover_state(state, 1 << 62, workdir, init)
+        out = XO.read_sink(spark, sink, part_schema).select(*out_cols)
         if state["partials"]:
             out = out.unionByName(
-                spark.createDataFrame(_partial_rows(), part_schema)
+                spark.createDataFrame(
+                    _partial_rows(state["partials"]), part_schema
+                )
             )
         # bins-sized (corpus_tokens / W rows); materialize so the temp
         # sink can be removed before the caller ever runs an action
         return out.localCheckpoint()
     finally:
-        shutil.rmtree(sink, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if own_dirs:
+            shutil.rmtree(workdir, ignore_errors=True)
 
 
 def ingest_packed_bins(
-    stream_df: DataFrame, seq: DataFrame, state: dict | None = None
+    stream_df: DataFrame,
+    seq: DataFrame,
+    state: dict | None = None,
+    workdir: str | None = None,
+    fault=None,
 ) -> DataFrame:
     """Run a document stream through the bounded-state ingest packer and
     return the drained (source, bin, n_tokens, n_docs, n_seps, fp) frame
@@ -1542,11 +1633,17 @@ def ingest_packed_bins(
         ["n_tokens", "n_docs", "n_seps", "fp"],
         packing_bins,
         merge,
+        workdir=workdir,
+        fault=fault,
     )
 
 
 def ingest_packed_lineage_bins(
-    stream_df: DataFrame, seq: DataFrame, state: dict | None = None
+    stream_df: DataFrame,
+    seq: DataFrame,
+    state: dict | None = None,
+    workdir: str | None = None,
+    fault=None,
 ) -> DataFrame:
     """Lineage twin of ingest_packed_bins: per-batch partials come from
     packed_lineage_bins' aggregate (content fingerprint PLUS the lineage
@@ -1586,6 +1683,8 @@ def ingest_packed_lineage_bins(
         ],
         lineage_bins,
         merge,
+        workdir=workdir,
+        fault=fault,
     )
 
 
@@ -1709,20 +1808,40 @@ def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_delta_report(store, v1)
 
 
-def cdc_delta_report(store: DataFrame, stream_df: DataFrame) -> DataFrame:
+def cdc_delta_report(
+    store: DataFrame,
+    stream_df: DataFrame,
+    workdir: str | None = None,
+    fault=None,
+) -> DataFrame:
     """The CDC classify+reconcile core of stream_snapshot_delta, store
     passed in (shared with tools/scale_smoke.py): per-batch verdicts to
-    an append-only sink, drain-time anti-join for removals. ``store``
-    must carry (id0, src0, h0)."""
+    a per-batch_id overwrite sink, drain-time anti-join for removals.
+    ``store`` must carry (id0, src0, h0).
+
+    EXACTLY-ONCE under micro-batch replay (VERDICT r10 #1): verdicts are
+    a pure function of the batch, so idempotence needs only the
+    overwrite-by-batch_id write — a replayed batch replaces its own
+    verdict directory instead of double-counting every doc it carries.
+    No driver state. ``workdir`` makes the run restartable; ``fault`` is
+    the test crash hook."""
+    import os
     import shutil
     import tempfile
 
-    spark = stream_df.sparkSession
-    sink = tempfile.mkdtemp(prefix="spgraft_cdcsink_")
-    ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
-    state = {"wrote": False}
+    from streamprocessors_spark.streaming import exactly_once as XO
 
-    def process(batch_df, _batch_id) -> None:
+    spark = stream_df.sparkSession
+    own_dirs = workdir is None
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="spgraft_cdc_")
+    sink = os.path.join(workdir, "verdicts")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(sink, exist_ok=True)
+    seen_schema = "doc_id bigint, source string, delta string"
+
+    def process(batch_df, batch_id) -> None:
+        XO.maybe_fault(fault, batch_id)
         if batch_df.isEmpty():
             return
         b = batch_df.selectExpr(
@@ -1738,8 +1857,8 @@ def cdc_delta_report(store: DataFrame, stream_df: DataFrame) -> DataFrame:
                 " else 'same' end as delta",
             )
         )
-        verdicts.write.mode("append").parquet(sink)
-        state["wrote"] = True
+        # idempotent: batch_id=N overwrite — a replay replaces, not appends
+        XO.write_batch_output(verdicts, sink, batch_id)
 
     try:
         q = (
@@ -1750,12 +1869,8 @@ def cdc_delta_report(store: DataFrame, stream_df: DataFrame) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        if state["wrote"]:
-            seen = spark.read.parquet(sink)
-        else:  # empty stream: every stored doc is 'removed'
-            seen = spark.createDataFrame(
-                [], "doc_id bigint, source string, delta string"
-            )
+        # empty stream -> empty union -> every stored doc is 'removed'
+        seen = XO.read_sink(spark, sink, seen_schema)
         # end-of-snapshot reconciliation: stored docs never seen arriving
         # were removed — left_anti against the disk-backed sink, so the
         # deletion pass costs zero driver state
@@ -1772,8 +1887,8 @@ def cdc_delta_report(store: DataFrame, stream_df: DataFrame) -> DataFrame:
         # sources x 4 cells; materialize so the temp sink can be removed
         return out.localCheckpoint()
     finally:
-        shutil.rmtree(sink, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if own_dirs:
+            shutil.rmtree(workdir, ignore_errors=True)
 
 
 def _wire_stream_snapshot_oracle() -> None:

@@ -788,7 +788,7 @@ def test_stream_packing_cross_batch_offset_parity(spark, tmp_path):
     assert streamed == batch
     # bounded state: per-source scalars only — no positioned frames, no
     # per-batch anything
-    assert set(probe) == {"offsets", "partials", "wrote"}
+    assert set(probe) == {"offsets", "partials", "last_batch"}
     assert set(probe["offsets"]) == {"srcA", "srcB"}
     assert len(probe["partials"]) <= 2
     for s, (b, nt, nd, ns, fp) in probe["partials"].items():
