@@ -505,6 +505,70 @@ def _incremental_verdicts(
         .where(f"n_total between 2 and {LSH_MAX_BUCKET}")
         .select("band", "bh")
     )
+    # --- bucket-cap-crossing retraction (VERDICT r10 #3) ---------------
+    # A bucket that was v0-eligible (2 <= n0 <= cap) but is pushed PAST
+    # the cap by delta adds emitted old-old edges into the stored labels
+    # that a fresh v1 run would never emit. Those edges are retracted by
+    # NOT contracting the affected docs to their stored canonicals and
+    # instead re-deriving their valid old-old edges from the persisted
+    # band store under the v1 size gate. Affected docs = members of
+    # crossing buckets plus their full stored clusters (cluster-sized,
+    # delta-bounded: only delta-touched buckets can cross). Exactness:
+    # v1's old-old pair set is a subset of v0's (adds only grow buckets,
+    # and a 1-member bucket yields no old-old pairs), so outside the
+    # crossing buckets the stored labels remain the exact contraction.
+    crossing = (
+        bd.select("band", "bh", "nd")
+        .distinct()
+        .join(n0b, ["band", "bh"])
+        .where(
+            f"n0 between 2 and {LSH_MAX_BUCKET}"
+            f" and n0 + nd > {LSH_MAX_BUCKET}"
+        )
+        .select("band", "bh")
+    )
+    a0 = touched.join(crossing, ["band", "bh"]).select("doc_id").distinct()
+    # control-plane probe: the common recrawl case has ZERO crossing
+    # buckets — skip the whole retraction subtree then
+    has_crossing = not a0.isEmpty()
+    aa = None
+    affected = None
+    if has_crossing:
+        aff_canon = old_lab.join(a0, "doc_id").select("canonical").distinct()
+        affected = (
+            old_lab.join(aff_canon, "canonical")
+            .select("doc_id")
+            .unionByName(a0)
+            .distinct()
+            # affected-cluster-sized; consumed by the store probe, the
+            # contraction exclusion, and the pair derivation
+            .localCheckpoint()
+        )
+        # persisted per-bucket membership probe, restricted to affected
+        # docs (doc_id-keyed store lookup at scale)
+        s_aff = store.join(affected, "doc_id")
+        ndb = bd.select("band", "bh", "nd").distinct()
+        elig_aff = (
+            s_aff.join(ndb, ["band", "bh"], "left")
+            .selectExpr(
+                "band",
+                "bh",
+                "doc_id",
+                "n0 + coalesce(nd, cast(0 as bigint)) as n_total",
+            )
+            .where(f"n_total between 2 and {LSH_MAX_BUCKET}")
+            .select("band", "bh", "doc_id")
+        )
+        aa = (
+            elig_aff.selectExpr("band", "bh", "doc_id as doc_a")
+            .join(
+                elig_aff.selectExpr("band", "bh", "doc_id as doc_b"),
+                ["band", "bh"],
+            )
+            .where("doc_a < doc_b")
+            .select("doc_a", "doc_b")
+        )
+    # -------------------------------------------------------------------
     dd_a = bd.join(sizes, ["band", "bh"]).select(
         "band", "bh", F.col("doc_id").alias("doc_a")
     )
@@ -525,9 +589,13 @@ def _incremental_verdicts(
                     "greatest(d_id, o_id) as doc_b")
     )
     # pair-sized (delta-bounded: every pair has a delta side and capped
-    # buckets bound the fan-out); pinned so the old-endpoint restriction
-    # and both verify joins share one candidate derivation
-    cand = dd.unionByName(do).distinct().localCheckpoint()
+    # buckets bound the fan-out; aa pairs are affected-cluster-bounded);
+    # pinned so the old-endpoint restriction and both verify joins share
+    # one candidate derivation
+    cand = dd.unionByName(do)
+    if aa is not None:
+        cand = cand.unionByName(aa)
+    cand = cand.distinct().localCheckpoint()
     # exact-Jaccard verify: pair-driven content lookups. The old side is
     # RESTRICTED to docs the candidate pairs actually name (delta-bounded)
     # before shingling, so verify compute is delta-scaled: the corpus scan
@@ -566,6 +634,10 @@ def _incremental_verdicts(
     # label store makes this a point lookup), so the corpus-fraction
     # label table is never shuffled
     touched_lab = old_lab.join(old_ids, "doc_id")
+    if affected is not None:
+        # retraction: affected docs keep their RAW ids through CC — their
+        # stored canonicals may rest on edges the cap-crossing removed
+        touched_lab = touched_lab.join(affected, "doc_id", "left_anti")
     la = touched_lab.selectExpr("doc_id as oa", "canonical as ca")
     lb = touched_lab.selectExpr("doc_id as ob", "canonical as cb")
     edges = (

@@ -1524,3 +1524,86 @@ def test_ann_ivf_append_counts_are_consistent(spark, sf_dir):
     for cell, rs in per_cell.items():
         assert len({r.vec_id for r in rs}) == len(rs)
         assert all(r.n_new == len(rs) for r in rs)
+
+
+def test_incremental_dedup_bucket_cap_crossing_retracts(spark, monkeypatch):
+    """The bucket-cap-crossing corner (VERDICT r10 #3): when added docs
+    push a v0-eligible bucket PAST the cap, the stale old-old edges that
+    bucket contributed to the persisted labels must be RETRACTED — the
+    affected clusters are recomputed from the persisted band store under
+    the v1 size gate — so the incremental verdicts still equal a
+    from-scratch v1 keep-list exactly.
+
+    Hand fixture (texts found by searching the real minhash space, cap
+    monkeypatched to 3): t2 is a 29-word base text; t9 swaps its last
+    word (bands agree with t2 on 3 of 4 bands); t10 appends one word to
+    t9 (bands equal t9's on all 4). v0 = {2: t2, 9: t9} -> one stored
+    cluster {2, 9} (canonical 2) via the 3 shared buckets. Delta =
+    {10: t10, 15: t2, 20: t2}: the two t2 clones flood every bucket
+    containing BOTH 2 and 9 to 5 members (> cap, crossing), while the
+    band-1 bucket {9, 10} (2 members) and the band-1 bucket {2, 15, 20}
+    (3 members) stay eligible. Fresh v1 truth: clusters {9, 10} and
+    {2, 15, 20}. Without retraction, contracting 9 to its stale
+    canonical 2 would mislabel doc 10's cluster head as 2 instead of 9.
+    """
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans import advanced, llm_ops
+
+    monkeypatch.setattr(llm_ops, "LSH_MAX_BUCKET", 3)
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two"
+    )
+    t2 = base + " nine"
+    t9 = base + " word001"
+    t10 = t9 + " tail000"
+    docs = spark.createDataFrame(
+        [
+            (2, t2, "en", "srcA"),
+            (9, t9, "en", "srcA"),
+            (10, t10, "en", "srcA"),
+            (15, t2, "en", "srcA"),
+            (20, t2, "en", "srcA"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    v0 = docs.where("doc_id % 5 != 0")
+    delta = docs.where("doc_id % 5 = 0")
+    par = 4
+    store, old_lab = advanced._snapshot_store(v0, par)
+    # precondition: v0 really stored the stale cluster {2, 9}
+    assert {(r.doc_id, r.canonical) for r in old_lab.collect()} == {
+        (2, 2),
+        (9, 2),
+    }
+    # precondition: the delta really crosses the cap on a v0-eligible
+    # bucket (n0 = 2, +3 delta members = 5 > 3)
+    b0 = store.select("band", "bh", "n0").distinct()
+    bd = (
+        llm_ops.minhash_bands(llm_ops.shingle_docs(delta, par))
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    crossers = (
+        b0.join(bd, ["band", "bh"])
+        .where("n0 between 2 and 3 and n0 + nd > 3")
+        .count()
+    )
+    assert crossers == 3  # bands 0, 2, 3 of the t2/t9-shared signature
+
+    out = {
+        r.doc_id: (r.canonical, r.kept)
+        for r in advanced._incremental_verdicts(
+            docs, delta, store, old_lab, par
+        ).collect()
+    }
+    # oracle: from-scratch v1 keep-list via the same capped machinery
+    _, fresh_lab = advanced._snapshot_store(docs, par)
+    fresh_map = {r.doc_id: r.canonical for r in fresh_lab.collect()}
+    fresh = {
+        d: (fresh_map.get(d, d), int(fresh_map.get(d, d) == d))
+        for d in (10, 15, 20)
+    }
+    assert out == fresh == {10: (9, 0), 15: (2, 0), 20: (2, 0)}
