@@ -717,6 +717,206 @@ def _snapshot_store(v0: DataFrame, par: int) -> tuple[DataFrame, DataFrame]:
     return store, old_lab
 
 
+def _removal_dedup_oracle() -> str:
+    """From-scratch keep-list on the post-removal corpus (v0 minus the
+    doc_id % 7 = 1 docs): the removal path must re-elect canonicals and
+    split clusters EXACTLY as a fresh run on the surviving docs would."""
+    from streamprocessors_spark.plans.llm_ops import (
+        _MINHASH_ORACLE_CTES,
+        _MINHASH_VERIFY_SELECT,
+    )
+
+    v1 = (
+        "(SELECT * FROM documents"
+        " WHERE doc_id % 5 != 0 AND doc_id % 7 != 1) dv1"
+    )
+    ctes = _MINHASH_ORACLE_CTES.replace("FROM documents", f"FROM {v1}")
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({_MINHASH_VERIFY_SELECT}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS doc_id, least(u, min(v)) AS canonical
+            FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(l.canonical, d.doc_id) AS canonical,
+           CAST(COALESCE(l.canonical, d.doc_id) = d.doc_id AS INT) AS kept
+    FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+    WHERE d.doc_id % 5 != 0 AND d.doc_id % 7 != 1
+    """
+
+
+@register(
+    "snapshot_removal_dedup",
+    oracle=_removal_dedup_oracle(),
+    doc="Removal path for the persisted dedup artifacts (VERDICT r10 #4 "
+    "— the bidirectional contract with snapshot_incremental_dedup): "
+    "when documents are REMOVED from the snapshot (takedowns, robots "
+    "retro-exclusions, dead hosts), the stored band store and keep-list "
+    "labels are maintained without re-signaturing the surviving corpus. "
+    "Removed docs' bands are tombstoned (their per-bucket counts "
+    "subtracted); clusters that contained a removed doc are recomputed "
+    "from the persisted band-store membership under the post-removal "
+    "size gate — re-electing canonicals whose min was removed and "
+    "splitting clusters the removed doc held together; and buckets the "
+    "removals shrink DOWN INTO the 2..cap eligibility window contribute "
+    "their newly-valid pairs (the mirror of the cap-crossing corner). "
+    "Work scales with the REMOVAL delta: affected docs = removed docs' "
+    "clusters + down-crossing bucket members (+ their clusters); "
+    "everyone else keeps their stored canonical, which stays exact "
+    "because removals can neither create nor destroy pairs between "
+    "unaffected docs (a shared bucket with 2 surviving members never "
+    "leaves the eligibility window downward, and only affected-bucket "
+    "members gain pairs). Oracle: from-scratch keep-list on the "
+    "surviving corpus. Shares the persisted store artifact with "
+    "snapshot_incremental_dedup (one snapshot, both maintenance "
+    "directions). v0 = doc_id % 5 != 0, removals = doc_id % 7 = 1.",
+    tags=("dedup", "lsh", "iterative", "pipeline", "llm"),
+)
+def snapshot_removal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
+
+    docs = read_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_app_entries(_SNAPSHOT_STORE_CACHE, key[0])
+    if key not in _SNAPSHOT_STORE_CACHE:
+        _SNAPSHOT_STORE_CACHE[key] = _snapshot_store(
+            docs.where("doc_id % 5 != 0"), par
+        )
+    store, old_lab = _SNAPSHOT_STORE_CACHE[key]
+    v0 = docs.where("doc_id % 5 != 0")
+    removed = v0.where("doc_id % 7 = 1").select("doc_id")
+    return _removal_verdicts(v0, removed, store, old_lab, par)
+
+
+def _removal_verdicts(
+    v0_docs: DataFrame,
+    removed: DataFrame,
+    store: DataFrame,
+    old_lab: DataFrame,
+    par: int,
+) -> DataFrame:
+    """The removal-scaled maintenance pass of snapshot_removal_dedup,
+    store passed in (shared with tools/scale_smoke.py, which times the
+    pass against a FIXED removal set and a growing store). ``removed``
+    must be a (doc_id) frame, a subset of ``v0_docs``."""
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        _PAIR_FILTER,
+        shingle_docs,
+    )
+
+    # tombstone counts: how many members each bucket loses (at 100 TB
+    # the store is doc_id-indexed too, so this is a point-delete batch;
+    # here the unhinted join lets AQE broadcast the removal id list)
+    nrb = (
+        store.join(removed, "doc_id")
+        .groupBy("band", "bh")
+        .agg(F.expr("cast(count(*) as bigint)").alias("nr"))
+    )
+    # seed 1: every doc sharing a stored cluster with a removed doc
+    rem_canon = old_lab.join(removed, "doc_id").select("canonical").distinct()
+    rem_clustered = old_lab.join(rem_canon, "canonical").select("doc_id")
+    # seed 2: members of buckets the removals shrink DOWN into the
+    # eligibility window (they gain pairs a fresh run would emit), plus
+    # those members' stored clusters (a new edge can merge two clusters)
+    down = (
+        store.select("band", "bh", "n0")
+        .distinct()
+        .join(nrb, ["band", "bh"])
+        .where(
+            f"n0 > {LSH_MAX_BUCKET}"
+            f" and n0 - nr between 2 and {LSH_MAX_BUCKET}"
+        )
+        .select("band", "bh")
+    )
+    down_members = (
+        store.join(down, ["band", "bh"]).select("doc_id").distinct()
+    )
+    dm_canon = old_lab.join(down_members, "doc_id").select("canonical").distinct()
+    dm_clustered = old_lab.join(dm_canon, "canonical").select("doc_id")
+    affected = (
+        rem_clustered.unionByName(removed)
+        .unionByName(down_members)
+        .unionByName(dm_clustered)
+        .distinct()
+        # affected-set-sized (removal-delta-bounded); consumed by the
+        # live filter, the membership probe and the output flag
+        .localCheckpoint()
+    )
+    aff_live = affected.join(removed, "doc_id", "left_anti")
+    # recompute the affected docs' edges from the PERSISTED membership
+    # under the post-removal size gate (no re-signaturing): exactness —
+    # survivors' bucket memberships are unchanged, only sizes shrink
+    elig = (
+        store.join(aff_live, "doc_id")
+        .join(nrb, ["band", "bh"], "left")
+        .selectExpr(
+            "band", "bh", "doc_id",
+            "n0 - coalesce(nr, cast(0 as bigint)) as n1",
+        )
+        .where(f"n1 between 2 and {LSH_MAX_BUCKET}")
+        .select("band", "bh", "doc_id")
+    )
+    cand = (
+        elig.selectExpr("band", "bh", "doc_id as doc_a")
+        .join(elig.selectExpr("band", "bh", "doc_id as doc_b"), ["band", "bh"])
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()  # pair-sized; feeds both verify legs
+    )
+    s_aff = shingle_docs(v0_docs.join(aff_live, "doc_id"), par)
+    sa = s_aff.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s_aff.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    vp = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
+        .select("doc_a", "doc_b")
+    )
+    labels_new = _min_label_components(vp)
+    v1_ids = v0_docs.select("doc_id").join(removed, "doc_id", "left_anti")
+    return (
+        v1_ids.join(
+            affected.selectExpr("doc_id as adoc"),
+            v1_ids.doc_id == F.col("adoc"),
+            "left",
+        )
+        .join(
+            old_lab.selectExpr("doc_id as sdoc", "canonical as s_canon"),
+            v1_ids.doc_id == F.col("sdoc"),
+            "left",
+        )
+        .join(
+            labels_new.selectExpr("doc_id as ndoc", "canonical as n_canon"),
+            v1_ids.doc_id == F.col("ndoc"),
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            "case when adoc is not null then coalesce(n_canon, doc_id)"
+            " else coalesce(s_canon, doc_id) end as canonical",
+            "cast((case when adoc is not null then coalesce(n_canon, doc_id)"
+            " else coalesce(s_canon, doc_id) end) = doc_id as int) as kept",
+        )
+    )
+
+
 # Binned interval join: bucket width == window length (10 min), so every
 # window overlaps at most 2 buckets and every event exactly 1.
 _RJ_WIN_US = 600_000_000

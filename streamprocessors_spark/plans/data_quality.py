@@ -952,3 +952,131 @@ def snapshot_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "delta")
         .agg(F.expr("cast(count(*) as bigint)").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift-driven remediation (VERDICT r10 #9): the ACTION the recrawl
+# monitor exists to trigger — when a source's new snapshot drifts past a
+# threshold, its share of the next training mix's token budget is demoted
+# before the mix is trained on.
+# ---------------------------------------------------------------------------
+
+# A source whose mean words/doc shifts by MORE than this many milli
+# (parts per thousand of the v0 mean) between snapshots is treated as
+# drifted. 50 splits the fixture's observed per-source drift spectrum
+# (~1..91 milli at sf0.001/0.01), so the driver compare exercises both
+# the flagged and the clean branch on real data; the planted-drift
+# pytest exercises a gross (~190 milli) shift.
+DRIFT_THRESH_MILLI = 50
+# Drifted sources keep 1/DRIFT_PENALTY_DIV of their temperature-scaled
+# allocation weight until a clean re-crawl clears the flag.
+DRIFT_PENALTY_DIV = 2
+
+
+def _remediation_sql(d: str, docs_table: str = "documents") -> str:
+    """Dialect-shared remediation plan: snapshot_quality_drift's v0/v1
+    mean-words signal -> per-source drift milli + threshold flag ->
+    token_budget_plan's temperature-scaled allocation with drifted
+    sources' weights divided by the penalty — all exact integers."""
+    from streamprocessors_spark.plans.llm_ops import (
+        PLAN_TOKEN_BUDGET,
+        TEMP_SCALE,
+        _BPE_PATTERN,
+        _isqrt_sql,
+    )
+
+    div = "div" if d == SPARK else "//"
+    v0 = _snapshot_v0_cte(d).replace("FROM documents", f"FROM {docs_table}")
+    ntok = D.regexp_all_count(d, "lower(text)", _BPE_PATTERN)
+    return f"""
+    WITH v0 AS ({v0}),
+    v1 AS (SELECT doc_id, source, text FROM {docs_table}
+           WHERE doc_id % 11 <> 3),
+    u AS (
+      SELECT 'v0' AS snapshot, source, text FROM v0
+      UNION ALL
+      SELECT 'v1' AS snapshot, source, text FROM v1
+    ),
+    w AS (SELECT snapshot, source,
+                 {D.size(d, D.words(d))} AS n_words FROM u),
+    g AS (SELECT snapshot, source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_words) AS BIGINT) AS sum_words
+          FROM w WHERE n_words > 0 GROUP BY snapshot, source),
+    m AS (SELECT snapshot, source,
+                 CAST((sum_words * 1000) {div} n_docs AS BIGINT)
+                   AS mean_milli
+          FROM g),
+    drift AS (
+      SELECT a.source,
+             CAST(abs(b.mean_milli - a.mean_milli) * 1000 {div} a.mean_milli
+               AS BIGINT) AS drift_milli
+      FROM m a JOIN m b ON a.source = b.source
+      WHERE a.snapshot = 'v0' AND b.snapshot = 'v1' AND a.mean_milli > 0
+    ),
+    cnt AS (
+      SELECT source, CAST(sum({ntok}) AS BIGINT) AS n_tok
+      FROM v1 GROUP BY source
+    ),
+    c0 AS (
+      SELECT c.source, c.n_tok, dr.drift_milli,
+             CAST(dr.drift_milli > {DRIFT_THRESH_MILLI} AS INT) AS drifted,
+             c.n_tok * {TEMP_SCALE} AS x,
+             CAST(sqrt(CAST(c.n_tok * {TEMP_SCALE} AS DOUBLE)) AS BIGINT)
+               AS c0
+      FROM cnt c JOIN drift dr ON dr.source = c.source
+      WHERE c.n_tok > 0
+    ),
+    sq AS (
+      SELECT source, n_tok, drift_milli, drifted,
+             {_isqrt_sql(d, "x", "c0")} AS sqrt_q
+      FROM c0
+    ),
+    adj AS (
+      SELECT source, n_tok, drift_milli, drifted,
+             CAST(sqrt_q AS BIGINT) AS sqrt_q,
+             CAST(CASE WHEN drifted = 1
+                  THEN sqrt_q {div} {DRIFT_PENALTY_DIV}
+                  ELSE sqrt_q END AS BIGINT) AS adj_q
+      FROM sq
+    ),
+    tot AS (SELECT sum(adj_q) AS t FROM adj)
+    SELECT a.source, a.n_tok, a.drift_milli, a.drifted, a.sqrt_q, a.adj_q,
+           CAST(({PLAN_TOKEN_BUDGET} * a.adj_q) {div} tot.t AS BIGINT)
+             AS budget_tok,
+           CAST(((({PLAN_TOKEN_BUDGET} * a.adj_q) {div} tot.t) * 1000)
+                {div} a.n_tok AS BIGINT) AS epochs_milli
+    FROM adj a CROSS JOIN tot
+    """
+
+
+def drift_remediation_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The remediation plan over an arbitrary documents frame (shared
+    with the planted-drift pytest)."""
+    docs.createOrReplaceTempView("sp_driftrem_documents")
+    return spark.sql(_remediation_sql(SPARK, "sp_driftrem_documents"))
+
+
+@register(
+    "drift_remediation_plan",
+    oracle=_remediation_sql(DUCK),
+    doc="Drift-driven mixture remediation — composes the recrawl "
+    "monitor with the budget planner into the ACTION the monitor "
+    "exists to trigger (VERDICT r10 #9): per source, the v0-vs-v1 "
+    "mean-words drift (exact milli, the snapshot_quality_drift "
+    "signal), a threshold flag, and the NEXT training mix's token "
+    f"budget where drifted sources keep 1/{DRIFT_PENALTY_DIV} of their "
+    "temperature-scaled weight (token_budget_plan's exact-isqrt "
+    "device) until a clean re-crawl clears the flag — available "
+    "tokens, adjusted weight, budget slice, and implied epochs_milli "
+    "per source, all exact integers. Scale shape: one unioned "
+    "two-snapshot scan pipelines the word counts (zero joins before "
+    "the rollup), everything after the two groupBys is "
+    "source-count-sized with a 1-row total cross join — identical to "
+    "its two parents. A planted-drift fixture "
+    "(tests/test_algo_invariants.py) pins that a shortening source "
+    "trips the flag and loses budget share to clean sources.",
+    tags=("dq", "quality", "sample", "pipeline", "llm"),
+)
+def drift_remediation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_remediation_frame(spark, read_table(spark, sf_dir, "documents"))

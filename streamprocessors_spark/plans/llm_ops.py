@@ -1202,6 +1202,107 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Removal slice: stored (non-append) vectors outside the centroid coreset
+# — removing a coreset vector would change the trained centroids, which
+# is a re-train, not an index maintenance op.
+_IVF_REMOVE_SLICE = (
+    f"(vec_id % 9 = 4 AND vec_id >= {ANN_IVF_CELLS}"
+    f" AND NOT {_IVF_APPEND_DELTA})"
+)
+
+
+@register(
+    "ann_ivf_remove",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cemb
+      FROM embeddings WHERE vec_id < {ANN_IVF_CELLS}
+    ),
+    a AS (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {D.cosine(DUCK, "c.cemb", "b.embedding")} DESC,
+                          c.cell
+               ) AS rn
+        FROM embeddings b CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    stored AS (SELECT vec_id, cell FROM a WHERE NOT {_IVF_APPEND_DELTA}),
+    rem AS (SELECT vec_id, cell FROM stored WHERE {_IVF_REMOVE_SLICE}),
+    oldc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_old
+             FROM stored GROUP BY cell),
+    remc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_removed
+             FROM rem GROUP BY cell),
+    livec AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_total FROM stored
+              WHERE NOT {_IVF_REMOVE_SLICE} GROUP BY cell)
+    SELECT r.vec_id, r.cell, o.n_old, c.n_removed,
+           CAST(COALESCE(l.n_total, 0) AS BIGINT) AS n_total
+    FROM rem r JOIN oldc o USING (cell) JOIN remc c USING (cell)
+    LEFT JOIN livec l USING (cell)
+    """,
+    doc="IVF index tombstoning — the removal twin of ann_ivf_append "
+    "(VERDICT r10 #4): vectors deleted from the corpus (takedowns, "
+    "re-crawled dead pages) are dropped from the PERSISTED index by an "
+    "anti-join on the stored assignments — no re-assignment, no "
+    "centroid retrain (the removal slice excludes the coreset by "
+    "contract; coreset removal IS a retrain). Each removed vector "
+    "ships with its cell, the cell's stored list size before removal, "
+    "the cell's removal count, and the post-removal total computed "
+    "from the TOMBSTONED index itself (not arithmetic) — the row an "
+    "index-shrink monitor consumes, and the oracle recomputes every "
+    "assignment from scratch, so a tombstone that missed or "
+    "double-dropped a vector hash-mismatches. Work scales with the "
+    "removal delta: the anti-join is a point-delete batch against the "
+    "vec_id-keyed stored index; per-cell counts are k-row aggregates. "
+    "Shares the persisted index artifact (_IVF_INDEX_CACHE) with "
+    "ann_ivf_append — one index, both maintenance directions.",
+    tags=("vector", "ann", "ivf", "pipeline"),
+)
+def ann_ivf_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "embedding",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+    )
+    cents = _ivf_cents(e)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_app_entries(_IVF_INDEX_CACHE, key[0])
+    if key not in _IVF_INDEX_CACHE:
+        _IVF_INDEX_CACHE[key] = (
+            _ivf_assign(e.where(f"not {_IVF_APPEND_DELTA}"), cents)
+            .localCheckpoint()
+        )
+    old_assign = _IVF_INDEX_CACHE[key]
+    # removal-delta-sized; pinned so the per-cell counts and the audit
+    # rows share one slice of the stored index
+    removed = old_assign.where(_IVF_REMOVE_SLICE).localCheckpoint()
+    # the tombstone pass: point deletes against the vec_id-keyed index
+    live = old_assign.join(removed.select("vec_id"), "vec_id", "left_anti")
+    oldc = old_assign.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_old")
+    )
+    remc = removed.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_removed")
+    )
+    livec = live.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_total")
+    )
+    return (
+        removed.join(oldc, "cell")
+        .join(remc, "cell")
+        .join(livec, "cell", "left")
+        .selectExpr(
+            "vec_id",
+            "cell",
+            "n_old",
+            "n_removed",
+            "cast(coalesce(n_total, 0) as bigint) as n_total",
+        )
+    )
+
+
 @register(
     "ann_lsh_recall",
     oracle=f"""
@@ -6951,6 +7052,8 @@ _wire_stream_reservoir_oracle()
 TEMP_BUDGET = 1_000_000  # documents to allocate across languages
 TEMP_SCALE = 10**6  # sqrt fixed-point: sqrt_q = isqrt(n * 1e6) = 1e3*sqrt(n)
 
+PLAN_TOKEN_BUDGET = 10_000_000  # training tokens to allocate across sources
+
 
 def _isqrt_sql(d: str, x: str, c0: str) -> str:
     """Exact integer sqrt given c0 = cast(sqrt(double x) as bigint).
@@ -8570,7 +8673,8 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # packing/window decisions read this distribution first).
 # ---------------------------------------------------------------------------
 
-PLAN_TOKEN_BUDGET = 10_000_000  # training tokens to allocate across sources
+# (defined early, near TEMP_SCALE: data_quality's drift remediation
+# oracle needs it at its own module-init time)
 
 
 @register(

@@ -1607,3 +1607,117 @@ def test_incremental_dedup_bucket_cap_crossing_retracts(spark, monkeypatch):
         for d in (10, 15, 20)
     }
     assert out == fresh == {10: (9, 0), 15: (2, 0), 20: (2, 0)}
+
+
+def test_removal_dedup_reelects_splits_and_downcrosses(spark, monkeypatch):
+    """The removal path's three corners (VERDICT r10 #4), one fixture,
+    cap monkeypatched to 3:
+
+    - re-election: identical trio {2,3,6} stored as cluster canonical 2;
+      removing 2 must re-elect 3 (and keep 6 -> 3);
+    - split: chain x(4) ~ r(7) ~ z(11) where x and z share no band
+      bucket and fail Jaccard — removing the bridge doc 7 must split the
+      stored cluster into singletons;
+    - down-crossing: identical quad {8,9,12,13} whose bucket (4 members)
+      exceeded the cap in v0 (no stored pairs, all singletons); removing
+      13 shrinks it into the 2..3 window, so the survivors must gain
+      their newly-valid pairs and cluster as {8,9,12} -> 8.
+
+    Oracle: from-scratch keep-list on the survivors via the same capped
+    machinery."""
+    from streamprocessors_spark.plans import advanced, llm_ops
+
+    monkeypatch.setattr(llm_ops, "LSH_MAX_BUCKET", 3)
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two nine"
+    ).split()
+    t_r = " ".join(base)
+    t_x = " ".join([f"front{j:02d}_6" for j in range(6)] + base[6:])
+    t_z = " ".join(base[:-6] + [f"back{j:02d}_6" for j in range(6)])
+    t_a = "apple banana cherry date elderberry fig grape honeydew " * 4
+    t_b = "red orange yellow green blue indigo violet magenta " * 4
+    rows = [
+        (2, t_a), (3, t_a), (6, t_a),           # re-election trio
+        (4, t_x), (7, t_r), (11, t_z),          # bridge chain
+        (8, t_b), (9, t_b), (12, t_b), (13, t_b),  # over-cap quad
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "srcA") for i, t in rows],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    removed = spark.createDataFrame([(2,), (7,), (13,)], "doc_id bigint")
+    par = 4
+    store, old_lab = advanced._snapshot_store(docs, par)
+    # preconditions: stored clusters are {2,3,6} and {4,7,11}; the quad
+    # is over-cap (no labels)
+    assert {(r.doc_id, r.canonical) for r in old_lab.collect()} == {
+        (2, 2), (3, 2), (6, 2), (4, 4), (7, 4), (11, 4),
+    }
+    out = {
+        r.doc_id: (r.canonical, r.kept)
+        for r in advanced._removal_verdicts(
+            docs, removed, store, old_lab, par
+        ).collect()
+    }
+    v1 = docs.join(removed, "doc_id", "left_anti")
+    _, fresh_lab = advanced._snapshot_store(v1, par)
+    fresh_map = {r.doc_id: r.canonical for r in fresh_lab.collect()}
+    survivors = [3, 6, 4, 11, 8, 9, 12]
+    fresh = {
+        d: (fresh_map.get(d, d), int(fresh_map.get(d, d) == d))
+        for d in survivors
+    }
+    assert out == fresh == {
+        3: (3, 1), 6: (3, 0),          # re-elected
+        4: (4, 1), 11: (11, 1),        # split
+        8: (8, 1), 9: (8, 0), 12: (8, 0),  # down-crossed
+    }
+
+
+def test_drift_remediation_planted_drifting_source(spark):
+    """A source whose NEW snapshot suddenly shortens must trip the drift
+    flag and lose budget share to clean sources (VERDICT r10 #9). The
+    plant: srcB's doc_id%5==0 docs (present only in v1 — the v0
+    synthesis drops them) are 3-word stubs while its stable docs are 40
+    words, so v1's mean words/doc collapses vs v0; srcA is uniform.
+    """
+    from streamprocessors_spark.plans.data_quality import (
+        DRIFT_PENALTY_DIV,
+        DRIFT_THRESH_MILLI,
+        drift_remediation_frame,
+    )
+
+    rows = []
+    for i in range(1, 121):
+        # keep every id off the %11==3 axis out of v0/v1 asymmetry noise
+        if i % 11 == 3:
+            continue
+        words_a = " ".join(f"wa{k}" for k in range(30))
+        rows.append((i, words_a, "en", "srcA"))
+    for i in range(201, 321):
+        if i % 11 == 3:
+            continue
+        n = 3 if i % 5 == 0 else 40
+        words_b = " ".join(f"wb{k}" for k in range(n))
+        rows.append((i, words_b, "en", "srcB"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    out = {
+        r.source: r.asDict()
+        for r in drift_remediation_frame(spark, docs).collect()
+    }
+    a, b = out["srcA"], out["srcB"]
+    assert a["drifted"] == 0 and a["drift_milli"] <= DRIFT_THRESH_MILLI
+    assert b["drifted"] == 1 and b["drift_milli"] > 150  # ~19% collapse
+    assert b["adj_q"] == b["sqrt_q"] // DRIFT_PENALTY_DIV
+    assert a["adj_q"] == a["sqrt_q"]
+    # the budget actually moved: srcB has MORE available tokens than its
+    # budget share implies relative to srcA (penalty dominates size)
+    assert a["budget_tok"] > b["budget_tok"] * 1.5
+    total = a["budget_tok"] + b["budget_tok"]
+    from streamprocessors_spark.plans.llm_ops import PLAN_TOKEN_BUDGET
+
+    assert total <= PLAN_TOKEN_BUDGET  # floor-div never over-allocates

@@ -728,15 +728,47 @@ def main() -> None:
             spark.sparkContext.defaultParallelism,
         ).count()
 
-    if only is None or "snapshot_incremental_dedup_delta" in only:
-        from streamprocessors_spark.plans.advanced import _snapshot_store
+    _inc_store = _inc_lab = None
 
-        _inc_store, _inc_lab = _snapshot_store(
-            docs.where("doc_id % 5 != 0"),
-            spark.sparkContext.defaultParallelism,
-        )
+    def _build_snapshot_store():
+        nonlocal _inc_store, _inc_lab
+        if _inc_store is None:
+            from streamprocessors_spark.plans.advanced import _snapshot_store
+
+            _inc_store, _inc_lab = _snapshot_store(
+                docs.where("doc_id % 5 != 0"),
+                spark.sparkContext.defaultParallelism,
+            )
+
+    if only is None or "snapshot_incremental_dedup_delta" in only:
+        _build_snapshot_store()
         _inc_delta = docs0.where("doc_id % 5 = 0")
         timed("snapshot_incremental_dedup_delta", _inc_dedup_increment)
+
+    # Removal maintenance at a FIXED removal set against a growing store
+    # (VERDICT r10 #4 — the bidirectional contract): the store is the
+    # SAME persisted artifact the increment probes (built untimed above);
+    # removals are the base corpus's doc_id % 7 = 1 docs, so the timed
+    # pass must stay ~flat as mult grows — affected docs are
+    # removal-cluster-bounded and the only corpus-sized touches are the
+    # unshuffled store probes (point deletes against a doc_id-keyed
+    # store at scale).
+    def _removal_maintenance():
+        from streamprocessors_spark.plans.advanced import _removal_verdicts
+
+        return _removal_verdicts(
+            docs.where("doc_id % 5 != 0"),
+            docs0.where("doc_id % 5 != 0 and doc_id % 7 = 1").select(
+                "doc_id"
+            ),
+            _inc_store,
+            _inc_lab,
+            spark.sparkContext.defaultParallelism,
+        ).count()
+
+    if only is None or "snapshot_removal_dedup_delta" in only:
+        _build_snapshot_store()
+        timed("snapshot_removal_dedup_delta", _removal_maintenance)
 
     # CDC catch-up replay: the multiplied new snapshot lands as `mult`
     # shard files and replays through the classify+reconcile core
@@ -851,6 +883,44 @@ def main() -> None:
             _ivf_append_cents,
         ).localCheckpoint()
         timed("ann_ivf_append_delta", _ivf_append_delta)
+
+    # IVF tombstoning at a FIXED removal slice against a growing stored
+    # index (VERDICT r10 #4): the index is built untimed; removal-time
+    # work is the anti-join point-delete batch + k-cell count aggregates
+    # over the pinned index (cell-partitioned -> partition-pruned at
+    # scale), so time must stay near-flat as mult grows.
+    def _ivf_remove_delta():
+        removed = _ivf_rm_index.where(
+            "vec_id % 9 = 4 and vec_id >= 8 and vec_id % 7 != 3"
+            " and vec_id < 1000000"  # base-corpus slice: fixed size
+        )
+        live = _ivf_rm_index.join(
+            removed.select("vec_id"), "vec_id", "left_anti"
+        )
+        return (
+            removed.groupBy("cell")
+            .count()
+            .join(live.groupBy("cell").count(), "cell", "left")
+            .count()
+        )
+
+    if only is None or "ann_ivf_remove_delta" in only:
+        from streamprocessors_spark.functions import dialect as DD
+        from streamprocessors_spark.plans.llm_ops import (
+            _ivf_assign,
+            _ivf_cents,
+        )
+
+        _e_rm = embs.selectExpr(
+            "vec_id",
+            "embedding",
+            f"{DD.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+        )
+        _ivf_rm_index = _ivf_assign(
+            _e_rm.where("not (vec_id % 7 = 3 and vec_id >= 8)"),
+            _ivf_cents(_e_rm).localCheckpoint(),
+        ).localCheckpoint()
+        timed("ann_ivf_remove_delta", _ivf_remove_delta)
 
     # snapshot diff: ONE full-outer sort-merge join on doc_id + scan-
     # local md5 compare — the smoke pins that the join stays the only
