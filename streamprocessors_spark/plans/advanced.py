@@ -351,10 +351,7 @@ def _keep_list_oracle() -> str:
     tags=("dedup", "lsh", "iterative"),
 )
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamprocessors_spark.plans.llm_ops import dedup_minhash_lsh
-
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = _min_label_components(pairs)
+    labels = text_keep_labels(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     # No broadcast hint: label cardinality is data-dependent (a crawl's
     # near-dup set can be a large corpus fraction); AQE decides at runtime.
@@ -367,6 +364,31 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(coalesce(canonical, doc_id) = doc_id as int) as kept",
         )
     )
+
+
+# Text keep-list LABELS, memoized per corpus — the second persisted
+# artifact of the pair store (VERDICT r10 #5): in production both the
+# pair table and the cluster labels are written once per snapshot;
+# every consumer (keep-list verdicts, leakage audit, multimodal
+# verdict) reads the labels instead of re-running connected components.
+_TEXT_LABELS_CACHE: dict = {}
+
+
+def text_keep_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import (
+        evict_stale_app_entries,
+        verified_text_pairs,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_app_entries(_TEXT_LABELS_CACHE, key[0])
+    if key not in _TEXT_LABELS_CACHE:
+        # _min_label_components localCheckpoints its result frontier, so
+        # the cached frame is already executor-pinned
+        _TEXT_LABELS_CACHE[key] = _min_label_components(
+            verified_text_pairs(spark, sf_dir)
+        )
+    return _TEXT_LABELS_CACHE[key]
 
 
 def _inc_dedup_oracle() -> str:
