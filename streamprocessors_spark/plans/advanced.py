@@ -1196,6 +1196,25 @@ def _cascade_oracle() -> str:
     tags=("dedup", "lsh", "crawl", "iterative"),
 )
 def dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
+
+    # the verdict frame is a per-corpus persisted artifact like the pair
+    # stores (VERDICT r10 #5): the attrition report (and any other
+    # composed consumer) reads it instead of re-running the three-stage
+    # pipeline. Corpus-row-sized but THIN (doc_id, stage, kept).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_app_entries(_CASCADE_VERDICT_CACHE, key[0])
+    if key not in _CASCADE_VERDICT_CACHE:
+        _CASCADE_VERDICT_CACHE[key] = _cascade_verdict_build(
+            spark, sf_dir
+        ).localCheckpoint()
+    return _CASCADE_VERDICT_CACHE[key]
+
+
+_CASCADE_VERDICT_CACHE: dict = {}
+
+
+def _cascade_verdict_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.plans.llm_ops import (
         _PAIR_FILTER,
         _html_main_para_expr,
