@@ -343,3 +343,17 @@ def test_bpe_trained_cache_is_per_corpus(spark):
     assert m_again == m_small
     m_fresh, _ = _bpe_train(spark, "/root/testdata/sf0.001")
     assert m_fresh == m_small
+
+
+def test_store_caches_evict_stale_app_entries():
+    """Per-corpus store caches are (applicationId, sf_dir)-keyed; entries
+    from a stopped session are dead checkpoint references and must be
+    dropped on the next insert-path call (ADVICE r10)."""
+    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
+
+    cache = {("app-old", "/sf/a"): 1, ("app-old", "/sf/b"): 2,
+             ("app-new", "/sf/a"): 3}
+    evict_stale_app_entries(cache, "app-new")
+    assert cache == {("app-new", "/sf/a"): 3}
+    evict_stale_app_entries(cache, "app-new")  # idempotent
+    assert cache == {("app-new", "/sf/a"): 3}
