@@ -515,8 +515,10 @@ def _incremental_verdicts(
         bd.select("band", "bh").distinct(), ["band", "bh"]
     )
     # v1 bucket size = stored size + delta adds; the 2..cap gate on that
-    # total is IDENTICAL to the gate a fresh v1 run applies
-    n0b = touched.select("band", "bh", "n0").distinct()
+    # total is IDENTICAL to the gate a fresh v1 run applies.
+    # delta-touched-bucket-sized; pinned so the size gate, the crossing
+    # probe and the crossing-bucket derivation share ONE store probe
+    n0b = touched.select("band", "bh", "n0").distinct().localCheckpoint()
     sizes = (
         bd.select("band", "bh", "nd")
         .distinct()
@@ -549,13 +551,19 @@ def _incremental_verdicts(
         )
         .select("band", "bh")
     )
-    a0 = touched.join(crossing, ["band", "bh"]).select("doc_id").distinct()
     # control-plane probe: the common recrawl case has ZERO crossing
-    # buckets — skip the whole retraction subtree then
-    has_crossing = not a0.isEmpty()
+    # buckets — skip the whole retraction subtree then. Probing the
+    # bucket-stats frame (pinned above) costs no extra store scan;
+    # crossing empty <=> a0 empty, so the member probe never runs cold.
+    has_crossing = not crossing.isEmpty()
     aa = None
     affected = None
     if has_crossing:
+        a0 = (
+            touched.join(crossing, ["band", "bh"])
+            .select("doc_id")
+            .distinct()
+        )
         aff_canon = old_lab.join(a0, "doc_id").select("canonical").distinct()
         affected = (
             old_lab.join(aff_canon, "canonical")
