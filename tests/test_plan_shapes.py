@@ -763,3 +763,43 @@ def test_ann_ivf_append_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_removal_dedup_reads_store_not_rebuild(spark, sf_dir):
+    """snapshot_removal_dedup's maintenance plan must READ the persisted
+    band store and labels (checkpointed frames -> Scan ExistingRDD) —
+    the whole point is NO re-signaturing of the surviving corpus — and
+    stay JVM-only with no nested-loop degeneration."""
+    p = _plan(spark, sf_dir, "snapshot_removal_dedup")
+    assert "Scan ExistingRDD" in p  # store + labels read, not rebuilt
+    assert "NestedLoop" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_ann_ivf_remove_is_antijoin_over_stored_index(spark, sf_dir):
+    """The tombstone pass: the stored index is read from its checkpoint
+    and the removal is an anti-join point-delete batch — no
+    re-assignment (no centroid cross join at all in the serving plan),
+    no Python."""
+    p = _plan(spark, sf_dir, "ann_ivf_remove")
+    assert "Scan ExistingRDD" in p
+    assert "LeftAnti" in p
+    assert "NestedLoop" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_keep_list_consumers_read_label_store(spark, sf_dir):
+    """The composed dedup consumers must READ the per-corpus pair/label
+    stores (VERDICT r10 #5) instead of re-running the LSH+verify+CC
+    pipelines: their plans contain checkpoint scans and NO shingle
+    machinery (no Python/Arrow stages, which the signature pipelines
+    would introduce via mapInPandas on the image side and none at all
+    on the text side — the tell is the absence of the corpus scan)."""
+    for name in (
+        "dedup_keep_list",
+        "dedup_multimodal_verdict",
+        "cascade_stage_attrition",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "Scan ExistingRDD" in p, name
+        assert "NestedLoop" not in p, name
