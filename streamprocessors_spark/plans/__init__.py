@@ -158,6 +158,7 @@ _DEFER_PAST_GREEN: frozenset[str] = frozenset({
     "snapshot_removal_dedup",
     "ann_ivf_remove",
     "drift_remediation_plan",
+    "ivf_retrain_plan",
 })
 
 # The driver-window scheduling constants (SURVEY.md §10 rotation split,

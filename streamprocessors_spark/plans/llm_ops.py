@@ -1325,6 +1325,139 @@ def ann_ivf_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A cell whose occupancy SHARE (milli of the index total) shifts by more
+# than this between index-build time and post-append is flagged for
+# retraining. 3 splits the fixture's observed per-cell drift spectrum
+# (0..8 milli — uniform embeddings spread appends evenly) so the driver
+# compare exercises both branches; the planted-skew pytest exercises a
+# gross (hundreds-of-milli) single-cell balloon.
+IVF_RETRAIN_THRESH_MILLI = 3
+
+
+@register(
+    "ivf_retrain_plan",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cemb
+      FROM embeddings WHERE vec_id < {ANN_IVF_CELLS}
+    ),
+    a AS (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {D.cosine(DUCK, "c.cemb", "b.embedding")} DESC,
+                          c.cell
+               ) AS rn
+        FROM embeddings b CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    oldc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_old FROM a
+             WHERE NOT {_IVF_APPEND_DELTA} GROUP BY cell),
+    newc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new FROM a
+             WHERE {_IVF_APPEND_DELTA} GROUP BY cell),
+    cellrows AS (
+      SELECT c.cell,
+             CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+      FROM cents c LEFT JOIN oldc o USING (cell) LEFT JOIN newc n USING (cell)
+    ),
+    tot AS (SELECT sum(n_old) AS t_old, sum(n_old + n_new) AS t_all
+            FROM cellrows)
+    SELECT r.cell, r.n_old, r.n_new,
+           CAST(r.n_old + r.n_new AS BIGINT) AS n_total,
+           CAST((r.n_old * 1000) // tot.t_old AS BIGINT) AS share_old_milli,
+           CAST(((r.n_old + r.n_new) * 1000) // tot.t_all AS BIGINT)
+             AS share_new_milli,
+           CAST(abs(((r.n_old + r.n_new) * 1000) // tot.t_all
+                    - (r.n_old * 1000) // tot.t_old) AS BIGINT)
+             AS drift_milli,
+           CAST(abs(((r.n_old + r.n_new) * 1000) // tot.t_all
+                    - (r.n_old * 1000) // tot.t_old)
+                > {IVF_RETRAIN_THRESH_MILLI} AS INT) AS retrain
+    FROM cellrows r CROSS JOIN tot
+    """,
+    doc="IVF retrain trigger — the ACTION ann_ivf_append's audit row "
+    "exists to feed (its doc calls the per-cell growth numbers 'the "
+    "signal for when a cell has drifted enough to warrant re-training'; "
+    "this closes that loop, the ann twin of drift_remediation_plan): "
+    "per cell, the stored occupancy share at index-build time vs the "
+    "post-append share (exact milli of the index total), the absolute "
+    "share drift, and a threshold flag — the per-cell retrain worklist "
+    "an index maintainer consumes. A cell whose share collapses or "
+    "balloons after appends is exactly the cell whose centroid no "
+    "longer represents its list (Jegou '11's retrain criterion). Scale "
+    "shape: both counts read the PERSISTED index (checkpoint scan + "
+    "the delta assignment, shared via _IVF_INDEX_CACHE with the "
+    "append/remove paths); everything after is k-cell-sized with a "
+    "1-row total cross join. All exact integers.",
+    tags=("vector", "ann", "ivf", "quality", "pipeline"),
+)
+def ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "embedding",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+    )
+    cents = _ivf_cents(e)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_app_entries(_IVF_INDEX_CACHE, key[0])
+    if key not in _IVF_INDEX_CACHE:
+        _IVF_INDEX_CACHE[key] = (
+            _ivf_assign(e.where(f"not {_IVF_APPEND_DELTA}"), cents)
+            .localCheckpoint()
+        )
+    old_assign = _IVF_INDEX_CACHE[key]
+    oldc = old_assign.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_old")
+    )
+    newc = (
+        _ivf_assign(e.where(_IVF_APPEND_DELTA), cents)
+        .groupBy("cell")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_new"))
+    )
+    cellrows = (
+        cents.select("cell")
+        .join(oldc, "cell", "left")
+        .join(newc, "cell", "left")
+        .selectExpr(
+            "cell",
+            "cast(coalesce(n_old, 0) as bigint) as n_old",
+            "cast(coalesce(n_new, 0) as bigint) as n_new",
+        )
+        # k-cell-sized; pinned so the totals row and the share rows
+        # share one index-count pass
+        .localCheckpoint()
+    )
+    tot = cellrows.agg(
+        F.expr("sum(n_old)").alias("t_old"),
+        F.expr("sum(n_old + n_new)").alias("t_all"),
+    )
+    return ivf_retrain_frame(cellrows, tot)
+
+
+def ivf_retrain_frame(cellrows: DataFrame, tot: DataFrame) -> DataFrame:
+    """The share-drift/flag projection over a (cell, n_old, n_new) frame
+    and its 1-row totals — shared with the planted-skew pytest."""
+    share_new = "((n_old + n_new) * 1000) div t_all"
+    share_old = "(n_old * 1000) div t_old"
+    return (
+        # bounded: tot is a single-row aggregate (the index totals)
+        cellrows.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cell",
+            "n_old",
+            "n_new",
+            "cast(n_old + n_new as bigint) as n_total",
+            f"cast({share_old} as bigint) as share_old_milli",
+            f"cast({share_new} as bigint) as share_new_milli",
+            f"cast(abs({share_new} - {share_old}) as bigint) as drift_milli",
+            f"cast(abs({share_new} - {share_old})"
+            f" > {IVF_RETRAIN_THRESH_MILLI} as int) as retrain",
+        )
+    )
+
+
 @register(
     "ann_lsh_recall",
     oracle=f"""

@@ -1721,3 +1721,36 @@ def test_drift_remediation_planted_drifting_source(spark):
     from streamprocessors_spark.plans.llm_ops import PLAN_TOKEN_BUDGET
 
     assert total <= PLAN_TOKEN_BUDGET  # floor-div never over-allocates
+
+
+def test_ivf_retrain_plan_planted_skew(spark):
+    """A cell whose appended list balloons must trip the retrain flag;
+    evenly-appended cells must not (VERDICT r10 #9's ann twin). Planted
+    counts: 4 cells stored at 100 each; appends put 100 into cell 0 and
+    5 into each other cell."""
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans.llm_ops import (
+        IVF_RETRAIN_THRESH_MILLI,
+        ivf_retrain_frame,
+    )
+
+    cellrows = spark.createDataFrame(
+        [(0, 100, 100), (1, 100, 5), (2, 100, 5), (3, 100, 5)],
+        "cell bigint, n_old bigint, n_new bigint",
+    ).localCheckpoint()
+    tot = cellrows.agg(
+        F.expr("sum(n_old)").alias("t_old"),
+        F.expr("sum(n_old + n_new)").alias("t_all"),
+    )
+    out = {r.cell: r.asDict() for r in ivf_retrain_frame(cellrows, tot).collect()}
+    # cell 0: share 250 -> 388 milli (drift 138); others 250 -> 203 (47)
+    assert out[0]["retrain"] == 1 and out[0]["drift_milli"] > 100
+    assert all(out[c]["drift_milli"] == 47 for c in (1, 2, 3))
+    assert all(
+        out[c]["retrain"] == int(47 > IVF_RETRAIN_THRESH_MILLI)
+        for c in (1, 2, 3)
+    )
+    # shares are exact integer milli of the respective totals
+    assert out[0]["share_old_milli"] == 250
+    assert out[0]["share_new_milli"] == (200 * 1000) // 515
