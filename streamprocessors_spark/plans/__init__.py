@@ -306,7 +306,6 @@ def driver_window_projection(
     green = _driver_green_names()
     names = list(ordered_registry())[:budget]
     green_rounds = _driver_green_rounds() or {}
-    stable = stable_names()
     out: dict[str, list[str]] = {
         "pins": [],
         "new": [],
@@ -324,7 +323,12 @@ def driver_window_projection(
                 out["new"].append(n)
         elif green_rounds.get(n, 0) < _FORCE_RECHECK.get(n, 0):
             out["pins"].append(n)
-        elif trickle_left > 0 and n in stable:
+        elif trickle_left > 0:
+            # the scheduler's guaranteed floor is the STALE_TRICKLE
+            # STALEST green rows regardless of the stable tag (they are
+            # usually stable, but right after a full-tail re-green the
+            # stalest rows can be younger than STABLE_AFTER_ROUNDS) —
+            # classify exactly what ordered_registry reserves
             out["trickle"].append(n)
             trickle_left -= 1
         else:

@@ -376,19 +376,18 @@ _TEXT_LABELS_CACHE: dict = {}
 
 def text_keep_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.plans.llm_ops import (
-        evict_stale_app_entries,
+        corpus_cached,
         verified_text_pairs,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_TEXT_LABELS_CACHE, key[0])
-    if key not in _TEXT_LABELS_CACHE:
-        # _min_label_components localCheckpoints its result frontier, so
-        # the cached frame is already executor-pinned
-        _TEXT_LABELS_CACHE[key] = _min_label_components(
-            verified_text_pairs(spark, sf_dir)
-        )
-    return _TEXT_LABELS_CACHE[key]
+    # _min_label_components localCheckpoints its result frontier, so the
+    # cached frame is already executor-pinned
+    return corpus_cached(
+        _TEXT_LABELS_CACHE,
+        spark,
+        sf_dir,
+        lambda: _min_label_components(verified_text_pairs(spark, sf_dir)),
+    )
 
 
 def _inc_dedup_oracle() -> str:
@@ -430,6 +429,21 @@ def _inc_dedup_oracle() -> str:
 _SNAPSHOT_STORE_CACHE: dict = {}
 
 
+def _cached_snapshot_store(spark, sf_dir: str, docs: DataFrame, par: int):
+    """The persisted snapshot-N artifacts (band store, labels), built
+    once per corpus and SHARED by the increment and removal maintenance
+    paths — one definition so the artifact can never drift between
+    them. v0 = the doc_id % 5 != 0 docs by fixture convention."""
+    from streamprocessors_spark.plans.llm_ops import corpus_cached
+
+    return corpus_cached(
+        _SNAPSHOT_STORE_CACHE,
+        spark,
+        sf_dir,
+        lambda: _snapshot_store(docs.where("doc_id % 5 != 0"), par),
+    )
+
+
 @register(
     "snapshot_incremental_dedup",
     oracle=_inc_dedup_oracle(),
@@ -468,15 +482,7 @@ def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by application id too (unlike the collected-scalar caches,
     # these entries are checkpointed FRAMES — dead if the session that
     # pinned them has been stopped and a new one started in-process)
-    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_SNAPSHOT_STORE_CACHE, key[0])
-    if key not in _SNAPSHOT_STORE_CACHE:
-        _SNAPSHOT_STORE_CACHE[key] = _snapshot_store(
-            docs.where("doc_id % 5 != 0"), par
-        )
-    store, old_lab = _SNAPSHOT_STORE_CACHE[key]
+    store, old_lab = _cached_snapshot_store(spark, sf_dir, docs, par)
     return _incremental_verdicts(
         docs, docs.where("doc_id % 5 = 0"), store, old_lab, par
     )
@@ -811,17 +817,9 @@ def _removal_dedup_oracle() -> str:
     tags=("dedup", "lsh", "iterative", "pipeline", "llm"),
 )
 def snapshot_removal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
-
     docs = read_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_SNAPSHOT_STORE_CACHE, key[0])
-    if key not in _SNAPSHOT_STORE_CACHE:
-        _SNAPSHOT_STORE_CACHE[key] = _snapshot_store(
-            docs.where("doc_id % 5 != 0"), par
-        )
-    store, old_lab = _SNAPSHOT_STORE_CACHE[key]
+    store, old_lab = _cached_snapshot_store(spark, sf_dir, docs, par)
     v0 = docs.where("doc_id % 5 != 0")
     removed = v0.where("doc_id % 7 = 1").select("doc_id")
     return _removal_verdicts(v0, removed, store, old_lab, par)
@@ -1204,19 +1202,18 @@ def _cascade_oracle() -> str:
     tags=("dedup", "lsh", "crawl", "iterative"),
 )
 def dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
+    from streamprocessors_spark.plans.llm_ops import corpus_cached
 
     # the verdict frame is a per-corpus persisted artifact like the pair
     # stores (VERDICT r10 #5): the attrition report (and any other
     # composed consumer) reads it instead of re-running the three-stage
     # pipeline. Corpus-row-sized but THIN (doc_id, stage, kept).
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_CASCADE_VERDICT_CACHE, key[0])
-    if key not in _CASCADE_VERDICT_CACHE:
-        _CASCADE_VERDICT_CACHE[key] = _cascade_verdict_build(
-            spark, sf_dir
-        ).localCheckpoint()
-    return _CASCADE_VERDICT_CACHE[key]
+    return corpus_cached(
+        _CASCADE_VERDICT_CACHE,
+        spark,
+        sf_dir,
+        lambda: _cascade_verdict_build(spark, sf_dir).localCheckpoint(),
+    )
 
 
 _CASCADE_VERDICT_CACHE: dict = {}

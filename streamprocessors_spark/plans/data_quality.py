@@ -1019,12 +1019,18 @@ def _remediation_sql(d: str, docs_table: str = "documents") -> str:
       FROM v1 GROUP BY source
     ),
     c0 AS (
-      SELECT c.source, c.n_tok, dr.drift_milli,
-             CAST(dr.drift_milli > {DRIFT_THRESH_MILLI} AS INT) AS drifted,
+      -- LEFT join: a source present only in the NEW snapshot (or with
+      -- no countable v0 words) has no drift baseline — it still gets
+      -- its full budget slice, unflagged (drift unknown is not drift
+      -- evidence; dropping it would silently redistribute its share)
+      SELECT c.source, c.n_tok,
+             CAST(COALESCE(dr.drift_milli, 0) AS BIGINT) AS drift_milli,
+             CAST(COALESCE(dr.drift_milli, 0) > {DRIFT_THRESH_MILLI}
+               AS INT) AS drifted,
              c.n_tok * {TEMP_SCALE} AS x,
              CAST(sqrt(CAST(c.n_tok * {TEMP_SCALE} AS DOUBLE)) AS BIGINT)
                AS c0
-      FROM cnt c JOIN drift dr ON dr.source = c.source
+      FROM cnt c LEFT JOIN drift dr ON dr.source = c.source
       WHERE c.n_tok > 0
     ),
     sq AS (

@@ -362,15 +362,14 @@ _TEXT_PAIRS_CACHE: dict = {}
 
 
 def verified_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_TEXT_PAIRS_CACHE, key[0])
-    if key not in _TEXT_PAIRS_CACHE:
-        _TEXT_PAIRS_CACHE[key] = (
-            dedup_minhash_lsh(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
-    return _TEXT_PAIRS_CACHE[key]
+    return corpus_cached(
+        _TEXT_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(),
+    )
 
 
 def _simhash_cte(d: str) -> str:
@@ -1096,6 +1095,21 @@ def evict_stale_app_entries(cache: dict, app_id: str) -> None:
         del cache[k]
 
 
+def corpus_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """The ONE per-corpus memoize pattern every persisted-artifact store
+    uses (pair tables, labels, IVF index, snapshot band store, cascade
+    verdicts): (applicationId, sf_dir)-keyed, stale-app entries evicted
+    on every insert-path call, built once via ``build()`` (which must
+    localCheckpoint when the artifact needs executor pinning). One
+    helper so the shared artifact can never drift between its consumers
+    and the eviction call can never be forgotten at the next store."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    evict_stale_app_entries(cache, key[0])
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 def _ivf_cents(e: DataFrame) -> DataFrame:
     return e.where(F.col("vec_id") < ANN_IVF_CELLS).select(
         F.col("vec_id").alias("cell"),
@@ -1123,6 +1137,22 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 _IVF_APPEND_DELTA = f"(vec_id % 7 = 3 AND vec_id >= {ANN_IVF_CELLS})"
+
+
+def _ivf_stored_index(
+    spark: SparkSession, sf_dir: str, e: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """The persisted IVF index (old vectors' assignments), built once per
+    corpus and SHARED by the append / remove / retrain maintenance paths
+    — one definition so the artifact can never drift between them."""
+    return corpus_cached(
+        _IVF_INDEX_CACHE,
+        spark,
+        sf_dir,
+        lambda: _ivf_assign(
+            e.where(f"not {_IVF_APPEND_DELTA}"), cents
+        ).localCheckpoint(),
+    )
 
 
 @register(
@@ -1184,17 +1214,8 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
     )
     cents = _ivf_cents(e)
-    # the stored index: old vectors' assignments, built once per corpus
-    # (keyed by application id — checkpointed frames die with their
-    # session) — append-time work below touches ONLY the delta
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_IVF_INDEX_CACHE, key[0])
-    if key not in _IVF_INDEX_CACHE:
-        _IVF_INDEX_CACHE[key] = (
-            _ivf_assign(e.where(f"not {_IVF_APPEND_DELTA}"), cents)
-            .localCheckpoint()
-        )
-    old_assign = _IVF_INDEX_CACHE[key]
+    # the stored index — append-time work below touches ONLY the delta
+    old_assign = _ivf_stored_index(spark, sf_dir, e, cents)
     oldc = old_assign.groupBy("cell").agg(
         F.expr("cast(count(*) as bigint)").alias("n_old")
     )
@@ -1289,14 +1310,7 @@ def ann_ivf_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
     )
     cents = _ivf_cents(e)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_IVF_INDEX_CACHE, key[0])
-    if key not in _IVF_INDEX_CACHE:
-        _IVF_INDEX_CACHE[key] = (
-            _ivf_assign(e.where(f"not {_IVF_APPEND_DELTA}"), cents)
-            .localCheckpoint()
-        )
-    old_assign = _IVF_INDEX_CACHE[key]
+    old_assign = _ivf_stored_index(spark, sf_dir, e, cents)
     # removal-delta-sized; pinned so the per-cell counts and the audit
     # rows share one slice of the stored index
     removed = old_assign.where(_IVF_REMOVE_SLICE).localCheckpoint()
@@ -1400,14 +1414,7 @@ def ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
     )
     cents = _ivf_cents(e)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_IVF_INDEX_CACHE, key[0])
-    if key not in _IVF_INDEX_CACHE:
-        _IVF_INDEX_CACHE[key] = (
-            _ivf_assign(e.where(f"not {_IVF_APPEND_DELTA}"), cents)
-            .localCheckpoint()
-        )
-    old_assign = _IVF_INDEX_CACHE[key]
+    old_assign = _ivf_stored_index(spark, sf_dir, e, cents)
     oldc = old_assign.groupBy("cell").agg(
         F.expr("cast(count(*) as bigint)").alias("n_old")
     )

@@ -301,17 +301,16 @@ _IMAGE_PAIRS_CACHE: dict = {}
 
 
 def verified_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
+    from streamprocessors_spark.plans.llm_ops import corpus_cached
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_IMAGE_PAIRS_CACHE, key[0])
-    if key not in _IMAGE_PAIRS_CACHE:
-        _IMAGE_PAIRS_CACHE[key] = (
-            image_phash_pairs(_docs(spark, sf_dir))
-            .select("img_a", "img_b")
-            .localCheckpoint()
-        )
-    return _IMAGE_PAIRS_CACHE[key]
+    return corpus_cached(
+        _IMAGE_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: image_phash_pairs(_docs(spark, sf_dir))
+        .select("img_a", "img_b")
+        .localCheckpoint(),
+    )
 
 
 # Image cluster LABELS, memoized per corpus (see _TEXT_LABELS_CACHE).
@@ -322,17 +321,18 @@ def image_keep_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, canonical) over img ids — CC labels of the image pair
     store, the persisted artifact image keep-list consumers read."""
     from streamprocessors_spark.plans.advanced import _min_label_components
-    from streamprocessors_spark.plans.llm_ops import evict_stale_app_entries
+    from streamprocessors_spark.plans.llm_ops import corpus_cached
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale_app_entries(_IMAGE_LABELS_CACHE, key[0])
-    if key not in _IMAGE_LABELS_CACHE:
-        _IMAGE_LABELS_CACHE[key] = _min_label_components(
+    return corpus_cached(
+        _IMAGE_LABELS_CACHE,
+        spark,
+        sf_dir,
+        lambda: _min_label_components(
             verified_image_pairs(spark, sf_dir).selectExpr(
                 "img_a as doc_a", "img_b as doc_b"
             )
-        )
-    return _IMAGE_LABELS_CACHE[key]
+        ),
+    )
 
 
 @register(

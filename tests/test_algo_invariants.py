@@ -1702,6 +1702,13 @@ def test_drift_remediation_planted_drifting_source(spark):
         n = 3 if i % 5 == 0 else 40
         words_b = " ".join(f"wb{k}" for k in range(n))
         rows.append((i, words_b, "en", "srcB"))
+    # srcC exists ONLY in the new snapshot (every doc_id % 5 == 0, so
+    # the v0 synthesis drops all of it): no drift baseline -> it must
+    # still receive its full budget slice, unflagged
+    for i in range(400, 520, 5):
+        if i % 11 == 3:
+            continue
+        rows.append((i, " ".join(f"wc{k}" for k in range(30)), "en", "srcC"))
     docs = spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string"
     )
@@ -1717,7 +1724,11 @@ def test_drift_remediation_planted_drifting_source(spark):
     # the budget actually moved: srcB has MORE available tokens than its
     # budget share implies relative to srcA (penalty dominates size)
     assert a["budget_tok"] > b["budget_tok"] * 1.5
-    total = a["budget_tok"] + b["budget_tok"]
+    # v1-only source: no baseline -> unflagged, full weight, in the plan
+    c = out["srcC"]
+    assert c["drifted"] == 0 and c["drift_milli"] == 0
+    assert c["adj_q"] == c["sqrt_q"] and c["budget_tok"] > 0
+    total = a["budget_tok"] + b["budget_tok"] + c["budget_tok"]
     from streamprocessors_spark.plans.llm_ops import PLAN_TOKEN_BUDGET
 
     assert total <= PLAN_TOKEN_BUDGET  # floor-div never over-allocates

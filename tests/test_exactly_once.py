@@ -23,7 +23,6 @@ from pyspark.sql.utils import StreamingQueryException
 
 from streamprocessors_spark.streaming import exactly_once as XO
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 # ---------------------------------------------------------------------------

@@ -98,8 +98,11 @@ _GLOBAL_WINDOW_RE = re.compile(r"\bWindow\.orderBy\s*\(")
 # rationale rule rejects SF-proportional excuses like everywhere else.
 _DRIVER_COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(\s*\)")
 
-_BOUNDED_MARKERS = ("# bounded",)
-_COLLECT_MARKERS = ("# bounded", "# control-plane")
+# Exact accepted marker forms (colon-terminated where the rationale
+# follows on the same line): a substring like '# boundedness unclear'
+# must NOT satisfy the gate.
+_BOUNDED_MARKERS = ("# bounded:", "# bounded collect:")
+_COLLECT_MARKERS = ("# bounded:", "# bounded collect:", "# control-plane")
 
 
 def _annotation_hazards(root: str) -> list[str]:
@@ -174,7 +177,11 @@ def _rationale_hazards(root: str) -> list[str]:
                 marker = next(
                     (
                         m
-                        for m in ("# bounded", "# control-plane")
+                        for m in (
+                            "# bounded collect:",
+                            "# bounded:",
+                            "# control-plane",
+                        )
                         if m in line
                     ),
                     None,

@@ -649,8 +649,10 @@ def main() -> None:
             .count()
         )
 
-    _mm_tpairs, _mm_ipairs = _mm_pair_stores()
-    timed("dedup_multimodal_verdict", _mm_verdict_count)
+    if only is None or "dedup_multimodal_verdict" in only:
+        # the stores are expensive to build — only when this row runs
+        _mm_tpairs, _mm_ipairs = _mm_pair_stores()
+        timed("dedup_multimodal_verdict", _mm_verdict_count)
 
     # wide per-doc signal table: must stay a zero-exchange scan projection
     from streamprocessors_spark.plans.data_quality import signals_docs
@@ -899,9 +901,12 @@ def main() -> None:
     # over the pinned index (cell-partitioned -> partition-pruned at
     # scale), so time must stay near-flat as mult grows.
     def _ivf_remove_delta():
+        from streamprocessors_spark.plans.llm_ops import _IVF_REMOVE_SLICE
+
         removed = _ivf_rm_index.where(
-            "vec_id % 9 = 4 and vec_id >= 8 and vec_id % 7 != 3"
-            " and vec_id < 1000000"  # base-corpus slice: fixed size
+            # the query's own slice, restricted to the base corpus so
+            # the removal set stays fixed as mult grows
+            f"{_IVF_REMOVE_SLICE} and vec_id < 1000000"
         )
         live = _ivf_rm_index.join(
             removed.select("vec_id"), "vec_id", "left_anti"
@@ -920,13 +925,15 @@ def main() -> None:
             _ivf_cents,
         )
 
+        from streamprocessors_spark.plans.llm_ops import _IVF_APPEND_DELTA
+
         _e_rm = embs.selectExpr(
             "vec_id",
             "embedding",
             f"{DD.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
         )
         _ivf_rm_index = _ivf_assign(
-            _e_rm.where("not (vec_id % 7 = 3 and vec_id >= 8)"),
+            _e_rm.where(f"not {_IVF_APPEND_DELTA}"),
             _ivf_cents(_e_rm).localCheckpoint(),
         ).localCheckpoint()
         timed("ann_ivf_remove_delta", _ivf_remove_delta)
