@@ -1302,7 +1302,10 @@ def _incremental_keep_list_labels(
             edges = edges.unionByName(star)
         if not edges.isEmpty():
             state["labels"] = _min_label_components(edges).localCheckpoint()
-            # idempotent frame snapshot: batch_id=N overwrite
+            # idempotent frame snapshot: batch_id=N overwrite (measured
+            # <1 s/run total at sf0.1 — run variance dominates; at
+            # 100 TB this snapshot would be an incremental delta store
+            # + periodic compaction, not a full standing-label rewrite)
             XO.write_batch_output(state["labels"], labdir, batch_id)
         XO.mark_done(state, batch_id)
 
