@@ -251,3 +251,97 @@ def test_keep_list_labels_exactly_once_under_replay(spark, tmp_path):
     )
     labels = _incremental_keep_list_labels(pair_stream(), shingles, workdir=wd)
     assert {(r.doc_id, r.canonical) for r in labels.collect()} == expected
+
+
+# ---------------------------------------------------------------------------
+# property test: the recovery protocol under ARBITRARY crash schedules
+# ---------------------------------------------------------------------------
+
+
+def _run_protocol(batches, crash_points, workdir):
+    """Drive the snapshot/recover protocol over a deterministic fold
+    (state = running per-source sums), crashing wherever ``crash_points``
+    says, restarting with a FRESH state dict each time (a new driver).
+    Crash point (batch_idx, phase): phase 0 = before any write (replay
+    recomputes everything), phase 1 = after the output write but before
+    the snapshot, phase 2 = after the snapshot but before the streaming
+    commit. Returns (final_state, outputs) where outputs is the
+    per-batch_id last-written output dir content (simulated as a dict on
+    disk via the real snapshot files plus an out_{id}.json)."""
+    import json as _json
+
+    init = {"sums": {}}
+    outputs: dict[int, dict] = {}
+    crashes = dict(crash_points)  # (batch_idx) -> phase, fire once
+    state: dict = {}
+    i = 0
+    while i < len(batches):
+        XO.recover_state(state, i, workdir, init)
+        phase = crashes.pop(i, None)
+        if phase == 0:
+            state = {}  # driver dies before doing anything
+            continue  # restart replays batch i
+        sums = dict(state["sums"])
+        for src, v in batches[i]:
+            sums[src] = sums.get(src, 0) + v
+        # output write (idempotent overwrite by batch id)
+        outputs[i] = dict(sums)
+        with open(os.path.join(workdir, f"out_{i}.json"), "w") as fh:
+            _json.dump(sums, fh)
+        if phase == 1:
+            state = {}
+            continue
+        XO.write_state_snapshot(workdir, i, {"sums": sums})
+        if phase == 2:
+            state = {}
+            continue
+        state["sums"] = sums
+        XO.mark_done(state, i)
+        i += 1  # streaming commit: only now does the batch advance
+    return state
+
+
+def test_recovery_protocol_random_crash_schedules(tmp_path):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    batch_strategy = st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-5, 9)),
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+    crash_strategy = st.dictionaries(
+        st.integers(0, 5), st.integers(0, 2), max_size=4
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(batches=batch_strategy, crashes=crash_strategy)
+    def run(batches, crashes):
+        import shutil
+        import tempfile
+
+        crashes = {k: v for k, v in crashes.items() if k < len(batches)}
+        wd_clean = tempfile.mkdtemp(dir=str(tmp_path))
+        wd_crash = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            clean = _run_protocol(batches, {}, wd_clean)
+            crashed = _run_protocol(batches, crashes, wd_crash)
+            # the final folded state is crash-schedule-independent
+            assert crashed["sums"] == clean["sums"]
+            # ... and so is every batch's (last-written) output
+            import json as _json
+
+            for i in range(len(batches)):
+                with open(os.path.join(wd_clean, f"out_{i}.json")) as fh:
+                    c = _json.load(fh)
+                with open(os.path.join(wd_crash, f"out_{i}.json")) as fh:
+                    x = _json.load(fh)
+                assert c == x, f"batch {i} output diverged"
+        finally:
+            shutil.rmtree(wd_clean, ignore_errors=True)
+            shutil.rmtree(wd_crash, ignore_errors=True)
+
+    run()
