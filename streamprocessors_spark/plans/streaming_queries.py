@@ -1838,10 +1838,38 @@ def cdc_delta_report(
     own_dirs = workdir is None
     if workdir is None:
         workdir = tempfile.mkdtemp(prefix="spgraft_cdc_")
+    try:
+        q = cdc_start(store, stream_df, workdir, fault=fault)
+        q.awaitTermination()
+        return cdc_drain(spark, store, workdir)
+    finally:
+        if own_dirs:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+
+_CDC_SEEN_SCHEMA = "doc_id bigint, source string, delta string"
+
+
+def cdc_start(
+    store: DataFrame,
+    stream_df: DataFrame,
+    workdir: str,
+    fault=None,
+    trigger: dict | None = None,
+):
+    """Start the CDC classify sink (foreachBatch, batch_id-idempotent
+    per-batch overwrite dirs) and return the StreamingQuery. ``trigger``
+    defaults to availableNow; a continuously-deployed monitor passes
+    ``{"processingTime": "..."}`` and calls cdc_drain at end-of-snapshot
+    reconciliation time. Restartable: same workdir resumes from the
+    checkpoint and replayed batches overwrite their own output."""
+    import os
+
+    from streamprocessors_spark.streaming import exactly_once as XO
+
     sink = os.path.join(workdir, "verdicts")
     ckpt = os.path.join(workdir, "ckpt")
     os.makedirs(sink, exist_ok=True)
-    seen_schema = "doc_id bigint, source string, delta string"
 
     def process(batch_df, batch_id) -> None:
         XO.maybe_fault(fault, batch_id)
@@ -1863,35 +1891,38 @@ def cdc_delta_report(
         # idempotent: batch_id=N overwrite — a replay replaces, not appends
         XO.write_batch_output(verdicts, sink, batch_id)
 
-    try:
-        q = (
-            stream_df.writeStream.foreachBatch(process)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # empty stream -> empty union -> every stored doc is 'removed'
-        seen = XO.read_sink(spark, sink, seen_schema)
-        # end-of-snapshot reconciliation: stored docs never seen arriving
-        # were removed — left_anti against the disk-backed sink, so the
-        # deletion pass costs zero driver state
-        removed = store.join(
-            seen.select(F.col("doc_id").alias("id1")),
-            F.col("id0") == F.col("id1"),
-            "left_anti",
-        ).selectExpr("id0 as doc_id", "src0 as source", "'removed' as delta")
-        out = (
-            seen.unionByName(removed)
-            .groupBy("source", "delta")
-            .agg(F.expr("cast(count(*) as bigint)").alias("n_docs"))
-        )
-        # sources x 4 cells; materialize so the temp sink can be removed
-        return out.localCheckpoint()
-    finally:
-        if own_dirs:
-            shutil.rmtree(workdir, ignore_errors=True)
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def cdc_drain(spark: SparkSession, store: DataFrame, workdir: str) -> DataFrame:
+    """End-of-snapshot reconciliation over the disk-backed verdict sink:
+    stored docs never seen arriving were removed (left_anti, zero driver
+    state), then the per-(source, delta) rollup."""
+    import os
+
+    from streamprocessors_spark.streaming import exactly_once as XO
+
+    sink = os.path.join(workdir, "verdicts")
+    # empty stream -> empty union -> every stored doc is 'removed'
+    seen = XO.read_sink(spark, sink, _CDC_SEEN_SCHEMA)
+    removed = store.join(
+        seen.select(F.col("doc_id").alias("id1")),
+        F.col("id0") == F.col("id1"),
+        "left_anti",
+    ).selectExpr("id0 as doc_id", "src0 as source", "'removed' as delta")
+    out = (
+        seen.unionByName(removed)
+        .groupBy("source", "delta")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_docs"))
+    )
+    # sources x 4 cells; materialize so the temp sink can be removed
+    return out.localCheckpoint()
 
 
 def _wire_stream_snapshot_oracle() -> None:

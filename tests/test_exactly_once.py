@@ -345,3 +345,72 @@ def test_recovery_protocol_random_crash_schedules(tmp_path):
             shutil.rmtree(wd_crash, ignore_errors=True)
 
     run()
+
+
+def test_cdc_continuous_trigger_kill_restart(spark, tmp_path):
+    """Exactly-once under a CONTINUOUS trigger (the deployment mode, not
+    just availableNow): start the CDC sink at processingTime, feed two
+    shards, hard-stop the query mid-stream (driver kill), add more
+    shards, restart on the same workdir, finish with availableNow, and
+    drain — the rollup must equal the clean single-run result."""
+    import time
+
+    from streamprocessors_spark.plans.streaming_queries import (
+        cdc_delta_report,
+        cdc_drain,
+        cdc_start,
+    )
+
+    docs, _ = _shard_docs(spark, tmp_path / "ref")
+    store = (
+        docs.where("doc_id <= 6")
+        .selectExpr(
+            "doc_id as id0",
+            "source as src0",
+            "case when doc_id = 3 then 'old-content'"
+            " else md5(text) end as h0",
+        )
+        .localCheckpoint()
+    )
+    src = str(tmp_path / "feed")
+    schema = docs.schema
+
+    def feed(lo, hi):
+        docs.where(F.col("doc_id").between(lo, hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    feed(2, 3)
+    feed(4, 5)
+    expected = {
+        (r.source, r.delta): r.n_docs
+        for r in cdc_delta_report(store, stream()).collect()
+    }
+    # reset the feed for the live run (fresh dir)
+    import shutil
+
+    shutil.rmtree(src)
+    wd = str(tmp_path / "wd")
+    feed(2, 3)
+    q = cdc_start(store, stream(), wd, trigger={"processingTime": "300 milliseconds"})
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    feed(4, 5)
+    time.sleep(1.2)  # let some (possibly all) of shard 2 commit
+    q.stop()  # driver kill mid-stream
+    # restart on the same workdir; availableNow finishes the backlog
+    q2 = cdc_start(store, stream(), wd)
+    q2.awaitTermination()
+    got = {
+        (r.source, r.delta): r.n_docs
+        for r in cdc_drain(spark, store, wd).collect()
+    }
+    assert got == expected
