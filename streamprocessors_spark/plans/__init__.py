@@ -148,18 +148,29 @@ _FORCE_RECHECK = {
 # Unverified queries DEFERRED past the green tail: an over-window-budget
 # escape hatch for additions landed after a round's ~50-slot driver
 # window is already committed (rule 3 would otherwise evict a stale
-# re-verification). Names here sort AFTER all green rows until the
-# driver verifies them (they stay registered, locally oracle-gated by
-# tests/test_oracle_parity.py and tools/sweep_sf.py like everything
-# else). Round 11: every r11 addition is deferred BY DESIGN — VERDICT
-# r10 #2 dedicates the whole window to the 67-row stale tail (19 r5 +
-# oldest r6), so new queries ride the local sweep until round 12.
-_DEFER_PAST_GREEN: frozenset[str] = frozenset({
-    "snapshot_removal_dedup",
-    "ann_ivf_remove",
-    "drift_remediation_plan",
-    "ivf_retrain_plan",
-})
+# re-verification). Names here sort AFTER all green rows (they stay
+# registered, locally oracle-gated by tests/test_oracle_parity.py and
+# tools/sweep_sf.py like everything else).
+#
+# Expiry is STRUCTURAL (VERDICT r11 #1): each name maps to the round
+# whose driver window should skip it, and the deferral is active only
+# while no CORRECTNESS_r*.json from that round or later exists. The old
+# rule — expire on the query's first green driver row — could never fire
+# for a deferred query (it can't get a green row while deferred), which
+# twice (r9→r10, r11→r12) left additions permanently unverifiable until
+# the set was emptied by hand. Now the deferral self-expires the moment
+# the deferring round's correctness file lands, regardless of greenness,
+# so a forgotten entry costs one round, not forever.
+#
+# Round 11: every r11 addition was deferred BY DESIGN (VERDICT r10 #2
+# dedicated the whole window to the 67-row stale tail). CORRECTNESS_r11
+# exists, so all four are expired and enter the r12 window as new rows.
+_DEFER_PAST_GREEN: dict[str, int] = {
+    "snapshot_removal_dedup": 11,
+    "ann_ivf_remove": 11,
+    "drift_remediation_plan": 11,
+    "ivf_retrain_plan": 11,
+}
 
 # The driver-window scheduling constants (SURVEY.md §10 rotation split,
 # formalized per VERDICT r10 #8). The driver's one correctness pass has
@@ -208,6 +219,37 @@ def _driver_green_names() -> frozenset[str]:
     return frozenset(rounds) if rounds is not None else _R01_DRIVER_GREEN
 
 
+def _latest_correctness_round() -> int:
+    """Highest round number among CORRECTNESS_r*.json files at the repo
+    root (0 when none exist). Filename-only — a file's presence is the
+    signal that the driver ran that round's window."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    best = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def active_deferrals() -> frozenset[str]:
+    """Names whose _DEFER_PAST_GREEN entry is still in force: deferring
+    round not yet reached by any correctness file AND no green row yet
+    (either event expires the deferral — the file-based expiry is the
+    structural guarantee, the green-row expiry a harmless fast path)."""
+    latest = _latest_correctness_round()
+    green = _driver_green_names()
+    return frozenset(
+        n
+        for n, rnd in _DEFER_PAST_GREEN.items()
+        if latest < rnd and n not in green
+    )
+
+
 def stable_names() -> frozenset[str]:
     """Entries tagged ``stable``: driver-green, no active force-recheck
     pin, and untouched for >= STABLE_AFTER_ROUNDS rounds (their last
@@ -245,13 +287,14 @@ def ordered_registry() -> dict[str, Query]:
     window slots re-verify the rows whose last driver check is oldest.
     Rotating this way converts 'locally green' into the driver's own
     signal even though one correctness pass covers only ~50 entries.
-    Exception to (3): _DEFER_PAST_GREEN entries sort LAST until their
-    first green row — the over-window-budget escape hatch for
-    late-round additions.
+    Exception to (3): active _DEFER_PAST_GREEN entries sort LAST — the
+    over-window-budget escape hatch for late-round additions. A deferral
+    expires structurally once the deferring round's correctness file
+    exists (or on a green row), see active_deferrals().
     """
     green = _driver_green_names()
     green_rounds = _driver_green_rounds() or {}
-    deferred = _DEFER_PAST_GREEN - green  # a green row expires the deferral
+    deferred = active_deferrals()
     out: dict[str, Query] = {}
     for name in _DRIVER_WINDOW_FIRST:
         if name in REGISTRY and name not in green:

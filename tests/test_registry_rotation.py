@@ -54,7 +54,7 @@ def test_unverified_precede_green_up_to_trickle_cap(monkeypatch):
     new = {
         n
         for n in names
-        if n not in green and n not in plans._DEFER_PAST_GREEN
+        if n not in green and n not in plans.active_deferrals()
     }
     # plain green = green rows with no active force-recheck pin (a green
     # row whose impl changed after its green round is a pin, not tail)
@@ -96,9 +96,11 @@ def test_flood_of_new_entries_cannot_evict_stale_trickle(monkeypatch):
 
 def test_r11_window_is_the_stale_tail(monkeypatch):
     """The round-11 state (VERDICT r10 #2): all rows green, 19 at r5 and
-    48 at r6, the rest r8-r10, r11 additions deferred. The projected
-    window must be exactly the 50 stalest rows — every r5 row plus the
-    31 oldest r6 rows."""
+    48 at r6, the rest r8-r10, r11 additions deferred (latest correctness
+    file is r10, so the round-11 deferrals are still active). The
+    projected window must be exactly the 50 stalest rows — every r5 row
+    plus the 31 oldest r6 rows."""
+    monkeypatch.setattr(plans, "_latest_correctness_round", lambda: 10)
     names = [n for n in plans.REGISTRY if n not in plans._DEFER_PAST_GREEN]
     # keep the synthetic r5/r6 staleness OFF the force-recheck names:
     # neutralizing a pin bumps its green round past the pin's change
@@ -115,9 +117,9 @@ def test_r11_window_is_the_stale_tail(monkeypatch):
     assert all(rounds[n] <= 6 for n in window)
     assert sum(1 for n in window if rounds[n] == 5) == 19
     # deferred r11 additions sort dead last (once they are registered)
-    deferred_in_reg = plans._DEFER_PAST_GREEN & set(plans.REGISTRY)
-    if deferred_in_reg:
-        assert set(order[-len(deferred_in_reg):]) == deferred_in_reg
+    deferred_in_reg = plans.active_deferrals() & set(plans.REGISTRY)
+    assert deferred_in_reg, "r10-latest state must keep the r11 deferrals active"
+    assert set(order[-len(deferred_in_reg):]) == deferred_in_reg
 
 
 def test_stable_names_definition(monkeypatch):
@@ -138,7 +140,7 @@ def test_stable_names_definition(monkeypatch):
 
 
 def test_window_projection_partitions(monkeypatch):
-    names = [n for n in plans.REGISTRY if n not in plans._DEFER_PAST_GREEN]
+    names = list(plans.REGISTRY)
     rounds = {n: 5 if i < 30 else 9 for i, n in enumerate(names)}
     for n in plans._FORCE_RECHECK:
         if n in rounds:
@@ -178,9 +180,8 @@ def test_every_query_present_exactly_once(monkeypatch):
 def test_deferred_unverified_sort_last_until_green(monkeypatch):
     names = list(plans.REGISTRY)
     victim = names[-1]
-    monkeypatch.setattr(
-        plans, "_DEFER_PAST_GREEN", frozenset({victim})
-    )
+    # deferring round far in the future -> file-based expiry never fires
+    monkeypatch.setattr(plans, "_DEFER_PAST_GREEN", {victim: 99})
     # unverified + deferred -> dead last, behind every green row
     green = {n: 3 for n in names if n != victim}
     order = _ordered_with(monkeypatch, green)
@@ -193,3 +194,47 @@ def test_deferred_unverified_sort_last_until_green(monkeypatch):
     }
     head = [n for n in order2 if n not in pins]
     assert head[0] == victim  # round 1 is the stalest green
+
+
+def test_deferral_expires_on_newer_correctness_file(monkeypatch):
+    """The VERDICT r11 #1 structural fix: a deferral expires the moment a
+    correctness file from the deferring round (or later) exists, even if
+    the query never got a green row — previously green-row-only expiry
+    made a deferred query permanently unverifiable."""
+    names = list(plans.REGISTRY)
+    victim = names[-1]
+    monkeypatch.setattr(plans, "_DEFER_PAST_GREEN", {victim: 11})
+    green = {n: 8 for n in names if n != victim}
+    monkeypatch.setattr(plans, "_driver_green_rounds", lambda: dict(green))
+    # latest file predates the deferring round -> still deferred (last)
+    monkeypatch.setattr(plans, "_latest_correctness_round", lambda: 10)
+    assert victim in plans.active_deferrals()
+    assert list(plans.ordered_registry())[-1] == victim
+    # the deferring round's file lands -> expired, victim is a NEW row
+    # and leads the window despite having no green row
+    monkeypatch.setattr(plans, "_latest_correctness_round", lambda: 11)
+    assert victim not in plans.active_deferrals()
+    order = list(plans.ordered_registry())
+    assert victim in order[: plans.DRIVER_WINDOW_BUDGET]
+
+
+def test_r12_window_takes_r11_deferred_and_r6_stale(monkeypatch):
+    """The real r12 acceptance (VERDICT r11 #1 done-criterion): with the
+    shipped _DEFER_PAST_GREEN stamps and the actual CORRECTNESS_r*.json
+    union, the projected 50-row window contains all four r11 additions
+    and every row whose latest green round is <= 6."""
+    rounds = plans._driver_green_rounds() or {}
+    window = list(plans.ordered_registry())[: plans.DRIVER_WINDOW_BUDGET]
+    for name in (
+        "snapshot_removal_dedup",
+        "ann_ivf_remove",
+        "drift_remediation_plan",
+        "ivf_retrain_plan",
+    ):
+        assert name in plans.REGISTRY
+        assert name in window, f"{name} must enter the r12 driver window"
+    r6_stale = [
+        n for n in plans.REGISTRY if 0 < rounds.get(n, 0) <= 6
+    ]
+    missing = [n for n in r6_stale if n not in window]
+    assert not missing, f"r6-stale rows evicted from the window: {missing}"
