@@ -469,11 +469,14 @@ def _cached_snapshot_store(spark, sf_dir: str, docs: DataFrame, par: int):
     "contracted component min equals the full-graph min — verdicts "
     "match a from-scratch v1 keep-list exactly, which is what the "
     "oracle checks (full keep-list SQL restricted to added docs). "
-    "Divergence contract (documented, not exercised by the fixture): if "
-    "added docs push a previously-eligible bucket PAST the cap, stale "
-    "old-old edges from that bucket persist in the stored labels while "
-    "a fresh run would drop them; tests/test_algo_invariants.py pins "
-    "that the fixture stays on the exact side at every SF.",
+    "Cap-crossing buckets are ALSO exact: when delta adds push a "
+    "previously-eligible bucket past the cap, the stored labels carry "
+    "old-old edges a fresh v1 run would drop — a delta-bounded "
+    "retraction re-derives the affected clusters' valid edges from the "
+    "persisted store under the v1 size gate instead of trusting their "
+    "stored canonicals, so verdicts equal a from-scratch v1 keep-list "
+    "INCLUDING that corner (adversarial pin: tests/test_algo_invariants"
+    ".py::test_incremental_dedup_bucket_cap_crossing_retracts).",
     tags=("dedup", "lsh", "iterative", "pipeline", "llm"),
 )
 def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1570,13 +1570,18 @@ def _ingest_packer_engine(
             r["source"]: [int(r[c]) for c in ["bin", *cols]]
             for r in b.where("bin = open_bin").collect()
         }
-        state["offsets"] = offsets
-        state["partials"] = partials
         # snapshot AFTER the output write: a crash between the two makes
-        # the replay rebuild from N-1 and overwrite both, still exact
+        # the replay rebuild from N-1 and overwrite both, still exact.
+        # In-memory state is assigned only AFTER the snapshot succeeds:
+        # if the write raises, a caller re-running the engine with the
+        # same state dict still holds batch N-1 (recover_state's warm
+        # check would otherwise accept contaminated offsets and
+        # double-count the replayed batch).
         XO.write_state_snapshot(
             workdir, batch_id, {"offsets": offsets, "partials": partials}
         )
+        state["offsets"] = offsets
+        state["partials"] = partials
         XO.mark_done(state, batch_id)
 
     try:
@@ -1903,7 +1908,16 @@ def cdc_start(
 def cdc_drain(spark: SparkSession, store: DataFrame, workdir: str) -> DataFrame:
     """End-of-snapshot reconciliation over the disk-backed verdict sink:
     stored docs never seen arriving were removed (left_anti, zero driver
-    state), then the per-(source, delta) rollup."""
+    state), then the per-(source, delta) rollup.
+
+    Concurrency contract: safe against a LIVE processingTime query —
+    write_batch_output commits each first-attempt batch by a single
+    atomic rename, so the listing never sees a half-written directory;
+    a batch committing after the listing simply lands in the next
+    drain. The one unsafe overlap is a crash-recovery REPLAY of an
+    already-committed batch (its dir is briefly swapped out), which
+    cannot coincide with a drain: recovery means the previous driver is
+    gone, and drain is called on the driver."""
     import os
 
     from streamprocessors_spark.streaming import exactly_once as XO
