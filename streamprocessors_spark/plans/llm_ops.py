@@ -351,24 +351,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The corpus's verified near-dup TEXT pair table, memoized per corpus
-# (the _SNAPSHOT_STORE_CACHE pattern, VERDICT r10 #5): in production the
-# pair table is written ONCE per snapshot and every composed consumer
-# (keep-list -> leakage audit, multimodal verdict, the recall gate)
-# READS it instead of re-running the LSH+verify pipeline — the pipeline
-# was measured to dominate dedup_multimodal_verdict's 100x shuffle.
-# Entries are localCheckpoint-pinned, pair-graph-sized (near-dups only).
+# The corpus's verified near-dup TEXT pair table, written once per
+# corpus as a doc_a-clustered parquet store and read from disk by every
+# composed consumer in every session (VERDICT r10 #5 + r11 #2): in
+# production the pair table is written ONCE per snapshot and every
+# composed consumer (keep-list -> leakage audit, multimodal verdict,
+# the recall gate) READS it instead of re-running the LSH+verify
+# pipeline — the pipeline was measured to dominate
+# dedup_multimodal_verdict's 100x shuffle. Pair-graph-sized.
 _TEXT_PAIRS_CACHE: dict = {}
 
 
 def verified_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus_cached(
+    from streamprocessors_spark.storage import durable_frame
+
+    return durable_frame(
         _TEXT_PAIRS_CACHE,
         spark,
         sf_dir,
-        lambda: dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(),
+        "text_pairs",
+        lambda: dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        sort_by=("doc_a",),
     )
 
 
@@ -1142,16 +1145,20 @@ _IVF_APPEND_DELTA = f"(vec_id % 7 = 3 AND vec_id >= {ANN_IVF_CELLS})"
 def _ivf_stored_index(
     spark: SparkSession, sf_dir: str, e: DataFrame, cents: DataFrame
 ) -> DataFrame:
-    """The persisted IVF index (old vectors' assignments), built once per
-    corpus and SHARED by the append / remove / retrain maintenance paths
-    — one definition so the artifact can never drift between them."""
-    return corpus_cached(
+    """The persisted IVF index (old vectors' assignments), written once
+    per corpus as a vec_id-clustered parquet store and loaded from disk
+    by every session (VERDICT r11 #2) — SHARED by the append / remove /
+    retrain maintenance paths, one definition so the artifact can never
+    drift between them."""
+    from streamprocessors_spark.storage import durable_frame
+
+    return durable_frame(
         _IVF_INDEX_CACHE,
         spark,
         sf_dir,
-        lambda: _ivf_assign(
-            e.where(f"not {_IVF_APPEND_DELTA}"), cents
-        ).localCheckpoint(),
+        "ivf_index",
+        lambda: _ivf_assign(e.where(f"not {_IVF_APPEND_DELTA}"), cents),
+        sort_by=("vec_id",),
     )
 
 

@@ -292,28 +292,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
-# The corpus's verified near-dup IMAGE pair table, memoized per corpus —
-# the image twin of llm_ops.verified_text_pairs (VERDICT r10 #5): the
-# pair table is a persisted per-snapshot artifact; composed consumers
+# The corpus's verified near-dup IMAGE pair table — the image twin of
+# llm_ops.verified_text_pairs (VERDICT r10 #5), now an img_a-clustered
+# parquet store loaded from disk in every session (r11 #2): the pair
+# table is a persisted per-snapshot artifact; composed consumers
 # (image keep-list, multimodal verdict) read it instead of re-running
-# the signature+band pipeline. localCheckpoint-pinned, pair-sized.
+# the signature+band pipeline. Pair-sized.
 _IMAGE_PAIRS_CACHE: dict = {}
 
 
 def verified_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamprocessors_spark.plans.llm_ops import corpus_cached
+    from streamprocessors_spark.storage import durable_frame
 
-    return corpus_cached(
+    return durable_frame(
         _IMAGE_PAIRS_CACHE,
         spark,
         sf_dir,
-        lambda: image_phash_pairs(_docs(spark, sf_dir))
-        .select("img_a", "img_b")
-        .localCheckpoint(),
+        "image_pairs",
+        lambda: image_phash_pairs(_docs(spark, sf_dir)).select(
+            "img_a", "img_b"
+        ),
+        sort_by=("img_a",),
     )
 
 
-# Image cluster LABELS, memoized per corpus (see _TEXT_LABELS_CACHE).
+# Image cluster LABELS, durable per corpus (see _TEXT_LABELS_CACHE).
 _IMAGE_LABELS_CACHE: dict = {}
 
 
@@ -321,17 +324,19 @@ def image_keep_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, canonical) over img ids — CC labels of the image pair
     store, the persisted artifact image keep-list consumers read."""
     from streamprocessors_spark.plans.advanced import _min_label_components
-    from streamprocessors_spark.plans.llm_ops import corpus_cached
+    from streamprocessors_spark.storage import durable_frame
 
-    return corpus_cached(
+    return durable_frame(
         _IMAGE_LABELS_CACHE,
         spark,
         sf_dir,
+        "image_labels",
         lambda: _min_label_components(
             verified_image_pairs(spark, sf_dir).selectExpr(
                 "img_a as doc_a", "img_b as doc_b"
             )
         ),
+        sort_by=("doc_id",),
     )
 
 
