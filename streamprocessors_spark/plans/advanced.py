@@ -974,6 +974,365 @@ def _removal_verdicts(
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed CDC upsert (VERDICT r11 #4): removals THEN adds against the
+# same persisted stores in ONE pass — the real recrawl shape, where
+# changed documents are delete+re-add.
+# ---------------------------------------------------------------------------
+
+# CDC-v0 persisted artifacts (band store + labels over the CDC fixture's
+# previous snapshot: doc_id % 5 != 0 including the %11=3 docs v1 drops,
+# with the %7=0 texts carrying the ' [v0-revision]' suffix). A separate
+# durable store pair from snapshot_band_store because the corpora differ.
+_CDC_STORE_CACHE: dict = {}
+_UPSERT_PROBE_MEMO: dict = {}
+
+
+def _cdc_v0_docs(docs: DataFrame) -> DataFrame:
+    """The CDC fixture's previous snapshot (see data_quality's
+    _snapshot_v0_cte): v0-only docs kept, changed docs' v0 revision."""
+    return docs.where("doc_id % 5 != 0").selectExpr(
+        "doc_id",
+        "lang",
+        "case when doc_id % 7 = 0 then concat(text, ' [v0-revision]')"
+        " else text end as text",
+    )
+
+
+def _cached_cdc_store(spark, sf_dir: str, docs: DataFrame, par: int):
+    from streamprocessors_spark.storage import durable_frames
+
+    return durable_frames(
+        _CDC_STORE_CACHE,
+        spark,
+        sf_dir,
+        (
+            ("cdc_band_store", ("band",), ("bh",)),
+            ("cdc_v0_labels", (), ("doc_id",)),
+        ),
+        lambda: _snapshot_store(_cdc_v0_docs(docs), par),
+    )
+
+
+def _upsert_dedup_oracle() -> str:
+    """From-scratch keep-list on the post-upsert corpus (the CDC v1:
+    doc_id % 11 != 3, current texts): the composed removal+add pass must
+    re-elect canonicals, split and merge clusters, and retract/admit
+    cap-crossing buckets EXACTLY as a fresh v1 run would."""
+    from streamprocessors_spark.plans.llm_ops import (
+        _MINHASH_ORACLE_CTES,
+        _MINHASH_VERIFY_SELECT,
+    )
+
+    v1 = (
+        "(SELECT doc_id, lang, text FROM documents"
+        " WHERE doc_id % 11 <> 3) dv1"
+    )
+    ctes = _MINHASH_ORACLE_CTES.replace("FROM documents", f"FROM {v1}")
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({_MINHASH_VERIFY_SELECT}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS doc_id, least(u, min(v)) AS canonical
+            FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(l.canonical, d.doc_id) AS canonical,
+           CAST(COALESCE(l.canonical, d.doc_id) = d.doc_id AS INT) AS kept
+    FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+    WHERE d.doc_id % 11 <> 3
+    """
+
+
+@register(
+    "snapshot_upsert_dedup",
+    oracle=_upsert_dedup_oracle(),
+    doc="Composed CDC upsert against the persisted dedup artifacts "
+    "(VERDICT r11 #4) — ONE maintenance pass that applies a recrawl's "
+    "full snapshot_delta_report diff to the stored band store + "
+    "keep-list labels: 'removed' docs and changed docs' OLD versions "
+    "are tombstoned (delete half), then 'added' docs and changed docs' "
+    "NEW versions are deduped in (re-add half), sharing one store probe "
+    "and one delta signature pass. Work scales with the CHANGED SET: "
+    "only adds are shingled/minhashed; tombstones are per-bucket count "
+    "subtractions; the bucket gate is the NET post-upsert size "
+    "(n0 - removed + added, 2..cap — identical to a fresh v1 gate); "
+    "affected docs needing label recomputation are the removal-touched "
+    "clusters plus members (and clusters) of buckets the net delta "
+    "moves ACROSS the eligibility window in either direction — the "
+    "cap-crossing retraction and the down-crossing admission, composed; "
+    "everyone else keeps their stored canonical, remapped through the "
+    "delta CC so add-merges propagate (an added doc with a smaller id "
+    "joining a stored cluster re-elects that cluster's canonical). "
+    "EXACTNESS: verdicts equal a from-scratch v1 keep-list for ALL v1 "
+    "docs, which is what the oracle checks. Fixture classes: removed = "
+    "%11=3, changed = %7=0, added = %5=0 (the snapshot_delta_report "
+    "conventions); the stores are the durable cdc_band_store / "
+    "cdc_v0_labels parquet artifacts built once from the synthesized "
+    "v0.",
+    tags=("dedup", "lsh", "iterative", "pipeline", "llm", "cdc"),
+)
+def snapshot_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import corpus_cached
+
+    docs = read_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    store, old_lab = _cached_cdc_store(spark, sf_dir, docs, par)
+    v1 = docs.where("doc_id % 11 != 3").select("doc_id", "lang", "text")
+    adds = v1.where("doc_id % 5 = 0 or doc_id % 7 = 0")
+    removed = (
+        docs.where("doc_id % 5 != 0 and (doc_id % 11 = 3 or doc_id % 7 = 0)")
+        .select("doc_id")
+    )
+    memo = corpus_cached(_UPSERT_PROBE_MEMO, spark, sf_dir, lambda: {})
+    return _upsert_verdicts(
+        v1, adds, removed, store, old_lab, par, probe_memo=memo
+    )
+
+
+def _upsert_verdicts(
+    v1_docs: DataFrame,
+    adds: DataFrame,
+    removed: DataFrame,
+    store: DataFrame,
+    old_lab: DataFrame,
+    par: int,
+    probe_memo: dict | None = None,
+) -> DataFrame:
+    """The changed-set-scaled composed upsert, stores passed in (shared
+    with tools/scale_smoke.py, which times the pass against a FIXED diff
+    and a growing store). ``adds`` must be a subset of ``v1_docs`` (the
+    re/newly ingested docs, current text); ``removed`` a (doc_id) frame
+    of store rows to tombstone (pure removals + changed docs' old
+    versions; a changed doc_id appears in BOTH — its old bands are
+    tombstoned and its new bands signed fresh)."""
+    from streamprocessors_spark.plans.llm_ops import (
+        LSH_MAX_BUCKET,
+        _PAIR_FILTER,
+        minhash_bands,
+        shingle_docs,
+    )
+
+    s_delta = shingle_docs(adds, par)
+    b_delta = minhash_bands(s_delta)
+    w = Window.partitionBy("band", "bh")
+    bd = (
+        b_delta.repartition(par, "band", "bh")
+        .withColumn("nd", F.count(F.lit(1)).over(w))
+        # add-delta-bands-sized; pinned: bucket sizing, the delta-delta
+        # self-join and the store probe share one delta minhash pass
+        .localCheckpoint()
+    )
+    ndb = bd.select("band", "bh", "nd").distinct()
+    # tombstone counts (at 100 TB a doc_id-keyed point-delete batch;
+    # the unhinted join lets AQE broadcast the removal id list)
+    nrb = (
+        store.join(removed, "doc_id")
+        .groupBy("band", "bh")
+        .agg(F.expr("cast(count(*) as bigint)").alias("nr"))
+    )
+    # net per-bucket stats for every store bucket the diff touches —
+    # the (band, bh)-partitioned store makes this a pruned probe
+    touched_keys = (
+        ndb.select("band", "bh").unionByName(nrb.select("band", "bh")).distinct()
+    )
+    stats = (
+        store.select("band", "bh", "n0")
+        .distinct()
+        .join(touched_keys, ["band", "bh"])
+        .join(nrb, ["band", "bh"], "left")
+        .join(ndb, ["band", "bh"], "left")
+        .selectExpr(
+            "band",
+            "bh",
+            "n0",
+            "n0 - coalesce(nr, cast(0 as bigint))"
+            " + coalesce(nd, cast(0 as bigint)) as n1",
+        )
+        # touched-bucket-sized; consumed by the gate, the crossing seed
+        # and the affected-membership gate — ONE store probe
+        .localCheckpoint()
+    )
+    # candidate-bucket gate: net size within the eligibility window —
+    # identical to the gate a fresh v1 run applies. Store-absent buckets
+    # (pure-delta) gate on the delta count alone.
+    gated = (
+        stats.where(f"n1 between 2 and {LSH_MAX_BUCKET}")
+        .select("band", "bh")
+        .unionByName(
+            ndb.join(stats.select("band", "bh"), ["band", "bh"], "left_anti")
+            .where(f"nd between 2 and {LSH_MAX_BUCKET}")
+            .select("band", "bh")
+        )
+    )
+    live = store.join(removed, "doc_id", "left_anti")
+    # --- affected docs: stored labels that cannot be trusted -----------
+    # (a) clusters containing a tombstoned doc (canonical re-election,
+    #     splits — the removal direction)
+    rem_canon = old_lab.join(removed, "doc_id").select("canonical").distinct()
+    rem_clustered = old_lab.join(rem_canon, "canonical").select("doc_id")
+    # (b) members of buckets the net delta moves ACROSS the eligibility
+    #     window: down-crossing (was over cap, now eligible -> survivors
+    #     gain pairs) and up-crossing (was eligible, now over cap ->
+    #     stored old-old edges must be retracted), composed
+    crossing = stats.where(
+        f"(n0 > {LSH_MAX_BUCKET} and n1 between 2 and {LSH_MAX_BUCKET})"
+        f" or (n0 between 2 and {LSH_MAX_BUCKET} and n1 > {LSH_MAX_BUCKET})"
+    ).select("band", "bh")
+    # control-plane probe (memoized per corpus like the incremental
+    # path's): the common recrawl has no crossing buckets
+    if probe_memo is not None and "has_crossing" in probe_memo:
+        has_crossing = probe_memo["has_crossing"]
+    else:
+        has_crossing = not crossing.isEmpty()
+        if probe_memo is not None:
+            probe_memo["has_crossing"] = has_crossing
+    seeds = rem_clustered.unionByName(removed)
+    if has_crossing:
+        cross_members = (
+            store.join(crossing, ["band", "bh"]).select("doc_id").distinct()
+        )
+        cm_canon = (
+            old_lab.join(cross_members, "doc_id").select("canonical").distinct()
+        )
+        cm_clustered = old_lab.join(cm_canon, "canonical").select("doc_id")
+        seeds = seeds.unionByName(cross_members).unionByName(cm_clustered)
+    affected = (
+        seeds.distinct()
+        # changed-set-sized; consumed by the live filter, the
+        # membership probe, the contraction exclusion and the verdict
+        .localCheckpoint()
+    )
+    aff_live = affected.join(removed, "doc_id", "left_anti")
+    # --- candidate pairs ------------------------------------------------
+    # affected survivors' edges re-derived from the PERSISTED membership
+    # under the post-upsert gate (untouched buckets keep n0)
+    elig_aff = (
+        live.join(aff_live, "doc_id")
+        .join(stats.select("band", "bh", "n1"), ["band", "bh"], "left")
+        .selectExpr("band", "bh", "doc_id", "coalesce(n1, n0) as n_eff")
+        .where(f"n_eff between 2 and {LSH_MAX_BUCKET}")
+        .select("band", "bh", "doc_id")
+    )
+    aa = (
+        elig_aff.selectExpr("band", "bh", "doc_id as doc_a")
+        .join(elig_aff.selectExpr("band", "bh", "doc_id as doc_b"),
+              ["band", "bh"])
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+    )
+    dd_g = bd.join(gated, ["band", "bh"])
+    dd = (
+        dd_g.selectExpr("band", "bh", "doc_id as doc_a")
+        .join(dd_g.selectExpr("band", "bh", "doc_id as doc_b"),
+              ["band", "bh"])
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+    )
+    do = (
+        dd_g.select("band", "bh", F.col("doc_id").alias("d_id"))
+        .join(
+            live.join(gated, ["band", "bh"]).select(
+                "band", "bh", F.col("doc_id").alias("o_id")
+            ),
+            ["band", "bh"],
+        )
+        .where("d_id != o_id")  # a changed doc meets its own tombstone id
+        .selectExpr(
+            "least(d_id, o_id) as doc_a", "greatest(d_id, o_id) as doc_b"
+        )
+    )
+    cand = (
+        dd.unionByName(do).unionByName(aa).distinct()
+        # pair-sized (changed-set-bounded: every pair has a delta or
+        # affected side and capped buckets bound the fan-out); pinned so
+        # the old-endpoint restriction and both verify legs share one
+        # candidate derivation
+        .localCheckpoint()
+    )
+    # --- exact-Jaccard verify: pair-driven content lookups --------------
+    add_ids = adds.select("doc_id")
+    old_ids = (
+        cand.selectExpr("doc_a as doc_id")
+        .unionByName(cand.selectExpr("doc_b as doc_id"))
+        .distinct()
+        .join(add_ids, "doc_id", "left_anti")
+    )
+    s_old = shingle_docs(v1_docs.join(old_ids, "doc_id"), par)
+    lookup = s_delta.select("doc_id", "sh").unionByName(
+        s_old.select("doc_id", "sh")
+    )
+    sa = lookup.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = lookup.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    vp = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"{D.intersect_size(SPARK, 'sh_a', 'sh_b')} as n_inter",
+            f"{D.union_size(SPARK, 'sh_a', 'sh_b')} as n_union",
+        )
+        .where(_PAIR_FILTER)
+        .select("doc_a", "doc_b")
+    )
+    # --- contraction + CC ------------------------------------------------
+    # contractable old endpoints: pair-named, unaffected, not re-added
+    # (a changed doc_id has a stored label but is a DELTA node here —
+    # old_ids already excludes add ids, and aff_live excludes the rest)
+    touched_lab = old_lab.join(old_ids, "doc_id").join(
+        aff_live, "doc_id", "left_anti"
+    )
+    la = touched_lab.selectExpr("doc_id as oa", "canonical as ca")
+    lb = touched_lab.selectExpr("doc_id as ob", "canonical as cb")
+    edges = (
+        vp.join(la, vp.doc_a == F.col("oa"), "left")
+        .join(lb, vp.doc_b == F.col("ob"), "left")
+        .selectExpr(
+            "coalesce(ca, doc_a) as doc_a",
+            "coalesce(cb, doc_b) as doc_b",
+        )
+    )
+    labels = _min_label_components(edges)
+    # --- verdicts for EVERY v1 doc ---------------------------------------
+    # delta/affected docs take the CC label raw; unaffected survivors map
+    # through their stored canonical, REMAPPED by the CC so an add-merge
+    # with a smaller id re-elects the whole stored cluster's canonical
+    node = (
+        v1_docs.select("doc_id")
+        .join(add_ids.selectExpr("doc_id as ddoc"),
+              F.col("doc_id") == F.col("ddoc"), "left")
+        .join(aff_live.selectExpr("doc_id as adoc"),
+              F.col("doc_id") == F.col("adoc"), "left")
+        .join(old_lab.selectExpr("doc_id as sdoc", "canonical as s_canon"),
+              F.col("doc_id") == F.col("sdoc"), "left")
+        .selectExpr(
+            "doc_id",
+            "case when ddoc is not null or adoc is not null then doc_id"
+            " else coalesce(s_canon, doc_id) end as node",
+        )
+    )
+    return (
+        node.join(
+            labels.selectExpr("doc_id as ldoc", "canonical as n_canon"),
+            F.col("node") == F.col("ldoc"),
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_canon, node) as canonical",
+            "cast(coalesce(n_canon, node) = doc_id as int) as kept",
+        )
+    )
+
+
 # Binned interval join: bucket width == window length (10 min), so every
 # window overlaps at most 2 buckets and every event exactly 1.
 _RJ_WIN_US = 600_000_000

@@ -1765,3 +1765,117 @@ def test_ivf_retrain_plan_planted_skew(spark):
     # shares are exact integer milli of the respective totals
     assert out[0]["share_old_milli"] == 250
     assert out[0]["share_new_milli"] == (200 * 1000) // 515
+
+
+def test_upsert_dedup_composes_remove_then_add(spark, monkeypatch):
+    """snapshot_upsert_dedup's composed corners (VERDICT r11 #4), cap
+    monkeypatched to 3. One fixture exercises the full CDC shape:
+
+    - changed doc = delete+re-add: doc 30's old t9 text is tombstoned
+      (its stored cluster {30,31} must split and re-elect 31) and its
+      NEW unrelated text re-enters as a singleton add;
+    - add-merge canonical remap: pure add 5 (a t2 clone, smaller id)
+      joins the stored cluster {10,20} -> all three must re-elect 5,
+      including the UNAFFECTED survivors 10 and 20 whose stored
+      canonical is remapped through the delta CC;
+    - net-size gate: the t2/t9-shared buckets sit at n0=4 (> cap, no
+      stored pairs) and stay at n1 = 4-1+1 after the diff, so they must
+      contribute nothing.
+
+    Oracle: from-scratch keep-list on the post-upsert corpus via the
+    same capped machinery."""
+    from streamprocessors_spark.plans import advanced, llm_ops
+
+    monkeypatch.setattr(llm_ops, "LSH_MAX_BUCKET", 3)
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two"
+    )
+    t2 = base + " nine"
+    t9 = base + " word001"
+    t_new = "apple banana cherry date elderberry fig grape honeydew " * 4
+    schema = "doc_id bigint, text string, lang string"
+    v0 = spark.createDataFrame(
+        [(10, t2, "en"), (20, t2, "en"), (30, t9, "en"), (31, t9, "en")],
+        schema,
+    )
+    par = 4
+    store, old_lab = advanced._snapshot_store(v0, par)
+    assert {(r.doc_id, r.canonical) for r in old_lab.collect()} == {
+        (10, 10), (20, 10), (30, 30), (31, 30),
+    }
+    v1 = spark.createDataFrame(
+        [
+            (5, t2, "en"), (10, t2, "en"), (20, t2, "en"),
+            (30, t_new, "en"), (31, t9, "en"),
+        ],
+        schema,
+    )
+    adds = v1.where("doc_id in (5, 30)")
+    removed = spark.createDataFrame([(30,)], "doc_id bigint")
+    out = {
+        r.doc_id: (r.canonical, r.kept)
+        for r in advanced._upsert_verdicts(
+            v1, adds, removed, store, old_lab, par
+        ).collect()
+    }
+    _, fresh_lab = advanced._snapshot_store(v1, par)
+    fresh_map = {r.doc_id: r.canonical for r in fresh_lab.collect()}
+    fresh = {
+        d: (fresh_map.get(d, d), int(fresh_map.get(d, d) == d))
+        for d in (5, 10, 20, 30, 31)
+    }
+    assert out == fresh == {
+        5: (5, 1), 10: (5, 0), 20: (5, 0), 30: (30, 1), 31: (31, 1),
+    }
+
+
+def test_upsert_dedup_retracts_net_cap_crossing(spark, monkeypatch):
+    """The upsert's net-gate retraction: the incremental cap-crossing
+    fixture (adds flood a v0-eligible bucket past the cap) replayed
+    through the COMPOSED pass with an empty removal set must retract
+    the stale old-old edge exactly as snapshot_incremental_dedup does —
+    verdicts for ALL v1 docs equal a from-scratch run's."""
+    from streamprocessors_spark.plans import advanced, llm_ops
+
+    monkeypatch.setattr(llm_ops, "LSH_MAX_BUCKET", 3)
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two"
+    )
+    t2 = base + " nine"
+    t9 = base + " word001"
+    t10 = t9 + " tail000"
+    schema = "doc_id bigint, text string, lang string"
+    v0 = spark.createDataFrame([(2, t2, "en"), (9, t9, "en")], schema)
+    par = 4
+    store, old_lab = advanced._snapshot_store(v0, par)
+    assert {(r.doc_id, r.canonical) for r in old_lab.collect()} == {
+        (2, 2), (9, 2),
+    }
+    v1 = spark.createDataFrame(
+        [
+            (2, t2, "en"), (9, t9, "en"), (10, t10, "en"),
+            (15, t2, "en"), (20, t2, "en"),
+        ],
+        schema,
+    )
+    adds = v1.where("doc_id in (10, 15, 20)")
+    removed = spark.createDataFrame([], "doc_id bigint")
+    out = {
+        r.doc_id: (r.canonical, r.kept)
+        for r in advanced._upsert_verdicts(
+            v1, adds, removed, store, old_lab, par
+        ).collect()
+    }
+    _, fresh_lab = advanced._snapshot_store(v1, par)
+    fresh_map = {r.doc_id: r.canonical for r in fresh_lab.collect()}
+    fresh = {
+        d: (fresh_map.get(d, d), int(fresh_map.get(d, d) == d))
+        for d in (2, 9, 10, 15, 20)
+    }
+    assert out == fresh == {
+        2: (2, 1), 9: (9, 1), 10: (9, 0), 15: (2, 0), 20: (2, 0),
+    }

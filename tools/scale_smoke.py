@@ -781,6 +781,38 @@ def main() -> None:
         _build_snapshot_store()
         timed("snapshot_removal_dedup_delta", _removal_maintenance)
 
+    # Composed CDC upsert at a FIXED diff against a growing store
+    # (VERDICT r11 #4): the store is built from the MULTIPLIED corpus's
+    # CDC-v0 (untimed — persisted at snapshot time); the applied diff is
+    # the BASE corpus's delta classes (removed + changed tombstones,
+    # added + changed re-adds), so the timed pass must stay ~flat as
+    # mult grows — cost scales with the changed set, not the corpus.
+    def _upsert_maintenance():
+        from streamprocessors_spark.plans.advanced import _upsert_verdicts
+
+        v1 = docs.where("doc_id % 11 != 3").select("doc_id", "lang", "text")
+        adds = docs0.where(
+            "doc_id % 11 != 3 and (doc_id % 5 = 0 or doc_id % 7 = 0)"
+        ).select("doc_id", "lang", "text")
+        removed = docs0.where(
+            "doc_id % 5 != 0 and (doc_id % 11 = 3 or doc_id % 7 = 0)"
+        ).select("doc_id")
+        return _upsert_verdicts(
+            v1, adds, removed, _cdc_store, _cdc_lab,
+            spark.sparkContext.defaultParallelism,
+        ).count()
+
+    if only is None or "snapshot_upsert_dedup_delta" in only:
+        from streamprocessors_spark.plans.advanced import (
+            _cdc_v0_docs,
+            _snapshot_store,
+        )
+
+        _cdc_store, _cdc_lab = _snapshot_store(
+            _cdc_v0_docs(docs), spark.sparkContext.defaultParallelism
+        )
+        timed("snapshot_upsert_dedup_delta", _upsert_maintenance)
+
     # CDC catch-up replay: the multiplied new snapshot lands as `mult`
     # shard files and replays through the classify+reconcile core
     # against a store built from the multiplied v0 (untimed — persisted
