@@ -307,3 +307,47 @@ def _replace(store, df) -> None:
     os.rename(store.path, swap)
     os.rename(tmp, store.path)
     shutil.rmtree(swap)
+
+
+class MonitorStats:
+    """The monitor→REST loop (VERDICT r11 #5): holds the latest
+    MATERIALIZED snapshot of each maintenance monitor's worklist
+    (drift_remediation_plan, ivf_retrain_plan, ...) and serves it
+    through the ``*_stats.json`` supplier pattern — the reference's
+    dashboard surface (assets/html/js/system.js polls the stats
+    endpoints; routing main/stream_procs_api_http.c:304-330).
+
+    The engine calls ``refresh`` at reconciliation time (end of a
+    recrawl round / a monitor trigger); request threads serve the held
+    JSON without touching Spark — the same no-blocking contract as every
+    other supplier. Worklists are bounded (per-source / per-cell rows),
+    so the held snapshot is small by construction."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._data: dict[str, str] = {}
+
+    def refresh(self, name: str, df) -> int:
+        """Materialize ``df`` (a bounded monitor worklist) as the
+        snapshot served under ``<name>_stats.json``; returns the row
+        count."""
+        # bounded collect: monitor worklists are per-source/per-cell
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        payload = json.dumps({"name": name, "n_rows": len(rows), "rows": rows})
+        with self._lock:
+            self._data[name] = payload
+        return len(rows)
+
+    def supplier(self, name: str) -> Callable[[], str | None]:
+        def get() -> str | None:
+            with self._lock:
+                return self._data.get(name)
+
+        return get
+
+    def routes(self, server: StateRestServer, *names: str) -> None:
+        """Register ``<name>_stats.json`` substring routes; an endpoint
+        whose monitor has never materialized serves 404 (NOT_FOUND), the
+        same outcome as any absent stats supplier."""
+        for name in names:
+            server.stats_route(f"{name}_stats.json", self.supplier(name))

@@ -306,3 +306,49 @@ def test_concurrent_puts_and_gets_are_serialized(spark, tmp_path):
         assert env["data"]["seq"] == 7
     finally:
         server.close()
+
+
+def test_monitor_stats_live_roundtrip(spark, sf_dir):
+    """VERDICT r11 #5 — the monitor→REST loop: drift_remediation_plan
+    and ivf_retrain_plan worklists materialize into MonitorStats and
+    serve live over HTTP with the reference envelope, next to the
+    latency-profile supplier. Before a monitor's first materialization
+    its endpoint is 404 (absent supplier semantics)."""
+    from streamprocessors_spark import plans
+    from streamprocessors_spark.streaming.rest import MonitorStats
+
+    plans.load_all()
+    mon = MonitorStats()
+    server = StateRestServer()
+    mon.routes(server, "drift_remediation", "ivf_retrain")
+    port = server.start()
+    try:
+        base = f"http://127.0.0.1:{port}/stats/v1"
+        # never materialized -> 404 with the envelope
+        code, env = _send("GET", f"{base}/drift_remediation_stats.json")
+        assert (code, env["status"], env["data"]) == (404, "Not Found", None)
+
+        drift = plans.REGISTRY["drift_remediation_plan"].fn(spark, sf_dir)
+        n_drift = mon.refresh("drift_remediation", drift)
+        retrain = plans.REGISTRY["ivf_retrain_plan"].fn(spark, sf_dir)
+        n_retrain = mon.refresh("ivf_retrain", retrain)
+        assert n_drift > 0 and n_retrain > 0
+
+        code, env = _get(f"{base}/drift_remediation_stats.json")
+        assert code == 200 and env["code"] == 200 and env["status"] == "OK"
+        assert env["data"]["n_rows"] == n_drift
+        assert len(env["data"]["rows"]) == n_drift
+        # the remediation plan's action columns reach the dashboard
+        assert {"source", "drifted"} <= set(env["data"]["rows"][0])
+
+        code, env = _get(f"{base}/ivf_retrain_stats.json")
+        assert code == 200
+        assert env["data"]["n_rows"] == n_retrain
+        assert "cell" in env["data"]["rows"][0]
+
+        # a refresh REPLACES the snapshot (latest-materialization wins)
+        mon.refresh("ivf_retrain", retrain.limit(1))
+        code, env = _get(f"{base}/ivf_retrain_stats.json")
+        assert env["data"]["n_rows"] == 1
+    finally:
+        server.close()
