@@ -1202,15 +1202,22 @@ _wire_stream_entropy_oracle()
 # ---------------------------------------------------------------------------
 
 
-def _incremental_keep_list_labels(
+def keep_list_start(
     pair_stream: DataFrame,
     shingles: DataFrame,
-    workdir: str | None = None,
+    state: dict,
+    workdir: str,
     fault=None,
+    trigger: dict | None = None,
 ):
-    """Drain a streaming candidate-pair frame, maintaining near-dup
-    cluster labels ACROSS micro-batches; returns the final (doc_id,
-    canonical) label frame (or None when no pairs survived).
+    """Start the exactly-once incremental keep-list sink and return the
+    StreamingQuery — the cdc_start-style deployment surface (VERDICT r11
+    #7). ``trigger`` defaults to availableNow; a continuously-deployed
+    keep-list passes ``{"processingTime": "..."}`` and calls
+    keep_list_drain at reconciliation (same quiescence contract as
+    cdc_drain). ``shingles`` is persisted here and unpersisted by the
+    caller after drain; ``state`` must start as
+    ``{"labels": None, "last_batch": None}``.
 
     Per micro-batch: (1) the batch's candidate pairs are exact-Jaccard
     verified against the ingest-time signature store (candidates only
@@ -1242,13 +1249,8 @@ def _incremental_keep_list_labels(
     from streamprocessors_spark.streaming import exactly_once as XO
 
     import os
-    import shutil
-    import tempfile
 
     spark = pair_stream.sparkSession
-    own_dirs = workdir is None
-    if workdir is None:
-        workdir = tempfile.mkdtemp(prefix="spgraft_klst_")
     labdir = os.path.join(workdir, "labels")
     ckpt = os.path.join(workdir, "ckpt")
     os.makedirs(labdir, exist_ok=True)
@@ -1260,26 +1262,20 @@ def _incremental_keep_list_labels(
     # batches (corpus-shingle-sized: the same frame the batch path
     # scans; evicted at drain).
     shingles = shingles.persist()
+    state["shingles"] = shingles
     sa = shingles.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
     sb = shingles.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
-    state: dict = {"labels": None, "last_batch": None}
-
-    def _load_labels(before_batch: int) -> None:
-        d = XO.latest_batch_dir(labdir, before_batch)
-        state["labels"] = (
-            spark.read.parquet(d).localCheckpoint() if d else None
-        )
 
     def process(batch_df, batch_id) -> None:
         last = state["last_batch"]
         if last is None or last >= batch_id:
             # driver restart or replay: standing labels come from the
             # newest snapshot STRICTLY BEFORE this batch
-            _load_labels(batch_id)
+            _load_keep_list_labels(spark, state, workdir, batch_id)
         XO.maybe_fault(fault, batch_id)
         verified = (
             batch_df.distinct()
@@ -1309,24 +1305,67 @@ def _incremental_keep_list_labels(
             XO.write_batch_output(state["labels"], labdir, batch_id)
         XO.mark_done(state, batch_id)
 
+    return (
+        pair_stream.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def _load_keep_list_labels(
+    spark: SparkSession, state: dict, workdir: str, before_batch: int
+) -> None:
+    import os
+
+    from streamprocessors_spark.streaming import exactly_once as XO
+
+    d = XO.latest_batch_dir(os.path.join(workdir, "labels"), before_batch)
+    state["labels"] = spark.read.parquet(d).localCheckpoint() if d else None
+
+
+def keep_list_drain(spark: SparkSession, state: dict, workdir: str):
+    """Final (doc_id, canonical) labels after the stream stopped (None
+    when no pairs ever survived); releases the persisted signature
+    store. Same quiescence contract as cdc_drain."""
+    if state["labels"] is None:
+        # restart where every batch was already committed: the final
+        # labels live in the newest snapshot, not this process
+        _load_keep_list_labels(spark, state, workdir, 1 << 62)
+    # labels are localCheckpoint-materialized; nothing references the
+    # signature store after drain
+    sh = state.pop("shingles", None)
+    if sh is not None:
+        sh.unpersist()
+    return state["labels"]
+
+
+def _incremental_keep_list_labels(
+    pair_stream: DataFrame,
+    shingles: DataFrame,
+    workdir: str | None = None,
+    fault=None,
+):
+    """One-shot availableNow run of the keep-list sink: start, drain the
+    stream, return the final labels (see keep_list_start for the engine
+    contract)."""
+    import shutil
+    import tempfile
+
+    spark = pair_stream.sparkSession
+    own_dirs = workdir is None
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="spgraft_klst_")
+    state: dict = {"labels": None, "last_batch": None}
     try:
-        q = (
-            pair_stream.writeStream.foreachBatch(process)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = keep_list_start(pair_stream, shingles, state, workdir, fault=fault)
         q.awaitTermination()
-        if state["labels"] is None:
-            # restart where every batch was already committed: the final
-            # labels live in the newest snapshot, not this process
-            _load_labels(1 << 62)
-        # labels are localCheckpoint-materialized; nothing references the
-        # signature store after drain
-        return state["labels"]
+        return keep_list_drain(spark, state, workdir)
     finally:
-        shingles.unpersist()
+        sh = state.pop("shingles", None)
+        if sh is not None:
+            sh.unpersist()
         if own_dirs:
             shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1450,24 +1489,49 @@ def _wire_stream_html_oracle() -> None:
 _wire_stream_html_oracle()
 
 
-def _ingest_packer_engine(
+def _packer_schema(cols: list[str]) -> str:
+    return "source string, bin bigint, " + ", ".join(
+        f"{c} bigint" for c in cols
+    )
+
+
+def _partial_rows(partials: dict) -> list[tuple]:
+    return [
+        (s, *[int(v) for v in vals]) for s, vals in sorted(partials.items())
+    ]
+
+
+def _packer_init() -> dict:
+    return {"offsets": {}, "partials": {}}
+
+
+def packer_start(
     stream_df: DataFrame,
     seq: DataFrame,
     state: dict,
     cols: list[str],
     batch_bins,
     merge_exprs,
-    workdir: str | None = None,
+    workdir: str,
     fault=None,
-) -> DataFrame:
-    """The bounded-state ingest-packer engine, parameterized by its bin
-    statistics: ``batch_bins(g)`` aggregates ONE batch's positioned
-    frame to (source, bin, *cols) partials, ``merge_exprs`` re-aggregates
-    partials from different batches (legal because every statistic used
-    here is batch-accumulable: counts/mins/maxes fold, mod-sum
-    fingerprints add, and doc sets of different batches are disjoint so
-    per-bin distinct-doc statistics sum). Driver state carries only the
-    per-source offset and ONE open-bin partial (VERDICT r9 #3).
+    trigger: dict | None = None,
+):
+    """Start the exactly-once ingest-packer sink and return the
+    StreamingQuery — the cdc_start-style deployment surface (VERDICT r11
+    #7). ``trigger`` defaults to availableNow; a continuously-deployed
+    packer passes ``{"processingTime": "..."}`` and calls packer_drain
+    at reconciliation time (same quiescence contract as cdc_drain: stop
+    the query, or drain between triggers — first-attempt batch commits
+    are single atomic renames, so a live drain never sees a torn batch).
+
+    The bounded-state engine (VERDICT r9 #3): ``batch_bins(g)``
+    aggregates ONE batch's positioned frame to (source, bin, *cols)
+    partials, ``merge_exprs`` re-aggregates partials from different
+    batches (legal because every statistic used here is
+    batch-accumulable: counts/mins/maxes fold, mod-sum fingerprints add,
+    and doc sets of different batches are disjoint so per-bin
+    distinct-doc statistics sum). Driver state carries only the
+    per-source offset and ONE open-bin partial.
 
     EXACTLY-ONCE under micro-batch replay (VERDICT r10 #1): closed bins
     ship to a per-``batch_id`` overwrite directory (a replayed batch
@@ -1475,14 +1539,9 @@ def _ingest_packer_engine(
     offsets+partials state is snapshotted per batch — when a restarted
     driver replays batch N, the state is rebuilt from snapshot N-1, so
     the replay recomputes exactly what the crashed attempt computed
-    (streamprocessors_spark/streaming/exactly_once.py). Passing
-    ``workdir`` makes the run restartable (dirs survive a failure and a
-    second call resumes from the checkpoint); the default temp workdir
-    is removed after the drained frame is materialized. ``fault`` is a
+    (streamprocessors_spark/streaming/exactly_once.py). ``fault`` is a
     test-only hook invoked with each batch_id to plant crashes."""
     import os
-    import shutil
-    import tempfile
 
     from streamprocessors_spark.plans.llm_ops import (
         _PACK_W,
@@ -1491,25 +1550,15 @@ def _ingest_packer_engine(
     from streamprocessors_spark.streaming import exactly_once as XO
 
     spark = stream_df.sparkSession
-    own_dirs = workdir is None
-    if workdir is None:
-        workdir = tempfile.mkdtemp(prefix="spgraft_packer_")
     sink = os.path.join(workdir, "bins")
     ckpt = os.path.join(workdir, "ckpt")
     os.makedirs(sink, exist_ok=True)
-    part_schema = "source string, bin bigint, " + ", ".join(
-        f"{c} bigint" for c in cols
-    )
+    part_schema = _packer_schema(cols)
     out_cols = ["source", "bin", *cols]
-    init = {"offsets": {}, "partials": {}}
+    init = _packer_init()
     state.setdefault("offsets", {})
     state.setdefault("partials", {})
     state.setdefault("last_batch", None)
-
-    def _partial_rows(partials: dict) -> list[tuple]:
-        return [
-            (s, *[int(v) for v in vals]) for s, vals in sorted(partials.items())
-        ]
 
     def process(batch_df, batch_id) -> None:
         # rebuild offsets+partials from the last committed snapshot when
@@ -1584,25 +1633,71 @@ def _ingest_packer_engine(
         state["partials"] = partials
         XO.mark_done(state, batch_id)
 
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def packer_drain(
+    spark: SparkSession, state: dict, workdir: str, cols: list[str]
+) -> DataFrame:
+    """Reconcile the packer's drained frame from the disk-backed sink:
+    closed bins from every committed batch dir plus the carried open-bin
+    partials (recovered from the newest snapshot when this process never
+    ran a batch — the restart-with-everything-committed case). Same
+    quiescence contract as cdc_drain."""
+    import os
+
+    from streamprocessors_spark.streaming import exactly_once as XO
+
+    sink = os.path.join(workdir, "bins")
+    part_schema = _packer_schema(cols)
+    # a restart where every batch was already committed never calls
+    # process(): reconcile the final state from the newest snapshot
+    XO.recover_state(state, 1 << 62, workdir, _packer_init())
+    out = XO.read_sink(spark, sink, part_schema).select(
+        "source", "bin", *cols
+    )
+    if state["partials"]:
+        out = out.unionByName(
+            spark.createDataFrame(_partial_rows(state["partials"]), part_schema)
+        )
+    return out
+
+
+def _ingest_packer_engine(
+    stream_df: DataFrame,
+    seq: DataFrame,
+    state: dict,
+    cols: list[str],
+    batch_bins,
+    merge_exprs,
+    workdir: str | None = None,
+    fault=None,
+) -> DataFrame:
+    """One-shot availableNow run of the packer sink: start, drain the
+    stream, reconcile the packed-bins frame (see packer_start for the
+    engine contract). Passing ``workdir`` makes the run restartable
+    (dirs survive a failure and a second call resumes from the
+    checkpoint); the default temp workdir is removed after the drained
+    frame is materialized."""
+    import shutil
+    import tempfile
+
+    own_dirs = workdir is None
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="spgraft_packer_")
     try:
-        q = (
-            stream_df.writeStream.foreachBatch(process)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        q = packer_start(
+            stream_df, seq, state, cols, batch_bins, merge_exprs,
+            workdir, fault=fault,
         )
         q.awaitTermination()
-        # a restart where every batch was already committed never calls
-        # process(): reconcile the final state from the newest snapshot
-        XO.recover_state(state, 1 << 62, workdir, init)
-        out = XO.read_sink(spark, sink, part_schema).select(*out_cols)
-        if state["partials"]:
-            out = out.unionByName(
-                spark.createDataFrame(
-                    _partial_rows(state["partials"]), part_schema
-                )
-            )
+        out = packer_drain(stream_df.sparkSession, state, workdir, cols)
         # bins-sized (corpus_tokens / W rows); materialize so the temp
         # sink can be removed before the caller ever runs an action
         return out.localCheckpoint()

@@ -16,6 +16,7 @@ and assert the two properties an always-on deployment needs:
 
 from __future__ import annotations
 
+import os
 import socket
 import tempfile
 import threading
@@ -224,3 +225,229 @@ def test_lsh_bucket_store_continuous_soak(spark):
     finally:
         q.stop()
         spark.streams.removeListener(collector)
+
+
+def test_keep_list_sink_continuous_soak(spark):
+    """VERDICT r11 #7 — the exactly-once incremental keep-list sink
+    under a live 1 s processingTime trigger (the cdc_start-style
+    deployment): documents arrive as UDP datagrams over 10 rounds, each
+    round completing one more near-dup pair; the keyed bucket-store
+    state plateaus at the distinct bucket population, the standing
+    label store grows only while new pairs form and plateaus at the
+    cluster population, p95 batch latency stays bounded, and the
+    drained labels equal the expected clusters."""
+    import tempfile as _tf
+
+    from streamprocessors_spark.plans import llm_ops
+    from streamprocessors_spark.plans.llm_ops import LSH_MAX_BUCKET
+    from streamprocessors_spark.plans.streaming_queries import (
+        keep_list_drain,
+        keep_list_start,
+        minhash_band_stream,
+    )
+    from streamprocessors_spark.streaming.stateful import (
+        lsh_bucket_pairs_stream,
+    )
+
+    # 6 identical pairs: docs (2k, 2k+1) share text t_k
+    texts = {
+        i: " ".join(f"w{i // 2}_{k}" for k in range(12)) for i in range(12)
+    }
+    static = spark.createDataFrame(
+        [(i, "en", t) for i, t in sorted(texts.items())],
+        "doc_id bigint, lang string, text string",
+    )
+    shingles = llm_ops.shingle_docs(static, 4)
+
+    port = _free_port()
+    register_udp_source(spark)
+    stream = (
+        spark.readStream.format("udp_ts")
+        .option("port", str(port))
+        .option("drain_ms", "300")
+        .load()
+    )
+    docs = stream.selectExpr(
+        "cast(split(cast(data as string), '[|]', 2)[0] as bigint) as doc_id",
+        "split(cast(data as string), '[|]', 2)[1] as text",
+    )
+    pairs = lsh_bucket_pairs_stream(minhash_band_stream(docs), LSH_MAX_BUCKET)
+
+    collector = ProgressCollector()
+    spark.streams.addListener(collector)
+    state: dict = {"labels": None, "last_batch": None}
+    workdir = _tf.mkdtemp(prefix="spgraft_klsoak_")
+    q = keep_list_start(
+        pairs, shingles, state, workdir,
+        trigger={"processingTime": "1 second"},
+    )
+
+    def send_round(r: int) -> None:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(min(12, 2 * r + 2)):
+            s.sendto(f"{i}|{texts[i]}".encode(), ("127.0.0.1", port))
+        s.close()
+
+    label_series: list[int] = []
+    try:
+        _await_first_batch(q)
+        # the keep-list batch is the heavy one (per-batch CC + label
+        # snapshot, measured ~4 s on the shared 4-core test session), so
+        # a 1 s trigger legally absorbs several send-rounds per batch:
+        # keep feeding rounds until the labels plateau AND enough
+        # batches ran, bounded at 3x the nominal soak length
+        for r in range(3 * SOAK_ROUNDS):
+            send_round(r)
+            time.sleep(1.0)
+            lab = state["labels"]
+            label_series.append(lab.count() if lab is not None else 0)
+            if label_series[-1] == 12 and len(collector.snapshot()) >= 4:
+                break
+        time.sleep(3.0)
+        # standing labels grow while pairs keep forming, then plateau at
+        # the full cluster population (12 docs in 6 pairs)
+        assert label_series == sorted(label_series), label_series
+        assert label_series[-1] == 12, label_series
+        rows = collector.snapshot()
+        assert len(rows) >= 4, f"only {len(rows)} batches in the soak"
+        triggers = [r[6] for r in rows[2:]]
+        # bounded per-batch latency: CC over (standing + delta) must not
+        # grow with rounds — a corpus-recluster regression lands in tens
+        # of seconds, the steady-state cost sits around ~4 s
+        assert _p95(triggers) < 8000, f"p95 trigger {_p95(triggers)}ms"
+        series = _state_rows_series(q)
+        assert series, "no state-operator metrics in progress"
+        # keyed bucket-store state plateaus at the bucket population
+        # (4 bands x 6 distinct signatures), never at ingest volume.
+        # foreachBatch runs several actions per batch (verify join, CC
+        # probes, label snapshot), each re-executing the stateful
+        # operator, and the reported numRowsTotal aggregates across
+        # those executions — hence the 2x slack on the absolute bound;
+        # the plateau assertion is the real no-growth gate (120 docs
+        # ingested over the soak, state stuck at the bucket population)
+        assert max(series) <= 2 * 4 * 6, f"state grew to {max(series)} rows"
+        assert len(set(series[-2:])) == 1, f"state still moving: {series}"
+    finally:
+        q.stop()
+        spark.streams.removeListener(collector)
+    labels = keep_list_drain(spark, state, workdir)
+    got = {r.doc_id: r.canonical for r in labels.collect()}
+    assert got == {i: (i // 2) * 2 for i in range(12)}
+
+
+def test_packer_sink_continuous_soak(spark, tmp_path):
+    """VERDICT r11 #7 — the exactly-once ingest-packer sink under a live
+    1 s processingTime trigger: 20 documents arrive as UDP datagrams
+    over 10 rounds; driver state stays bounded at (per-source offset +
+    at most ONE open-bin partial per source) every round, p95 batch
+    latency stays bounded, and after stop + packer_drain the
+    (source, bin) statistics equal an availableNow batch run over the
+    same documents — the continuous deployment changes nothing."""
+    from pyspark.sql import functions as F
+
+    from streamprocessors_spark.plans.llm_ops import _FP_MOD, packing_bins
+    from streamprocessors_spark.plans.streaming_queries import (
+        ingest_packed_bins,
+        packer_drain,
+        packer_start,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(1, 21):
+        words = [vocab[(i * 7 + k) % len(vocab)] for k in range(95 + i)]
+        rows.append((i, " ".join(words), "en", "srcA" if i % 2 else "srcB"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    us = "\x1f"
+    seq = (
+        docs.selectExpr("explode(split(lower(text), ' ')) as word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr("word", f"concat('{us}', word, '{us}') as seq", "cnt")
+        .localCheckpoint()
+    )
+
+    port = _free_port()
+    register_udp_source(spark)
+    stream = (
+        spark.readStream.format("udp_ts")
+        .option("port", str(port))
+        .option("drain_ms", "300")
+        .load()
+    )
+    sdocs = stream.selectExpr(
+        "cast(split(cast(data as string), '[|]', 3)[0] as bigint) as doc_id",
+        "split(cast(data as string), '[|]', 3)[1] as source",
+        "split(cast(data as string), '[|]', 3)[2] as text",
+        "'en' as lang",
+    )
+
+    def merge():
+        return [
+            F.expr("cast(sum(n_tokens) as bigint)").alias("n_tokens"),
+            F.expr("cast(sum(n_docs) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(n_seps) as bigint)").alias("n_seps"),
+            F.expr(f"cast(sum(fp) % {_FP_MOD} as bigint)").alias("fp"),
+        ]
+
+    cols = ["n_tokens", "n_docs", "n_seps", "fp"]
+    collector = ProgressCollector()
+    spark.streams.addListener(collector)
+    state: dict = {}
+    workdir = str(tmp_path / "packer_soak")
+    os.makedirs(workdir, exist_ok=True)
+    q = packer_start(
+        sdocs, seq, state, cols, packing_bins, merge, workdir,
+        trigger={"processingTime": "1 second"},
+    )
+
+    by_id = {r[0]: r for r in rows}
+
+    def send_round(r: int) -> None:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in (2 * r + 1, 2 * r + 2):
+            doc_id, text, _lang, source = by_id[i]
+            s.sendto(f"{doc_id}|{source}|{text}".encode(), ("127.0.0.1", port))
+        s.close()
+
+    offset_series: list[int] = []
+    try:
+        _await_first_batch(q)
+        for r in range(SOAK_ROUNDS):
+            send_round(r)
+            time.sleep(1.0)
+            # bounded driver state EVERY round: at most one open-bin
+            # partial per source, offsets only for the two sources
+            assert len(state.get("partials", {})) <= 2, state["partials"]
+            assert set(state.get("offsets", {})) <= {"srcA", "srcB"}
+            offset_series.append(sum(state.get("offsets", {}).values()))
+        time.sleep(3.0)
+        prog = collector.snapshot()
+        assert len(prog) >= 4, f"only {len(prog)} batches in the soak"
+        # offsets advance monotonically as rounds land
+        assert offset_series == sorted(offset_series)
+        assert offset_series[-1] > 0
+        triggers = [r[6] for r in prog[2:]]
+        assert _p95(triggers) < 5000, f"p95 trigger {_p95(triggers)}ms"
+    finally:
+        q.stop()
+        spark.streams.removeListener(collector)
+    drained = {
+        (r.source, r.bin): (r.n_tokens, r.n_docs, r.n_seps, r.fp)
+        for r in packer_drain(spark, state, workdir, cols).collect()
+    }
+    # ground truth: the availableNow batch run over the same docs
+    src = str(tmp_path / "shards")
+    docs.coalesce(1).write.parquet(src)
+    batch_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    expected = {
+        (r.source, r.bin): (r.n_tokens, r.n_docs, r.n_seps, r.fp)
+        for r in ingest_packed_bins(batch_stream, seq).collect()
+    }
+    assert drained == expected
