@@ -53,8 +53,15 @@ if phase == "B":
     for name in ("snapshot_band_store", "snapshot_v0_labels", "ivf_index"):
         p = storage.store_path(sf, name)
         assert os.path.isfile(os.path.join(p, "_SUCCESS")), f"missing {name}"
-    # 2. plan pins: the store frames are pure disk scans of the store
-    #    dirs — the v0 corpus is NOT rescanned in the new session
+
+    # 2. the hard pin: any store BUILD in this session is a failure —
+    #    loading the committed artifact must never re-derive it from
+    #    the v0 corpus (the one scan the durable store exists to avoid)
+    def _no_build(sf_dir, names):
+        raise RuntimeError(f"session B re-derived {names} from {sf_dir}")
+
+    storage._ON_BUILD = _no_build
+    # 3. the loaded store frames never reference the corpus tables
     from streamprocessors_spark.plans import llm_ops
     from streamprocessors_spark.plans.advanced import _cached_snapshot_store
     from streamprocessors_spark.session import read_table
@@ -66,7 +73,6 @@ if phase == "B":
         ("snapshot_v0_labels", v0_labels),
     ):
         p = plan_str(df)
-        assert name in p, p
         assert "documents" not in p, f"{name} rescans the corpus:\n{p}"
     e = llm_ops._embs(spark, sf).selectExpr(
         "vec_id",
@@ -75,7 +81,6 @@ if phase == "B":
     )
     idx = llm_ops._ivf_stored_index(spark, sf, e, llm_ops._ivf_cents(e))
     p = plan_str(idx)
-    assert "ivf_index" in p, p
     assert "embeddings" not in p, f"ivf_index rescans the corpus:\n{p}"
 
 out = {
