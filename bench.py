@@ -147,6 +147,13 @@ HEADLINE = [
     "stream_snapshot_delta",
     "ann_ivf_append",
     "snapshot_quality_drift",
+    # round 11/12: store maintenance directions + the composed round
+    "snapshot_removal_dedup",
+    "ann_ivf_remove",
+    "drift_remediation_plan",
+    "ivf_retrain_plan",
+    "snapshot_upsert_dedup",
+    "recrawl_round_report",
     # dedup_minhash_precision stays OUT of the headline with the other
     # measurement gates (its ground-truth-ish candidate count rides the
     # production path, but the 1-row report isn't a throughput number)

@@ -1879,3 +1879,75 @@ def test_upsert_dedup_retracts_net_cap_crossing(spark, monkeypatch):
     assert out == fresh == {
         2: (2, 1), 9: (9, 1), 10: (9, 0), 15: (2, 0), 20: (2, 0),
     }
+
+
+def test_upsert_dedup_randomized_vs_from_scratch(spark, monkeypatch):
+    """Randomized adversarial sweep for the composed upsert: seeded
+    corpora drawn from a few near-dup templates (small vocab, heavy
+    bucket collisions, cap=3 so crossings happen by construction),
+    random removed/changed/added classes — the composed pass must equal
+    a from-scratch keep-list on the post-upsert corpus for EVERY v1 doc,
+    every trial."""
+    import random
+
+    from streamprocessors_spark.plans import advanced, llm_ops
+
+    monkeypatch.setattr(llm_ops, "LSH_MAX_BUCKET", 3)
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two"
+    )
+    templates = [base + f" t{j}" for j in range(4)]
+
+    def text_for(rng):
+        t = rng.choice(templates)
+        if rng.random() < 0.3:
+            t = t + f" extra{rng.randrange(3)}"
+        return t
+
+    par = 4
+    for seed in (7, 23, 41):
+        rng = random.Random(seed)
+        ids = list(range(1, 25))
+        v0_texts = {i: text_for(rng) for i in ids if rng.random() < 0.8}
+        v0_ids = sorted(v0_texts)
+        removed_pure = {i for i in v0_ids if rng.random() < 0.2}
+        changed = {
+            i for i in v0_ids if i not in removed_pure and rng.random() < 0.2
+        }
+        added = {i for i in ids if i not in v0_ids and rng.random() < 0.7}
+        v1_texts = {
+            i: t for i, t in v0_texts.items()
+            if i not in removed_pure and i not in changed
+        }
+        for i in changed | added:
+            v1_texts[i] = text_for(rng)
+        schema = "doc_id bigint, text string, lang string"
+        v0 = spark.createDataFrame(
+            [(i, v0_texts[i], "en") for i in v0_ids], schema
+        )
+        v1 = spark.createDataFrame(
+            [(i, t, "en") for i, t in sorted(v1_texts.items())], schema
+        )
+        adds = v1.where(
+            f"doc_id in ({','.join(map(str, sorted(changed | added))) or '-1'})"
+        )
+        removed = spark.createDataFrame(
+            [(i,) for i in sorted(removed_pure | changed)] or [(-1,)],
+            "doc_id bigint",
+        )
+        store, old_lab = advanced._snapshot_store(v0, par)
+        out = {
+            r.doc_id: r.canonical
+            for r in advanced._upsert_verdicts(
+                v1, adds, removed, store, old_lab, par
+            ).collect()
+        }
+        _, fresh_lab = advanced._snapshot_store(v1, par)
+        fresh_map = {r.doc_id: r.canonical for r in fresh_lab.collect()}
+        fresh = {i: fresh_map.get(i, i) for i in sorted(v1_texts)}
+        assert out == fresh, (
+            f"seed {seed}: upsert diverged from from-scratch truth: "
+            f"{ {k: (out.get(k), fresh[k]) for k in fresh if out.get(k) != fresh[k]} }"
+        )
