@@ -83,6 +83,42 @@ def store_path(sf_dir: str, name: str) -> str:
     )
 
 
+def _gc_stale_fingerprints(sf_dir: str, current_fp: str) -> None:
+    """Drop store dirs left by EARLIER fingerprints of the same corpus
+    path (a regenerated corpus re-fingerprints; without GC the old
+    artifacts would accumulate forever). Each fingerprint dir records
+    its corpus path in a SOURCE file at first write; only dirs claiming
+    THIS path are touched — other corpora's stores are never collected."""
+    root = store_root()
+    src = os.path.abspath(sf_dir)
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    for fp in names:
+        if fp == current_fp:
+            continue
+        marker = os.path.join(root, fp, "SOURCE")
+        try:
+            with open(marker) as fh:
+                claimed = fh.read().strip()
+        except OSError:
+            continue
+        if claimed == src:
+            shutil.rmtree(os.path.join(root, fp), ignore_errors=True)
+
+
+def _claim_fingerprint(sf_dir: str, fp: str) -> None:
+    d = os.path.join(store_root(), fp)
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, "SOURCE")
+    if not os.path.exists(marker):
+        tmp = marker + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+        os.replace(tmp, marker)
+
+
 def _committed(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
@@ -154,10 +190,13 @@ def durable_frames(
     evict_stale_app_entries(cache, key[0])
     if key in cache:
         return cache[key]
+    fp = corpus_fingerprint(sf_dir)
     paths = [store_path(sf_dir, name) for name, _, _ in parts]
     if not all(_committed(p) for p in paths):
         if _ON_BUILD is not None:
             _ON_BUILD(sf_dir, [name for name, _, _ in parts])
+        _gc_stale_fingerprints(sf_dir, fp)
+        _claim_fingerprint(sf_dir, fp)
         frames = build()
         if isinstance(frames, DataFrame):
             frames = (frames,)

@@ -173,3 +173,28 @@ def test_store_path_carries_format_version(tmp_path, monkeypatch):
     p = storage.store_path("/root/testdata/sf0.001", "text_pairs")
     assert p.startswith(str(tmp_path))
     assert p.endswith(f"text_pairs-{storage.STORE_FORMAT}")
+
+
+def test_gc_drops_only_same_corpus_stale_fingerprints(tmp_path, monkeypatch):
+    """A regenerated corpus re-fingerprints; the first build under the
+    new fingerprint collects the old one's dirs — but never another
+    corpus's stores, and never an unclaimed dir."""
+    from streamprocessors_spark import storage
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path))
+    corpus_a = tmp_path / "corpusA"
+    corpus_a.mkdir()
+    (corpus_a / "documents.parquet").write_bytes(b"v1")
+    fp_old = storage.corpus_fingerprint(str(corpus_a))
+    storage._claim_fingerprint(str(corpus_a), fp_old)
+    # a different corpus's claimed dir and an unclaimed dir must survive
+    storage._claim_fingerprint("/elsewhere/corpusB", "bbbb")
+    os.makedirs(str(tmp_path / "unclaimed"))
+    # regenerate corpus A -> new fingerprint
+    os.utime(str(corpus_a / "documents.parquet"), ns=(5, 5))
+    fp_new = storage.corpus_fingerprint(str(corpus_a))
+    assert fp_new != fp_old
+    storage._gc_stale_fingerprints(str(corpus_a), fp_new)
+    left = set(os.listdir(str(tmp_path))) - {"corpusA"}
+    assert fp_old not in left
+    assert {"bbbb", "unclaimed"} <= left
