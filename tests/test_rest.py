@@ -320,7 +320,7 @@ def test_monitor_stats_live_roundtrip(spark, sf_dir):
     plans.load_all()
     mon = MonitorStats()
     server = StateRestServer()
-    mon.routes(server, "drift_remediation", "ivf_retrain")
+    mon.routes(server, "drift_remediation", "ivf_retrain", "recrawl_round")
     port = server.start()
     try:
         base = f"http://127.0.0.1:{port}/stats/v1"
@@ -345,6 +345,17 @@ def test_monitor_stats_live_roundtrip(spark, sf_dir):
         assert code == 200
         assert env["data"]["n_rows"] == n_retrain
         assert "cell" in env["data"]["rows"][0]
+
+        # the composed one-recrawl-round report serves the same way —
+        # the dashboard's single end-of-round poll
+        report = plans.REGISTRY["recrawl_round_report"].fn(spark, sf_dir)
+        n_report = mon.refresh("recrawl_round", report)
+        code, env = _get(f"{base}/recrawl_round_stats.json")
+        assert code == 200 and env["data"]["n_rows"] == n_report
+        row = env["data"]["rows"][0]
+        assert {"source", "n_added", "n_removed", "n_changed",
+                "n_kept_upserts", "drifted", "budget_tok",
+                "n_index_appends"} <= set(row)
 
         # a refresh REPLACES the snapshot (latest-materialization wins)
         mon.refresh("ivf_retrain", retrain.limit(1))
