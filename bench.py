@@ -153,6 +153,7 @@ HEADLINE = [
     "drift_remediation_plan",
     "ivf_retrain_plan",
     "snapshot_upsert_dedup",
+    "ann_ivf_upsert",
     "recrawl_round_report",
     # dedup_minhash_precision stays OUT of the headline with the other
     # measurement gates (its ground-truth-ish candidate count rides the

@@ -1346,6 +1346,111 @@ def ann_ivf_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_upsert",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cemb
+      FROM embeddings WHERE vec_id < {ANN_IVF_CELLS}
+    ),
+    a AS (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {D.cosine(DUCK, "c.cemb", "b.embedding")} DESC,
+                          c.cell
+               ) AS rn
+        FROM embeddings b CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    stored AS (SELECT vec_id, cell FROM a WHERE NOT {_IVF_APPEND_DELTA}),
+    rem AS (SELECT vec_id, cell FROM stored WHERE {_IVF_REMOVE_SLICE}),
+    post AS (SELECT vec_id, cell FROM a WHERE NOT {_IVF_REMOVE_SLICE}),
+    oldc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_old
+             FROM stored GROUP BY cell),
+    remc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_removed
+             FROM rem GROUP BY cell),
+    addc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_appended
+             FROM a WHERE {_IVF_APPEND_DELTA} GROUP BY cell),
+    postc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_net
+              FROM post GROUP BY cell),
+    touched AS (
+      SELECT cell FROM remc UNION SELECT cell FROM addc
+    )
+    SELECT t.cell,
+           CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(ad.n_appended, 0) AS BIGINT) AS n_appended,
+           CAST(COALESCE(p.n_net, 0) AS BIGINT) AS n_net
+    FROM touched t
+    LEFT JOIN oldc o USING (cell)
+    LEFT JOIN remc r USING (cell)
+    LEFT JOIN addc ad USING (cell)
+    LEFT JOIN postc p USING (cell)
+    """,
+    doc="Composed IVF index upsert — the ANN twin of "
+    "snapshot_upsert_dedup (one recrawl round touches the index in "
+    "BOTH directions): the removal slice is tombstoned from the "
+    "persisted index by a vec_id anti-join, the append slice is "
+    "assigned map-side against the broadcast centroid table, and each "
+    "TOUCHED cell ships one audit row (stored size, removals, appends, "
+    "and the post-upsert total counted from the maintained index "
+    "itself, not arithmetic — a tombstone or assignment bug "
+    "hash-mismatches). Work scales with the diff: only the append "
+    "slice is assigned, the tombstone is a point-delete batch, and the "
+    "per-cell counts are k-row aggregates. Shares the durable "
+    "ivf_index store with ann_ivf_append / ann_ivf_remove / "
+    "ivf_retrain_plan — one index, every maintenance direction.",
+    tags=("vector", "ann", "ivf", "pipeline", "cdc"),
+)
+def ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).selectExpr(
+        "vec_id",
+        "embedding",
+        f"{D.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+    )
+    cents = _ivf_cents(e)
+    old_assign = _ivf_stored_index(spark, sf_dir, e, cents)
+    removed = old_assign.where(_IVF_REMOVE_SLICE)
+    # tombstone: point deletes against the vec_id-keyed index
+    live = old_assign.join(removed.select("vec_id"), "vec_id", "left_anti")
+    # append: delta-only assignment (map-side max_by over broadcast
+    # centroids); delta-sized, pinned for the two consumers below
+    newv = _ivf_assign(e.where(_IVF_APPEND_DELTA), cents).localCheckpoint()
+    post = live.select("vec_id", "cell").unionByName(
+        newv.select("vec_id", "cell")
+    )
+    oldc = old_assign.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_old")
+    )
+    remc = removed.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_removed")
+    )
+    addc = newv.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_appended")
+    )
+    postc = post.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_net")
+    )
+    touched = (
+        remc.select("cell").unionByName(addc.select("cell")).distinct()
+    )
+    return (
+        touched.join(oldc, "cell", "left")
+        .join(remc, "cell", "left")
+        .join(addc, "cell", "left")
+        .join(postc, "cell", "left")
+        .selectExpr(
+            "cell",
+            "cast(coalesce(n_old, 0) as bigint) as n_old",
+            "cast(coalesce(n_removed, 0) as bigint) as n_removed",
+            "cast(coalesce(n_appended, 0) as bigint) as n_appended",
+            "cast(coalesce(n_net, 0) as bigint) as n_net",
+        )
+    )
+
+
 # A cell whose occupancy SHARE (milli of the index total) shifts by more
 # than this between index-build time and post-append is flagged for
 # retraining. 3 splits the fixture's observed per-cell drift spectrum

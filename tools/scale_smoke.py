@@ -1042,6 +1042,62 @@ def main() -> None:
         ).localCheckpoint()
         timed("ann_ivf_remove_delta", _ivf_remove_delta)
 
+    # Composed IVF upsert at a FIXED diff against the multiplied stored
+    # index: tombstone anti-join + delta-only assignment + per-cell
+    # audit — must stay ~flat (only the anti-join touches index-sized
+    # data, unshuffled point deletes at scale)
+    def _ivf_upsert_delta():
+        from streamprocessors_spark.functions import dialect as DD
+        from streamprocessors_spark.plans.llm_ops import (
+            _IVF_APPEND_DELTA,
+            _IVF_REMOVE_SLICE,
+            _ivf_assign,
+            _ivf_cents,
+        )
+
+        base = "vec_id < 1000000"  # fixed diff: base corpus only
+        removed = _ivf_ups_index.where(f"{_IVF_REMOVE_SLICE} and {base}")
+        live = _ivf_ups_index.join(
+            removed.select("vec_id"), "vec_id", "left_anti"
+        )
+        _e_up = embs.selectExpr(
+            "vec_id",
+            "embedding",
+            f"{DD.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+        )
+        newv = _ivf_assign(
+            _e_up.where(f"{_IVF_APPEND_DELTA} and {base}"),
+            _ivf_cents(_e_up),
+        )
+        post = live.select("vec_id", "cell").unionByName(
+            newv.select("vec_id", "cell")
+        )
+        return (
+            removed.groupBy("cell").count()
+            .join(newv.groupBy("cell").count(), "cell", "full_outer")
+            .join(post.groupBy("cell").count(), "cell", "left")
+            .count()
+        )
+
+    if only is None or "ann_ivf_upsert_delta" in only:
+        from streamprocessors_spark.functions import dialect as DD
+        from streamprocessors_spark.plans.llm_ops import (
+            _IVF_APPEND_DELTA,
+            _ivf_assign,
+            _ivf_cents,
+        )
+
+        _e_up0 = embs.selectExpr(
+            "vec_id",
+            "embedding",
+            f"{DD.dot_double(SPARK, 'embedding', 'embedding')} as qnorm",
+        )
+        _ivf_ups_index = _ivf_assign(
+            _e_up0.where(f"not {_IVF_APPEND_DELTA}"),
+            _ivf_cents(_e_up0).localCheckpoint(),
+        ).localCheckpoint()
+        timed("ann_ivf_upsert_delta", _ivf_upsert_delta)
+
     # snapshot diff: ONE full-outer sort-merge join on doc_id + scan-
     # local md5 compare — the smoke pins that the join stays the only
     # exchange at any snapshot size
