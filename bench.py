@@ -167,8 +167,19 @@ HEADLINE = [
 
 
 def main() -> None:
+    import shutil
+
     from streamprocessors_spark import plans
     from streamprocessors_spark.session import get_spark
+    from streamprocessors_spark.storage import store_root
+
+    # Cross-run honesty (optimization-round rule: every bench invocation
+    # computes from the parquet inputs): drop any durable per-corpus
+    # stores a PREVIOUS process left behind, so the cold pass always pays
+    # the store derivations and no timing rides a prior run's artifacts.
+    # (In-session reuse across the warm passes is the documented
+    # one-derivation-many-consumers shape and stays.)
+    shutil.rmtree(store_root(), ignore_errors=True)
 
     plans.load_all()
     # No console progress bars: the driver parses this process's output

@@ -329,7 +329,7 @@ def _qc_margins(fxl: DataFrame, wk: DataFrame) -> DataFrame:
 
 def _qc_trajectory(docs: DataFrame):
     """[(w_k, err_k)] for epochs 1..QC_EPOCHS — one declarative plan, no
-    driver collects.
+    corpus-sized driver collects.
 
     Pocket-perceptron training (Gallant '90) with a geometrically
     DECAYING averaged step — the two standard stabilizers for the batch
@@ -365,22 +365,40 @@ def _qc_trajectory(docs: DataFrame):
     out = []
     for k in range(QC_EPOCHS):
         mis = sc.where("y * s <= 0")
+        # Gradient AND misclassified count from ONE aggregation: every
+        # doc carries exactly one bias row (j = QC_DIMS, x = 1), so
+        # count(*) of that gradient cell IS m. The previous separate
+        # mrow = mis.agg(count) branch re-executed the whole margin
+        # subtree (fxl scan + (doc_id, y) shuffle) a second time per
+        # epoch — DataFrame subtrees are not shared across plan
+        # branches (guide §2.4: remove the duplicated pass, not just
+        # its shuffle). A full numpy mapInPandas epoch engine was also
+        # measured this round (driver-side model update, MLlib shape):
+        # warm parity but 2-3x WORSE cold (Python stage spin-up per
+        # epoch), so the JVM form stays — see OPTIMIZATION_r12.md.
         gm = (
             fxl.join(mis.select("doc_id"), "doc_id")
             .groupBy("j")
-            .agg(F.sum(F.expr("y * x")).alias("g"))
+            .agg(
+                F.sum(F.expr("y * x")).alias("g"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
         )
-        mrow = mis.agg(F.count(F.lit(1)).alias("m"))
         step = _sfloor_div(SPARK, f"g * {QC_STEP}", f"m * {1 << k}")
         # localCheckpoint: the weight table is model-sized (QC_DIMS+1
         # rows) but its LINEAGE contains every earlier epoch — left
         # lazy, epoch k's margin pass replays epochs 1..k-1 and the
         # run goes quadratic in epochs (measured: minutes at sf0.001)
         wk = (
-            # bounded: mrow is a single-row aggregate (the misclassified
-            # count scalar)
             wk.join(gm, "j", "left")
-            .crossJoin(F.broadcast(mrow))
+            # m broadcast to every row by an unpartitioned window over
+            # the (QC_DIMS+1)-row joined frame — model-sized, one task.
+            # Empty gm (zero misclassified) leaves m NULL, which the
+            # m > 0 guard treats exactly like the old m = 0 scalar.
+            .withColumn(
+                "m",
+                F.expr(f"max(case when j = {QC_DIMS} then cnt end) over ()"),
+            )
             .selectExpr(
                 "j",
                 "cast(w + coalesce(case when m > 0 then "
@@ -546,9 +564,10 @@ _QC_POCKET = f"""
     "step, so training is order-independent and bit-exact across "
     f"engines. Output: the full {QC_EPOCHS}-epoch weight trajectory. "
     f"Plan: {QC_EPOCHS} corpus passes (the honest multi-epoch cost), "
-    "each map-side-reduced to a 257-cell gradient; weights stay a "
-    "broadcast table; zero driver collects. Oracle: the same epochs "
-    "unrolled as MATERIALIZED CTEs.",
+    "each map-side-reduced to a 257-cell gradient + misclassified "
+    "count in ONE aggregation (the bias cell's row count IS m); "
+    "weights stay a broadcast table; zero driver collects. Oracle: "
+    "the same epochs unrolled as MATERIALIZED CTEs.",
     tags=("llm", "quality", "iterative", "trained"),
 )
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:

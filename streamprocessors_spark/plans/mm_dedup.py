@@ -434,7 +434,7 @@ def dedup_image_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.plans.streaming_queries import (  # noqa: PLC0415
-        run_available_now,
+        run_available_now_many,
         stream_documents,
     )
     from streamprocessors_spark.streaming.stateful import (
@@ -448,19 +448,22 @@ def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array(" + ", ".join(_band_exprs_spark("h63")) + ")")
         ).alias("band", "bh"),
     )
-    sink = run_available_now(
-        lsh_bucket_pairs_stream(bands, IMG_MAX_BUCKET), output_mode="append"
-    )
-    cand = sink.distinct().selectExpr(
-        "doc_a as img_a", "doc_b as img_b"
-    )
+    # The bucket-pair query and the signature-store sink are independent
+    # standing queries of the deployment — run both availableNow replays
+    # concurrently (guide §2.6; their micro-batch machinery overlaps).
     # Signature store: the same dHash projection, materialized by a
     # stateless sink as documents arrive. The Hamming verify joins the
     # STORED values — joining a re-derived signature frame instead
     # re-inlines the 63-step lambda through both join branches and the
     # optimizer+evaluator pay ~50x (measured 155 s -> ~7 s at sf0.1).
-    sig = run_available_now(
-        image_signatures(stream_documents(spark, sf_dir))
+    sink, sig = run_available_now_many(
+        [
+            (lsh_bucket_pairs_stream(bands, IMG_MAX_BUCKET), "append"),
+            (image_signatures(stream_documents(spark, sf_dir)), "append"),
+        ]
+    )
+    cand = sink.distinct().selectExpr(
+        "doc_a as img_a", "doc_b as img_b"
     )
     a = sig.selectExpr("img_id as img_a", "h63 as h_a")
     b = sig.selectExpr("img_id as img_b", "h63 as h_b")

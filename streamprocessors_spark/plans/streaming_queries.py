@@ -23,6 +23,7 @@ from streamprocessors_spark.plans.registry import register
 from streamprocessors_spark.session import read_table
 from streamprocessors_spark.streaming.runner import (
     run_available_now,
+    run_available_now_many,
     stream_documents,
     stream_events,
 )
@@ -760,12 +761,16 @@ def stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    tf = run_available_now(tf_stream, output_mode="complete")
     stats_stream = docs_stream().agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.expr("(sum(dl) * 1000) div count(*)").alias("avgdl_x1000"),
     )
-    stats = run_available_now(stats_stream, output_mode="complete")
+    # the postings and corpus-stats indexes are independent standing
+    # queries in the deployment — run their availableNow replays
+    # concurrently so the fixed micro-batch machinery overlaps (§2.6)
+    tf, stats = run_available_now_many(
+        [(tf_stream, "complete"), (stats_stream, "complete")]
+    )
     return bm25_rank(tf, stats)
 
 
@@ -912,7 +917,15 @@ def stream_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(f"doc_id % {LM_TRAIN_MOD} = 0")
         .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
     )
-    trp = _lm_pairs_spark(tr)
+    # train once, stream-score: the shared pair frame is pinned before
+    # the stream starts, so the bigram and histogram model tables read
+    # ONE materialized derivation instead of each re-running the
+    # training-slice tokenize+explode inside the (AQE-less) micro-batch
+    # plan (see stream_kneser_ney for the full-pin variant — its third
+    # model table and countDistinct legs make the deeper pin pay there,
+    # measured; here the shallow pin measured equal-or-better warm with
+    # a smaller cold add-on).
+    trp = _lm_pairs_spark(tr).localCheckpoint()
     big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     hist = trp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vs = (
@@ -1088,15 +1101,36 @@ def stream_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _docs(spark, sf_dir).selectExpr(
         "doc_id", f"{D.words(SPARK)} as ws"
     )
+    # TRAIN ONCE, then stream-score (the deployment the doc promises):
+    # the model tables are localCheckpoint-MATERIALIZED before the
+    # stream starts. Left lazy, they re-planned inside every micro-batch
+    # under the streaming planner — which runs with AQE disabled
+    # (stateful sink), so the model aggregates hit fixed-width
+    # sort-merge plans per batch instead of runtime broadcasts
+    # (measured: warm 4.4 -> 3.1 s, cold 11.2 -> 4.6 s at sf0.1).
+    # Model-sized pins: bigram/histogram/continuation tables, one
+    # derivation shared through the pinned pair frame.
     trp = _lm_pairs_spark(
         w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
-    ).select("w1", "w2")
-    big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    hist = trp.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1"),
-        F.countDistinct("w2").alias("n1"),
+    ).select("w1", "w2").localCheckpoint()
+    big = (
+        trp.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
     )
-    cont = trp.groupBy("w2").agg(F.countDistinct("w1").alias("nc"))
+    hist = (
+        trp.groupBy("w1")
+        .agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.countDistinct("w2").alias("n1"),
+        )
+        .localCheckpoint()
+    )
+    cont = (
+        trp.groupBy("w2")
+        .agg(F.countDistinct("w1").alias("nc"))
+        .localCheckpoint()
+    )
     nbig = big.agg(F.count(F.lit(1)).alias("nbig"))
     vs = (
         w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
@@ -1104,7 +1138,7 @@ def stream_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("u").alias("v"))
     )
     # bounded: nbig and vs are single-row aggregates (N, V)
-    scal = nbig.crossJoin(F.broadcast(vs))
+    scal = nbig.crossJoin(F.broadcast(vs)).localCheckpoint()
     scp = _lm_pairs_spark(
         stream_documents(spark, sf_dir)
         .where(f"doc_id % {LM_TRAIN_MOD} != 0")

@@ -40,6 +40,40 @@ def run_available_now(
     return tbl.toDF(*tbl.columns)
 
 
+def run_available_now_many(
+    streams: list[tuple[DataFrame, str]],
+) -> list[DataFrame]:
+    """Execute several independent availableNow streaming queries
+    CONCURRENTLY and return their sinks in order (guide §2.6: actions
+    are only sequential because the driver calls them sequentially —
+    independent queries overlap their fixed micro-batch machinery and
+    back-fill each other's stage tails). Each query keeps its own
+    checkpoint and memory sink; there is no cross-query state."""
+    spark: SparkSession = streams[0][0].sparkSession
+    started = []
+    for stream_df, output_mode in streams:
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="spgraft_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        started.append((name, q))
+    for _, q in started:
+        q.awaitTermination()
+    out = []
+    for name, _ in started:
+        tbl = spark.table(name)
+        # same attribute-id dedup projection as run_available_now
+        out.append(tbl.toDF(*tbl.columns))
+    return out
+
+
 def _stage_dir(path: str) -> str:
     """FileStreamSource ingests *directories*; expose a single fixture file
     through a temp dir of symlinks (zero-copy)."""

@@ -221,18 +221,27 @@ LSH_PAIR_SCHEMA = StructType(
     ]
 )
 
-# Bucket membership: csv doc-id list (bounded: <= max_bucket entries, then
-# freed) + lifetime member count. A saturated bucket keeps ONLY the
-# counter — state for boilerplate buckets is O(1), not O(members).
-LSH_BUCKET_STATE_SCHEMA = StructType(
-    [
-        StructField("members", StringType()),
-        StructField("n", IntegerType()),
-    ]
-)
+# Bucket membership, bucketed like GRAM_BUCKET_STATE_SCHEMA below: one
+# pickled dict per state-shard group, (band, bh) -> (members, n).
+# Per-bucket entries stay bounded (<= max_bucket member ids, then freed —
+# a saturated bucket keeps ONLY the counter, O(1) for boilerplate
+# buckets); the shard dict holds the buckets that hash to it.
+LSH_BUCKET_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+# State-shard count: the group key is pmod(xxhash64(band, bh), B), so one
+# applyInPandasWithState group (= one Python call + one Arrow round-trip
+# + one state-store row per micro-batch) serves ~#buckets/B LSH buckets
+# instead of one each — the identical per-bucket state machine, with the
+# per-group overhead amortized B-fold (the gram_repeat_positions_stream
+# precedent: ~20k distinct (band, bh) buckets at sf0.1 cost ~2 s of pure
+# per-group overhead when each was its own group). B is the state-shard
+# knob: a 100 TB run raises it so per-shard state stays KB-sized.
+LSH_STATE_BUCKETS = 1024
 
 
-def lsh_bucket_pairs_stream(bands: DataFrame, max_bucket: int) -> DataFrame:
+def lsh_bucket_pairs_stream(
+    bands: DataFrame, max_bucket: int, n_shards: int = LSH_STATE_BUCKETS
+) -> DataFrame:
     """Keyed-state LSH candidate generation over a (doc_id, band, bh)
     stream: each (band, bh) bucket's membership lives in the state store,
     and a micro-batch emits only the pairs its NEW documents form against
@@ -266,33 +275,42 @@ def lsh_bucket_pairs_stream(bands: DataFrame, max_bucket: int) -> DataFrame:
     idempotent.
     """
 
+    import pickle
+
+    from pyspark.sql import functions as F
+
     def f(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        members: list[int] = []
-        n = 0
-        if state.exists:
-            m_csv, n = state.get
-            n = int(n)
-            if m_csv:
-                members = [int(x) for x in m_csv.split(",")]
-        new_ids: set[int] = set()
+        held: dict[tuple[int, int], tuple[list[int], int]] = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+        arrivals: dict[tuple[int, int], set[int]] = {}
         for pdf in pdfs:
-            new_ids.update(int(x) for x in pdf["doc_id"])
+            for b, bh, d in zip(pdf["band"], pdf["bh"], pdf["doc_id"]):
+                arrivals.setdefault((int(b), int(bh)), set()).add(int(d))
         rows: list[tuple[int, int]] = []
-        for d in sorted(new_ids - set(members)):
-            n += 1
-            if n <= max_bucket:
-                rows.extend(
-                    (d, m) if d < m else (m, d) for m in members
-                )
-                members.append(d)
-            else:
-                members = []  # saturated: free the list, keep the counter
-        state.update((",".join(map(str, members)), n))
+        for bk in sorted(arrivals):
+            members, n = held.get(bk, ([], 0))
+            new_ids = arrivals[bk]
+            for d in sorted(new_ids - set(members)):
+                n += 1
+                if n <= max_bucket:
+                    rows.extend(
+                        (d, m) if d < m else (m, d) for m in members
+                    )
+                    members.append(d)
+                else:
+                    # saturated: free the list, keep the counter
+                    members = []
+            held[bk] = (members, n)
+        state.update((pickle.dumps(held, protocol=4),))
         yield pd.DataFrame(rows, columns=["doc_a", "doc_b"])
 
-    return bands.groupBy("band", "bh").applyInPandasWithState(
+    sharded = bands.withColumn(
+        "gb", F.pmod(F.xxhash64("band", "bh"), F.lit(n_shards)).cast("int")
+    )
+    return sharded.groupBy("gb").applyInPandasWithState(
         f,
         outputStructType=LSH_PAIR_SCHEMA,
         stateStructType=LSH_BUCKET_STATE_SCHEMA,

@@ -376,13 +376,18 @@ def test_bm25_topk_is_takeordered_pruned_posting_scan(spark, sf_dir):
     assert "Python" not in p and "ArrowEval" not in p
 
 
-def test_embedding_covariance_partial_agg_jvm_only(spark, sf_dir):
-    """embedding_covariance's 100 TB contract: the d^2 pair stream
-    collapses by PARTIAL hash aggregation before its exchange (shuffle
-    carries O(tasks * d^2), never O(n)), dim-sum/count frames join by
-    broadcast, and the plan is Python-free."""
+def test_embedding_covariance_partial_agg_batched_gram(spark, sf_dir):
+    """embedding_covariance's 100 TB contract: the Gram pass emits ONE
+    d(d+1)/2-row partial per task (a vectorized numpy X^T X under
+    mapInPandas — guide §4.2; r12 optimization, bit-identical to the
+    JVM lambda-explode form it replaced), the partials collapse by
+    PARTIAL hash aggregation before the single exchange (shuffle
+    carries O(tasks * d^2), never O(n)), and dim-sum/count frames join
+    by broadcast. The Python boundary is exactly the one Gram stage —
+    no row-at-a-time BatchEvalPython anywhere."""
     p = _plan(spark, sf_dir, "embedding_covariance")
-    assert "Python" not in p and "ArrowEval" not in p
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
     assert "partial" in p.lower()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
