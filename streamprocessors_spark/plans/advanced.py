@@ -115,8 +115,14 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         .distinct()
     )
     edges = edges.localCheckpoint()
-    labels = edges.select(F.col("u").alias("node"), F.col("u").alias("label")).distinct()
-    labels = labels.groupBy("node").agg(F.min("label").alias("label"))
+    # init label = own id: one distinct on node (label duplicates the
+    # node column, so the old distinct-then-groupBy paid two exchanges
+    # for what one distinct proves)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
     prev_total = None
     converged = False
     for _ in range(_CC_MAX_ITERS):
@@ -144,7 +150,12 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 ).alias("label"),
             )
         )
-        labels = jumped.localCheckpoint()
+        # lazy pin: the convergence probe below is a COMPLETE pass over
+        # the frame, so the checkpoint materializes inside the probe's
+        # job — one job per round instead of two (eager pin + probe).
+        # Safe here because the probe is the frame's first and only
+        # consumer until the next round (no concurrent first readers).
+        labels = jumped.localCheckpoint(eager=False)
         # decimal(38,0): a billion-node graph of large doc_ids can push
         # the sum past int64; a wrapped sum could fake convergence
         total = labels.agg(
@@ -527,6 +538,10 @@ def _incremental_verdicts(
         shingle_docs,
     )
 
+    # Deliberately UNPINNED: caching the shingle frame means
+    # materializing the fat per-doc gram arrays — measured at sf0.1 the
+    # cache write costs more than the one extra delta tokenize pass the
+    # verify lookup pays (same trade as the `touched` probe below).
     s_delta = shingle_docs(delta, par)
     b_delta = minhash_bands(s_delta)
     w = Window.partitionBy("band", "bh")
@@ -534,11 +549,18 @@ def _incremental_verdicts(
         b_delta.repartition(par, "band", "bh")
         .withColumn("nd", F.count(F.lit(1)).over(w))
         # delta-bands-sized; pinned so bucket sizing, the delta-delta
-        # self-join, and the store probe share one delta minhash pass
-        .localCheckpoint()
+        # self-join, and the store probe share one delta minhash pass.
+        # Lazy: n0b's eager pin below is the first consumer and
+        # references this frame exactly once, so s_delta, bd, touched
+        # and n0b all materialize in ONE job instead of three.
+        .localCheckpoint(eager=False)
     )
     # store probe: members of delta-touched buckets only (the store is
-    # (band, bh)-partitioned at scale -> partition-pruned read)
+    # (band, bh)-partitioned at scale -> partition-pruned read).
+    # Deliberately UNPINNED: at corpus scale the delta touches a large
+    # bucket fraction, so this frame is near-store-sized — measured at
+    # sf0.1, caching it costs more (materialization write) than the 1-2
+    # extra broadcast-join scans of the already-pinned store it saves.
     touched = store.join(
         bd.select("band", "bh").distinct(), ["band", "bh"]
     )
@@ -874,10 +896,20 @@ def _removal_verdicts(
     # tombstone counts: how many members each bucket loses (at 100 TB
     # the store is doc_id-indexed too, so this is a point-delete batch;
     # here the unhinted join lets AQE broadcast the removal id list)
+    # n0 is constant per stored bucket, so the tombstone aggregation
+    # carries it along (max = the value) — the old shape paid a SECOND
+    # full store scan plus a store-wide distinct just to re-read n0.
+    # Lazy pin: referenced once per consuming job (down inside the
+    # affected pin, nr inside the cand pin), so the store⋈removed pass
+    # runs once per call instead of once per reference.
     nrb = (
         store.join(removed, "doc_id")
         .groupBy("band", "bh")
-        .agg(F.expr("cast(count(*) as bigint)").alias("nr"))
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("nr"),
+            F.max("n0").alias("n0"),
+        )
+        .localCheckpoint(eager=False)
     )
     # seed 1: every doc sharing a stored cluster with a removed doc
     rem_canon = old_lab.join(removed, "doc_id").select("canonical").distinct()
@@ -885,18 +917,18 @@ def _removal_verdicts(
     # seed 2: members of buckets the removals shrink DOWN into the
     # eligibility window (they gain pairs a fresh run would emit), plus
     # those members' stored clusters (a new edge can merge two clusters)
-    down = (
-        store.select("band", "bh", "n0")
-        .distinct()
-        .join(nrb, ["band", "bh"])
-        .where(
-            f"n0 > {LSH_MAX_BUCKET}"
-            f" and n0 - nr between 2 and {LSH_MAX_BUCKET}"
-        )
-        .select("band", "bh")
-    )
+    down = nrb.where(
+        f"n0 > {LSH_MAX_BUCKET}"
+        f" and n0 - nr between 2 and {LSH_MAX_BUCKET}"
+    ).select("band", "bh")
     down_members = (
-        store.join(down, ["band", "bh"]).select("doc_id").distinct()
+        store.join(down, ["band", "bh"])
+        .select("doc_id")
+        .distinct()
+        # eager pin: referenced twice inside the affected pin's job
+        # (the dm_canon leg and the union leg) — unpinned, each leg
+        # paid its own full store scan
+        .localCheckpoint()
     )
     dm_canon = old_lab.join(down_members, "doc_id").select("canonical").distinct()
     dm_clustered = old_lab.join(dm_canon, "canonical").select("doc_id")
@@ -915,7 +947,7 @@ def _removal_verdicts(
     # survivors' bucket memberships are unchanged, only sizes shrink
     elig = (
         store.join(aff_live, "doc_id")
-        .join(nrb, ["band", "bh"], "left")
+        .join(nrb.select("band", "bh", "nr"), ["band", "bh"], "left")
         .selectExpr(
             "band", "bh", "doc_id",
             "n0 - coalesce(nr, cast(0 as bigint)) as n1",

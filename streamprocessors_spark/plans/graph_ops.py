@@ -121,49 +121,57 @@ def host_pagerank_frame(docs: DataFrame) -> DataFrame:
     control-plane probe, needed as an integer literal in the base-rank
     constant)."""
     edges = host_edges(docs).localCheckpoint()
-    verts = (
+    # (host, od): out-degree is joined to the vertex set ONCE and carried
+    # through every rank frame — od is null exactly for dangling hosts,
+    # so each round reads it as a column instead of paying an outd
+    # groupBy + equi-join on the contribution leg, a left-anti join on
+    # the dangling leg, and a final outd join (3 host-sized joins per
+    # round removed; values bit-identical, the joins only ever attached
+    # this column)
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    vd = (
         edges.selectExpr("src as host")
         .unionByName(edges.selectExpr("dst as host"))
         .distinct()
+        .join(outd, F.col("host") == outd.src, "left")
+        .select("host", "od")
         .localCheckpoint()
     )
-    n = verts.count()
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    n = vd.count()
     base = (15 * PR_SCALE) // (100 * n)
-    ranks = verts.selectExpr(
-        "host", f"cast({PR_SCALE // n} as bigint) as r"
+    ranks = vd.selectExpr(
+        "host", f"cast({PR_SCALE // n} as bigint) as r", "od"
     )
     for _ in range(PR_ROUNDS):
         contrib = (
-            edges.join(outd, "src")
-            .join(ranks.withColumnRenamed("host", "src"), "src")
-            .selectExpr("dst as host", "r div od as c")
+            ranks.where("od is not null")
+            .selectExpr("host as src", "r div od as c")
+            .join(edges, "src")
+            .selectExpr("dst as host", "c")
         )
         inc = contrib.groupBy("host").agg(F.sum("c").alias("s"))
         dang = (
-            ranks.join(outd, ranks.host == outd.src, "left_anti")
+            ranks.where("od is null")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum"))
             .selectExpr(f"cast(dsum div {n} as bigint) as dshare")
         )
         ranks = (
             # bounded: dang is a single-row aggregate (the dangling-mass
             # scalar), corpus-size-independent
-            verts.join(inc, "host", "left")
+            vd.join(inc, "host", "left")
             .crossJoin(F.broadcast(dang))
             .selectExpr(
                 "host",
                 f"cast({base} + (85 * (coalesce(s, cast(0 as bigint))"
                 " + dshare)) div 100 as bigint) as r",
+                "od",
             )
             .localCheckpoint()
         )
-    return (
-        ranks.join(outd, ranks.host == outd.src, "left")
-        .selectExpr(
-            "host",
-            "r as rank_q",
-            "cast(coalesce(od, 0) as bigint) as out_degree",
-        )
+    return ranks.selectExpr(
+        "host",
+        "r as rank_q",
+        "cast(coalesce(od, 0) as bigint) as out_degree",
     )
 
 
@@ -317,13 +325,19 @@ def _qc_features(docs: DataFrame) -> DataFrame:
 
 
 def _qc_margins(fxl: DataFrame, wk: DataFrame) -> DataFrame:
-    """(doc_id, y, s): integer margins of every doc under weights wk."""
+    """(doc_id, y, s): integer margins of every doc under weights wk.
+
+    Grouped on doc_id ALONE so the aggregation reuses the cached feature
+    frame's hash(doc_id) partitioning (guide §2.4: same-keyed operations
+    share one exchange) — grouping on (doc_id, y) would re-shuffle the
+    corpus-feature frame every epoch even though y is functionally
+    determined by doc_id (one label per document, so max(y) is exact)."""
     # bounded: wk is the model table — exactly QC_DIMS+1 rows at any
     # corpus size
     return (
         fxl.join(F.broadcast(wk), "j")
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.expr("x * w")).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.max("y").alias("y"), F.sum(F.expr("x * w")).alias("s"))
     )
 
 
@@ -355,7 +369,16 @@ def _qc_trajectory(docs: DataFrame):
     # outgrows executor memory degrades to local-disk reads, never OOM.
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    fxl = _qc_features(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # hash-partition the cache by doc_id: the per-epoch margin groupBy
+    # and the gradient's doc_id join then run WITHOUT any corpus-sized
+    # exchange (the union of bias rows destroys the natural partitioning,
+    # so without this every epoch re-shuffled the full feature frame);
+    # one exchange paid at cache build vs 2 per epoch removed
+    fxl = (
+        _qc_features(docs)
+        .repartition(F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     spark = docs.sparkSession
     dims = spark.range(QC_DIMS + 1).selectExpr("cast(id as int) as j")
     wk = dims.selectExpr("j", "cast(0 as bigint) as w")

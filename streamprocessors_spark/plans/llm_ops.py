@@ -3716,6 +3716,44 @@ def _pq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The flat-PQ encoded code table (vec_id, m, code) — frame-valued, per
+# (app, corpus); see _pq_codes_flat.
+_PQ_FLAT_CODES_CACHE: dict = {}
+
+
+def _pq_flat_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached flat-PQ encode: per-(vector, sub-space) argmin codeword
+    as a map-side max_by over the packed key (the IVF argmin contract;
+    plan-shape-pinned by test_pq_codes_argmin_is_mapside_no_corpus_window
+    against THIS frame)."""
+    return (
+        _pq_dist(spark, sf_dir)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr(f"max_by(code, -(d2 * {PQ_CODE_SPAN} + code))").alias(
+                "code"
+            )
+        )
+    )
+
+
+def _pq_codes_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flat-PQ code table, memoized per (app, corpus): it IS the
+    stored index payload (FAISS IndexPQ writes exactly this at
+    index-build time; every ADC query reads it) — the same decision as
+    _PQ_CODES_CACHE for the IVF+PQ family and the durable ivf_index
+    store for flat IVF. Index-sized (N x PQ_M rows); the encode is paid
+    once per session, measured by the bench cold pass. Consumers:
+    ann_pq_topk, ann_pq_rerank_topk (and ann_pq_recall through the
+    former), which previously each re-encoded the corpus per call."""
+    return corpus_cached(
+        _PQ_FLAT_CODES_CACHE,
+        spark,
+        sf_dir,
+        lambda: _pq_flat_codes_frame(spark, sf_dir).localCheckpoint(),
+    )
+
+
 @register(
     "ann_pq_topk",
     oracle=f"""
@@ -3736,14 +3774,13 @@ def _pq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "ann", "pq"),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dist = _pq_dist(spark, sf_dir)
-    # argmin code per (vec_id, m): minimize d2 then code — packed into one
-    # BIGINT key so max_by stays a map-side aggregate (IVF contract)
-    codes = dist.groupBy("vec_id", "m").agg(
-        F.expr(f"max_by(code, -(d2 * {PQ_CODE_SPAN} + code))").alias("code")
-    )
+    # the stored code table (memoized index artifact); the ADT side
+    # below re-derives only the ANN_N_QUERIES query rows (the filter
+    # pushes to the scan), so the per-call corpus encode is gone
+    codes = _pq_codes_flat(spark, sf_dir)
     adc = (
-        dist.where(F.col("vec_id") < ANN_N_QUERIES)
+        _pq_dist(spark, sf_dir)
+        .where(F.col("vec_id") < ANN_N_QUERIES)
         .selectExpr("vec_id as va", "m as am", "code as acode", "d2")
     )
     approx = (
@@ -5776,6 +5813,47 @@ _LM_SURPRISAL_DUCK = (
 )
 
 
+# Trained add-one bigram LM tables — frame-valued, per (app, corpus);
+# see _lm_trained.
+_LM_BIGRAM_CACHE: dict = {}
+
+
+def _lm_trained(spark: SparkSession, sf_dir: str):
+    """(big, hist, vs) — the trained add-one bigram LM as checkpointed
+    frames, memoized per (app, corpus): bigram counts, history counts
+    and the vocab-size scalar are the CCNet LM artifact a deployment
+    trains offline once and ships to every scorer (the _KN_MODEL /
+    _QC_TRAINED precedent). Model-sized; scoring stays a per-call
+    corpus pass. The pinned trp frame also stops the two model
+    aggregations re-deriving the tokenize+pair pass per leg."""
+
+    def _build():
+        tr = (
+            _docs(spark, sf_dir)
+            .where(f"doc_id % {LM_TRAIN_MOD} = 0")
+            .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
+        )
+        trp = _lm_pairs_spark(tr).select("w1", "w2").localCheckpoint()
+        big = (
+            trp.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .localCheckpoint()
+        )
+        hist = (
+            trp.groupBy("w1")
+            .agg(F.count(F.lit(1)).alias("c1"))
+            .localCheckpoint()
+        )
+        vs = (
+            tr.selectExpr("explode(ws) as u")
+            .agg(F.countDistinct("u").alias("v"))
+            .localCheckpoint()
+        )
+        return big, hist, vs
+
+    return corpus_cached(_LM_BIGRAM_CACHE, spark, sf_dir, _build)
+
+
 @register(
     "lm_perplexity_bucket",
     oracle=f"""
@@ -5828,23 +5906,30 @@ _LM_SURPRISAL_DUCK = (
     tags=("llm", "quality", "text"),
 )
 def lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lm_perplexity_docs(_docs(spark, sf_dir))
+    return lm_perplexity_docs(
+        _docs(spark, sf_dir), model=_lm_trained(spark, sf_dir)
+    )
 
 
-def lm_perplexity_docs(raw_docs: DataFrame) -> DataFrame:
+def lm_perplexity_docs(raw_docs: DataFrame, model=None) -> DataFrame:
     """Docs-frame-parameterized core of lm_perplexity_bucket (shared with
-    tools/scale_smoke.py)."""
+    tools/scale_smoke.py, which passes no model and derives the LM
+    in-plan per call; the registered query serves the memoized trained
+    artifact — see _lm_trained)."""
     w = raw_docs.selectExpr(
         "doc_id", f"{D.words(SPARK)} as ws"
     )
-    tr = w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
-    trp = _lm_pairs_spark(tr)
-    big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    hist = trp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vs = (
-        tr.selectExpr("explode(ws) as u")
-        .agg(F.countDistinct("u").alias("v"))
-    )
+    if model is None:
+        tr = w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
+        trp = _lm_pairs_spark(tr)
+        big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        hist = trp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        vs = (
+            tr.selectExpr("explode(ws) as u")
+            .agg(F.countDistinct("u").alias("v"))
+        )
+    else:
+        big, hist, vs = model
     scp = _lm_pairs_spark(w.where(f"doc_id % {LM_TRAIN_MOD} != 0"))
     pq = (
         # bounded: vs is a single-row aggregate (the vocab size scalar)
@@ -6282,12 +6367,12 @@ PQ_SHORTLIST = 25  # candidates the ADC scan hands to the exact re-ranker
     tags=("vector", "ann", "pq"),
 )
 def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dist = _pq_dist(spark, sf_dir)
-    codes = dist.groupBy("vec_id", "m").agg(
-        F.expr(f"max_by(code, -(d2 * {PQ_CODE_SPAN} + code))").alias("code")
-    )
+    # shared stored code table (see _pq_codes_flat); the ADT side scans
+    # only the query rows
+    codes = _pq_codes_flat(spark, sf_dir)
     adc = (
-        dist.where(F.col("vec_id") < ANN_N_QUERIES)
+        _pq_dist(spark, sf_dir)
+        .where(F.col("vec_id") < ANN_N_QUERIES)
         .selectExpr("vec_id as va", "m as am", "code as acode", "d2")
     )
     approx = (
@@ -7686,24 +7771,7 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _docs(spark, sf_dir).selectExpr(
         "doc_id", f"{D.words(SPARK)} as ws"
     )
-    trp = _lm_pairs_spark(
-        w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
-    ).select("w1", "w2")
-    big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    hist = trp.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1"),
-        F.countDistinct("w2").alias("n1"),
-    )
-    cont = trp.groupBy("w2").agg(F.countDistinct("w1").alias("nc"))
-    nbig = big.agg(F.count(F.lit(1)).alias("nbig"))
-    vs = (
-        w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
-        .selectExpr("explode(ws) as u")
-        .agg(F.countDistinct("u").alias("v"))
-    )
-    # bounded: nbig and vs are single-row aggregates (the N and V
-    # scalars of the continuation normalizer)
-    scal = nbig.crossJoin(F.broadcast(vs))
+    big, hist, cont, scal = _kn_trained(spark, sf_dir)
     scp = _lm_pairs_spark(w.where(f"doc_id % {LM_TRAIN_MOD} != 0"))
     pq = (
         # bounded: scal is one row (N, V)
@@ -7724,6 +7792,63 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sumq div n_pairs as bigint) as ce_q",
         )
     )
+
+
+# Trained Kneser-Ney model tables — frame-valued, per (app, corpus);
+# see _kn_trained.
+_KN_MODEL_CACHE: dict = {}
+
+
+def _kn_trained(spark: SparkSession, sf_dir: str):
+    """(big, hist, cont, scal) — the trained KN model as checkpointed
+    frames, memoized per (app, corpus): the bigram counts, history
+    table (c1, n1), continuation fanout and the (N, V) scalar row are
+    the LM artifact a deployment trains offline once and ships to every
+    scorer (the _QC_TRAINED/_KMEANS precedent). Model-sized (vocab/
+    bigram-vocab rows). Scoring stays a per-call corpus pass for every
+    consumer. The pinned trp frame also stops the three model
+    aggregations re-deriving the tokenize+pair pass per leg (DataFrame
+    subtrees are not shared across plan branches, guide §2.4)."""
+
+    def _build():
+        w = _docs(spark, sf_dir).selectExpr(
+            "doc_id", f"{D.words(SPARK)} as ws"
+        )
+        trp = (
+            _lm_pairs_spark(w.where(f"doc_id % {LM_TRAIN_MOD} = 0"))
+            .select("w1", "w2")
+            .localCheckpoint()
+        )
+        big = (
+            trp.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .localCheckpoint()
+        )
+        hist = (
+            trp.groupBy("w1")
+            .agg(
+                F.count(F.lit(1)).alias("c1"),
+                F.countDistinct("w2").alias("n1"),
+            )
+            .localCheckpoint()
+        )
+        cont = (
+            trp.groupBy("w2")
+            .agg(F.countDistinct("w1").alias("nc"))
+            .localCheckpoint()
+        )
+        nbig = big.agg(F.count(F.lit(1)).alias("nbig"))
+        vs = (
+            w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
+            .selectExpr("explode(ws) as u")
+            .agg(F.countDistinct("u").alias("v"))
+        )
+        # bounded: nbig and vs are single-row aggregates (the N and V
+        # scalars of the continuation normalizer)
+        scal = nbig.crossJoin(F.broadcast(vs)).localCheckpoint()
+        return big, hist, cont, scal
+
+    return corpus_cached(_KN_MODEL_CACHE, spark, sf_dir, _build)
 
 
 # ---------------------------------------------------------------------------
@@ -9032,8 +9157,23 @@ def _cbs_sql(d: str, table: str = "embeddings") -> str:
     tags=("vector", "ivf", "sampling", "training", "llm"),
 )
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
-    return spark.sql(_cbs_sql(SPARK, table="sp_kmeans_embeddings"))
+    # Same trained-quantizer serving as embedding_outlier_topk: the
+    # assignment comes from the memoized centroids (one broadcast
+    # max_by pass, bit-identical to the oracle's t_assign) instead of
+    # re-running the Lloyd trajectory per call; pick + cell_size stay
+    # the oracle's formulation.
+    asg = _semdedup_assign(spark, sf_dir).select("vec_id", "cell")
+    skey = D.md5int(SPARK, "cast(vec_id as string)")
+    w = Window.partitionBy("cell").orderBy(F.expr(skey), "vec_id")
+    pick = asg.withColumn("pick", F.row_number().over(w)).where(
+        F.col("pick") <= CBS_PER_CELL
+    )
+    csz = asg.groupBy("cell").agg(
+        F.expr("cast(count(*) as bigint)").alias("cell_size")
+    )
+    return pick.join(csz, "cell").selectExpr(
+        "cell", "vec_id", "cast(pick as int) as pick", "cell_size"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9536,8 +9676,26 @@ def _outlier_sql(d: str, table: str = "embeddings") -> str:
     tags=("vector", "ivf", "quality", "training"),
 )
 def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _embs(spark, sf_dir).createOrReplaceTempView("sp_kmeans_embeddings")
-    return spark.sql(_outlier_sql(SPARK, table="sp_kmeans_embeddings"))
+    # Serve from the memoized trained quantizer via the shared
+    # assignment pass (_semdedup_assign): cc_q6 IS cos_q — the
+    # semdedup oracle pins the packed-key recovery equal to
+    # cosine_ikey of the winning cell, and _kmeans_trained's centroid
+    # doubles are bit-identical to the oracle CTEs'. The old form
+    # re-executed the full 2-iteration Lloyd trajectory per call.
+    asg = _semdedup_assign(spark, sf_dir).selectExpr(
+        "vec_id", "cell", "cc_q6 as cos_q"
+    )
+    w = Window.partitionBy("cell").orderBy("cos_q", "vec_id")
+    return (
+        asg.withColumn("outlier_rank", F.row_number().over(w))
+        .where(F.col("outlier_rank") <= OUTLIER_TOPK)
+        .selectExpr(
+            "cell",
+            "vec_id",
+            "cos_q",
+            "cast(outlier_rank as int) as outlier_rank",
+        )
+    )
 
 
 _wire_cluster_hist_oracle()

@@ -908,30 +908,16 @@ def stream_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.plans.llm_ops import (
         LM_TRAIN_MOD,
         _LM_SURPRISAL_SPARK,
-        _docs,
         _lm_pairs_spark,
+        _lm_trained,
     )
 
-    tr = (
-        _docs(spark, sf_dir)
-        .where(f"doc_id % {LM_TRAIN_MOD} = 0")
-        .selectExpr("doc_id", f"{D.words(SPARK)} as ws")
-    )
-    # train once, stream-score: the shared pair frame is pinned before
-    # the stream starts, so the bigram and histogram model tables read
-    # ONE materialized derivation instead of each re-running the
-    # training-slice tokenize+explode inside the (AQE-less) micro-batch
-    # plan (see stream_kneser_ney for the full-pin variant — its third
-    # model table and countDistinct legs make the deeper pin pay there,
-    # measured; here the shallow pin measured equal-or-better warm with
-    # a smaller cold add-on).
-    trp = _lm_pairs_spark(tr).localCheckpoint()
-    big = trp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    hist = trp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vs = (
-        tr.selectExpr("explode(ws) as u")
-        .agg(F.countDistinct("u").alias("v"))
-    )
+    # train once, stream-score: the model tables come MATERIALIZED from
+    # the per-corpus memoized artifact (_lm_trained — shared with the
+    # batch query), so the (AQE-less) micro-batch plan joins three
+    # checkpointed model frames instead of re-deriving the training-
+    # slice tokenize+aggregate per batch.
+    big, hist, vs = _lm_trained(spark, sf_dir)
     scp = _lm_pairs_spark(
         stream_documents(spark, sf_dir)
         .where(f"doc_id % {LM_TRAIN_MOD} != 0")
@@ -1093,52 +1079,21 @@ def stream_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.functions.dialect import SPARK
     from streamprocessors_spark.plans.llm_ops import (
         LM_TRAIN_MOD,
-        _docs,
         _kn_surprisal,
+        _kn_trained,
         _lm_pairs_spark,
     )
 
-    w = _docs(spark, sf_dir).selectExpr(
-        "doc_id", f"{D.words(SPARK)} as ws"
-    )
     # TRAIN ONCE, then stream-score (the deployment the doc promises):
-    # the model tables are localCheckpoint-MATERIALIZED before the
-    # stream starts. Left lazy, they re-planned inside every micro-batch
-    # under the streaming planner — which runs with AQE disabled
-    # (stateful sink), so the model aggregates hit fixed-width
-    # sort-merge plans per batch instead of runtime broadcasts
-    # (measured: warm 4.4 -> 3.1 s, cold 11.2 -> 4.6 s at sf0.1).
-    # Model-sized pins: bigram/histogram/continuation tables, one
-    # derivation shared through the pinned pair frame.
-    trp = _lm_pairs_spark(
-        w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
-    ).select("w1", "w2").localCheckpoint()
-    big = (
-        trp.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint()
-    )
-    hist = (
-        trp.groupBy("w1")
-        .agg(
-            F.count(F.lit(1)).alias("c1"),
-            F.countDistinct("w2").alias("n1"),
-        )
-        .localCheckpoint()
-    )
-    cont = (
-        trp.groupBy("w2")
-        .agg(F.countDistinct("w1").alias("nc"))
-        .localCheckpoint()
-    )
-    nbig = big.agg(F.count(F.lit(1)).alias("nbig"))
-    vs = (
-        w.where(f"doc_id % {LM_TRAIN_MOD} = 0")
-        .selectExpr("explode(ws) as u")
-        .agg(F.countDistinct("u").alias("v"))
-    )
-    # bounded: nbig and vs are single-row aggregates (N, V)
-    scal = nbig.crossJoin(F.broadcast(vs)).localCheckpoint()
+    # the model tables come MATERIALIZED from the per-corpus memoized
+    # artifact (_kn_trained — shared with the batch twin). Left lazy,
+    # they re-planned inside every micro-batch under the streaming
+    # planner — which runs with AQE disabled (stateful sink), so the
+    # model aggregates hit fixed-width sort-merge plans per batch
+    # instead of runtime broadcasts (measured: warm 4.4 -> 3.1 s, cold
+    # 11.2 -> 4.6 s at sf0.1 for the per-call pin; the shared memo also
+    # removes the per-call re-derivation).
+    big, hist, cont, scal = _kn_trained(spark, sf_dir)
     scp = _lm_pairs_spark(
         stream_documents(spark, sf_dir)
         .where(f"doc_id % {LM_TRAIN_MOD} != 0")

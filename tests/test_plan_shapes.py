@@ -352,11 +352,21 @@ def test_rarity_rank_is_two_level_no_vocab_broadcast_hint(spark, sf_dir):
 
 def test_pq_codes_argmin_is_mapside_no_corpus_window(spark, sf_dir):
     """PQ encode must follow the IVF argmin contract: the per-(vector,
-    sub-space) codeword selection is a map-side max_by aggregate — the
-    only windows in the plan are the probe-side rankings (partitioned by
-    va, never corpus-keyed) — and the codebook joins by broadcast."""
+    sub-space) codeword selection is a map-side max_by aggregate and the
+    codebook joins by broadcast — asserted on the INDEX-BUILD frame (the
+    encode is a memoized per-corpus artifact now, so the serving plan
+    reads the stored codes). The serving plan must keep its windows
+    probe-keyed (partitioned by va, never corpus-keyed) and its ADT
+    join broadcast-side."""
+    from streamprocessors_spark.plans import llm_ops as L
+
+    build = L._pq_flat_codes_frame(spark, sf_dir)
+    bp = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        build._jdf.queryExecution(), "formatted"
+    )
+    assert "max_by" in bp
+    assert "BroadcastHashJoin" in bp
     p = _plan(spark, sf_dir, "ann_pq_topk")
-    assert "max_by" in p
     assert "BroadcastHashJoin" in p
     for line in p.splitlines():
         if "windowspecdefinition" in line.lower():
