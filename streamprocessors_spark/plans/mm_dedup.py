@@ -456,11 +456,17 @@ def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STORED values — joining a re-derived signature frame instead
     # re-inlines the 63-step lambda through both join branches and the
     # optimizer+evaluator pay ~50x (measured 155 s -> ~7 s at sf0.1).
+    # compute-bound Python state op (the LSH shard machine): session
+    # fan-out, not the input-size-derived count — same rationale as
+    # stream_dedup_minhash
     sink, sig = run_available_now_many(
         [
             (lsh_bucket_pairs_stream(bands, IMG_MAX_BUCKET), "append"),
             (image_signatures(stream_documents(spark, sf_dir)), "append"),
-        ]
+        ],
+        shuffle_partitions=int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
     )
     cand = sink.distinct().selectExpr(
         "doc_a as img_a", "doc_b as img_b"

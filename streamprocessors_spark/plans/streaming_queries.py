@@ -645,8 +645,17 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bands = minhash_band_stream(stream_documents(spark, sf_dir))
+    # compute-bound Python state op (per-shard LSH state machine): keep
+    # the session's full fan-out instead of the input-size-derived count
+    # — the stateful stage's cost is per-shard Python work, not bytes
+    # (measured: input-sized partitions serialize the shards and cost
+    # more than they save in state-store commits)
     sink = run_available_now(
-        lsh_bucket_pairs_stream(bands, LSH_MAX_BUCKET), output_mode="append"
+        lsh_bucket_pairs_stream(bands, LSH_MAX_BUCKET),
+        output_mode="append",
+        shuffle_partitions=int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
     )
     cand = sink.distinct()
     s = _shingle_df(spark, sf_dir)
@@ -699,8 +708,14 @@ def stream_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gh").isNotNull())
         .selectExpr("doc_id", "cast(pos0 + 1 as bigint) as pos", "gh")
     )
+    # compute-bound Python state op: session fan-out, not input-sized
+    # (same rationale as stream_dedup_minhash)
     sink = run_available_now(
-        gram_repeat_positions_stream(grams), output_mode="append"
+        gram_repeat_positions_stream(grams),
+        output_mode="append",
+        shuffle_partitions=int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
     )
     flagged = sink.distinct()
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1299,13 +1314,19 @@ def keep_list_start(
             XO.write_batch_output(state["labels"], labdir, batch_id)
         XO.mark_done(state, batch_id)
 
-    return (
-        pair_stream.writeStream.foreachBatch(process)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(**(trigger or {"availableNow": True}))
-        .start()
+    from streamprocessors_spark.streaming.runner import (
+        _resolve_stream_partitions,
+        _stream_conf,
     )
+
+    with _stream_conf(spark, _resolve_stream_partitions(spark, None)):
+        return (
+            pair_stream.writeStream.foreachBatch(process)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
 
 
 def _load_keep_list_labels(
@@ -1627,13 +1648,19 @@ def packer_start(
         state["partials"] = partials
         XO.mark_done(state, batch_id)
 
-    return (
-        stream_df.writeStream.foreachBatch(process)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(**(trigger or {"availableNow": True}))
-        .start()
+    from streamprocessors_spark.streaming.runner import (
+        _resolve_stream_partitions,
+        _stream_conf,
     )
+
+    with _stream_conf(spark, _resolve_stream_partitions(spark, None)):
+        return (
+            stream_df.writeStream.foreachBatch(process)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
 
 
 def packer_drain(
@@ -1985,13 +2012,20 @@ def cdc_start(
         # idempotent: batch_id=N overwrite — a replay replaces, not appends
         XO.write_batch_output(verdicts, sink, batch_id)
 
-    return (
-        stream_df.writeStream.foreachBatch(process)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(**(trigger or {"availableNow": True}))
-        .start()
+    from streamprocessors_spark.streaming.runner import (
+        _resolve_stream_partitions,
+        _stream_conf,
     )
+
+    spark = stream_df.sparkSession
+    with _stream_conf(spark, _resolve_stream_partitions(spark, None)):
+        return (
+            stream_df.writeStream.foreachBatch(process)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
 
 
 def cdc_drain(spark: SparkSession, store: DataFrame, workdir: str) -> DataFrame:

@@ -5,31 +5,116 @@ multiple micro-batches, honoring source rate limits) and stops — the
 streaming analog of a batch run. Results land in a uniquely-named memory
 sink; the caller gets a plain DataFrame, so streaming operators slot into
 the same driver contract / DuckDB-oracle gate as batch ones.
+
+Streaming shuffle partitions are SCALE-ADAPTIVE (guide §2.2): AQE cannot
+coalesce inside a streaming plan, so the session's fixed
+``spark.sql.shuffle.partitions`` is paid in full by every micro-batch —
+every shuffle AND one state-store instance (+ its per-batch delta-file
+commit) per partition. The runner derives the partition count from the
+stream's INPUT SIZE (one partition per ~64 MB, the same advisory-size
+logic AQE applies to batch plans), clamped to the session ceiling, so a
+100 TB stream still fans out to the configured maximum while a small
+replay does not pay hundreds of empty state-store commits per batch.
+Compute-bound stateful operators (the Python LSH/gram state machines,
+whose per-shard work dwarfs their input bytes) pass an explicit
+``shuffle_partitions`` floor instead. ``SPARK_GRAFT_STREAM_SHUFFLE_
+PARTITIONS`` overrides everything (the production knob).
+StreamExecution clones the session AT START, so setting the conf around
+``.start()`` latches it per query without affecting any other plan.
 """
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: one streaming shuffle partition per this many input bytes (matches the
+#: spirit of spark.sql.adaptive.advisoryPartitionSizeInBytes for batch)
+_STREAM_TARGET_BYTES = 64 << 20
+
+#: schema probes are metadata (footer read + file listing) — memoized per
+#: (application, path) so each stream_* call stops paying a ~0.1 s batch
+#: read just to learn an unchanged fixture schema
+_SCHEMA_CACHE: dict = {}
+
+#: input-size suggestions accumulated by the stream source builders; the
+#: next run_available_now[_many]/engine start consumes them (max wins —
+#: a two-source query sizes for its larger input)
+_PENDING_PARTS: list = []
+
+
+def _suggest_partitions(spark: SparkSession, path: str) -> None:
+    try:
+        n_bytes = os.path.getsize(path)
+    except OSError:
+        return
+    try:
+        ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        ceiling = 200
+    p = max(2, -(-n_bytes // _STREAM_TARGET_BYTES))
+    _PENDING_PARTS.append(min(p, ceiling))
+
+
+def _resolve_stream_partitions(
+    spark: SparkSession, shuffle_partitions: int | None
+) -> int | None:
+    """Explicit caller value > env override > pending input-size
+    suggestion > None (keep the session conf)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    pending = max(_PENDING_PARTS) if _PENDING_PARTS else None
+    _PENDING_PARTS.clear()
+    if env:
+        return int(env)
+    if shuffle_partitions is not None:
+        return int(shuffle_partitions)
+    return pending
+
+
+class _stream_conf:
+    """Latch spark.sql.shuffle.partitions around a streaming .start()
+    (the cloned stream session keeps the latched value for its whole
+    run; the session conf is restored immediately after start)."""
+
+    def __init__(self, spark: SparkSession, parts: int | None):
+        self.spark, self.parts, self.old = spark, parts, None
+
+    def __enter__(self):
+        if self.parts is not None:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self.parts)
+            )
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
 
 def run_available_now(
-    stream_df: DataFrame, output_mode: str = "append"
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DF with Trigger.AvailableNow; return the sink."""
     spark: SparkSession = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="spgraft_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    parts = _resolve_stream_partitions(spark, shuffle_partitions)
+    with _stream_conf(spark, parts):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     tbl = spark.table(name)
     # No-op projection: the raw memory-sink relation (MemoryPlan) does
@@ -42,6 +127,7 @@ def run_available_now(
 
 def run_available_now_many(
     streams: list[tuple[DataFrame, str]],
+    shuffle_partitions: int | None = None,
 ) -> list[DataFrame]:
     """Execute several independent availableNow streaming queries
     CONCURRENTLY and return their sinks in order (guide §2.6: actions
@@ -50,20 +136,23 @@ def run_available_now_many(
     back-fill each other's stage tails). Each query keeps its own
     checkpoint and memory sink; there is no cross-query state."""
     spark: SparkSession = streams[0][0].sparkSession
+    parts = _resolve_stream_partitions(spark, shuffle_partitions)
     started = []
-    for stream_df, output_mode in streams:
-        name = f"sink_{uuid.uuid4().hex[:12]}"
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="spgraft_ckpt_")
+    with _stream_conf(spark, parts):
+        for stream_df, output_mode in streams:
+            name = f"sink_{uuid.uuid4().hex[:12]}"
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="spgraft_ckpt_"),
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        started.append((name, q))
+            started.append((name, q))
     for _, q in started:
         q.awaitTermination()
     out = []
@@ -77,11 +166,20 @@ def run_available_now_many(
 def _stage_dir(path: str) -> str:
     """FileStreamSource ingests *directories*; expose a single fixture file
     through a temp dir of symlinks (zero-copy)."""
-    import os
-
     d = tempfile.mkdtemp(prefix="spgraft_src_")
     os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
     return d
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    """Batch-probe a fixture file's schema once per (application, path) —
+    pure metadata, never rows; the probe honors whatever reader confs
+    (nanosAsLong) the caller set, which are identical for every probe of
+    the same path in one app."""
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,13 +190,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the vanilla reader rejects) and restore a proper timestamp column
     afterwards — identical to session.read_table's batch normalization.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    schema = _cached_schema(spark, path)
+    _suggest_partitions(spark, path)
     df = spark.readStream.schema(schema).parquet(_stage_dir(path))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
@@ -108,16 +205,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _cached_schema(spark, path)
+    _suggest_partitions(spark, path)
     return spark.readStream.schema(schema).parquet(_stage_dir(path))
 
 
 def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     path = os.path.join(sf_dir, "embeddings.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _cached_schema(spark, path)
+    _suggest_partitions(spark, path)
     return spark.readStream.schema(schema).parquet(_stage_dir(path))
