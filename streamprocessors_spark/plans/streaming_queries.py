@@ -1623,7 +1623,12 @@ def packer_start(
         om = F.broadcast(
             spark.createDataFrame(open_map, "source string, open_bin bigint")
         )
-        b = b.join(om, "source", "left").localCheckpoint()
+        # LAZY pin: the closed-bin write below is the frame's first
+        # consumer and a complete pass, so the checkpoint materializes
+        # inside the write's job (one job per batch instead of two);
+        # the open-bin collect then reads the pinned blocks. Consumers
+        # are strictly sequential — no double-compute risk.
+        b = b.join(om, "source", "left").localCheckpoint(eager=False)
         closed = b.where("open_bin is null or bin <> open_bin").select(
             *out_cols
         )
