@@ -8631,18 +8631,16 @@ def lineage_bins(g: DataFrame) -> DataFrame:
     )
 
 
-def packing_positions(
-    docs: DataFrame,
-    seq: DataFrame,
-    base_offsets: dict[str, int] | None = None,
-) -> DataFrame:
-    """(source, doc_id, gpos, id): every token of ``docs`` at its global
-    per-source stream position — the assignment half of the packer.
-    ``base_offsets`` shifts each source's positions by an already-packed
-    prefix (the streaming twin's standing per-source offset; None = 0),
-    so an arriving shard's tokens land exactly after the tokens already
-    shipped."""
-    spark = docs.sparkSession
+def packing_symbols(
+    seq: DataFrame, pin_symtab: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(wsym, symtab) — the two vocab-sized tables every packing pass
+    needs, both functions of the trained ``seq`` alone (never of the
+    docs). Split out so a per-micro-batch caller (the streaming packer
+    engine) can derive them ONCE per run instead of once per batch.
+    ``pin_symtab=True`` additionally localCheckpoints symtab — worth it
+    only when the tables serve many batches (the single-call batch plan
+    keeps symtab lazy: one consumer, no reuse)."""
     # vocab-sized; localCheckpoint pins the 8-round merge lineage so the
     # two consumers below (symtab + the corpus join) don't replay it
     wsym = (
@@ -8671,6 +8669,27 @@ def packing_positions(
         )
         .select("sym", "id")
     )
+    if pin_symtab:
+        symtab = symtab.localCheckpoint()
+    return wsym, symtab
+
+
+def packing_positions(
+    docs: DataFrame,
+    seq: DataFrame,
+    base_offsets: dict[str, int] | None = None,
+    symbols: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """(source, doc_id, gpos, id): every token of ``docs`` at its global
+    per-source stream position — the assignment half of the packer.
+    ``base_offsets`` shifts each source's positions by an already-packed
+    prefix (the streaming twin's standing per-source offset; None = 0),
+    so an arriving shard's tokens land exactly after the tokens already
+    shipped. ``symbols`` (optional) supplies a precomputed
+    ``packing_symbols(seq)`` pair so repeat callers skip the per-call
+    wsym pin + symtab derivation."""
+    spark = docs.sparkSession
+    wsym, symtab = symbols if symbols is not None else packing_symbols(seq)
     dw = docs.selectExpr(
         "doc_id", "source", f"{D.words(SPARK)} as ws"
     )

@@ -441,7 +441,7 @@ def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket_pairs_stream,
     )
 
-    sh = image_signatures(stream_documents(spark, sf_dir))
+    sh = image_signatures(stream_documents(spark, sf_dir, spread=True))
     bands = sh.select(
         F.col("img_id").alias("doc_id"),
         F.posexplode(

@@ -644,7 +644,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket_pairs_stream,
     )
 
-    bands = minhash_band_stream(stream_documents(spark, sf_dir))
+    bands = minhash_band_stream(stream_documents(spark, sf_dir, spread=True))
     # compute-bound Python state op (per-shard LSH state machine): keep
     # the session's full fan-out instead of the input-size-derived count
     # — the stateful stage's cost is per-shard Python work, not bytes
@@ -700,7 +700,7 @@ def stream_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_repeat_positions_stream,
     )
 
-    docs = stream_documents(spark, sf_dir)
+    docs = stream_documents(spark, sf_dir, spread=True)
     grams = (
         docs.selectExpr("doc_id", f"{D.words(SPARK)} as ws")
         .selectExpr("doc_id", f"{TP.kgram_hashes(SPARK, 'ws')} as kh")
@@ -1415,7 +1415,7 @@ def stream_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket_pairs_stream,
     )
 
-    bands = minhash_band_stream(stream_documents(spark, sf_dir))
+    bands = minhash_band_stream(stream_documents(spark, sf_dir, spread=True))
     pair_stream = lsh_bucket_pairs_stream(bands, LSH_MAX_BUCKET)
     labels = _incremental_keep_list_labels(
         pair_stream, _shingle_df(spark, sf_dir)
@@ -1561,6 +1561,7 @@ def packer_start(
     from streamprocessors_spark.plans.llm_ops import (
         _PACK_W,
         packing_positions,
+        packing_symbols,
     )
     from streamprocessors_spark.streaming import exactly_once as XO
 
@@ -1571,6 +1572,11 @@ def packer_start(
     part_schema = _packer_schema(cols)
     out_cols = ["source", "bin", *cols]
     init = _packer_init()
+    # the two vocab tables are functions of the trained seq alone —
+    # derive + pin ONCE per run instead of once per micro-batch (the
+    # old shape paid an eager wsym localCheckpoint job and a symtab
+    # groupBy+window re-plan inside every batch)
+    symbols = packing_symbols(seq, pin_symtab=True)
     state.setdefault("offsets", {})
     state.setdefault("partials", {})
     state.setdefault("last_batch", None)
@@ -1590,7 +1596,9 @@ def packer_start(
             XO.mark_done(state, batch_id)
             return
         g = packing_positions(
-            batch_df, seq, base_offsets=dict(state["offsets"])
+            batch_df, seq,
+            base_offsets=dict(state["offsets"]),
+            symbols=symbols,
         )
         # per-(source, bin) partials of THIS batch; localCheckpoint pins
         # them once for the three consumers below (offset roll, closed

@@ -182,6 +182,33 @@ def _cached_schema(spark: SparkSession, path: str):
     return _SCHEMA_CACHE[key]
 
 
+def _spread_small_input(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Spread a SUB-SPLIT input across tasks for compute-heavy stream
+    projections (guide §2: the scan-stage compute of a file smaller than
+    one split — maxPartitionBytes — runs in ONE task no matter how many
+    cores the session has; parquet row-group granularity means lowering
+    the split size cannot help). The repartition shuffles at most one
+    split's worth of bytes, bounded by construction; inputs that already
+    split natively are returned untouched, so at scale this is a no-op.
+    One task per ~64 KB of input, capped at the session parallelism
+    (measured: 8-9 tasks beats 32 on a 0.6 MB fixture — tiny tasks cost
+    more than they parallelize)."""
+    try:
+        n_bytes = os.path.getsize(path)
+    except OSError:
+        return df
+    try:
+        maxpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        maxpb = 128 << 20
+    if n_bytes >= maxpb:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    return df.repartition(min(par, max(2, n_bytes // 65536)))
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (nanosecond-timestamp parquet).
 
@@ -204,11 +231,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     schema = _cached_schema(spark, path)
     _suggest_partitions(spark, path)
-    return spark.readStream.schema(schema).parquet(_stage_dir(path))
+    df = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    # spread=True: caller runs a compute-heavy projection (shingle/
+    # minhash/gram hashing) in the scan stage — see _spread_small_input
+    return _spread_small_input(spark, df, path) if spread else df
 
 
 def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
